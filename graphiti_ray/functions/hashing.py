@@ -1,0 +1,157 @@
+"""Deterministic identity + similarity hashing.
+
+The reference mints random uuid4 ids at construction
+(graphiti_core/nodes.py:79, edges.py:42), which makes replays
+non-idempotent. In a batch engine every id is a content hash of the
+record's natural key, so task retries and checkpoint-resume reproduce
+byte-identical outputs.
+
+Also home of the similarity sketches (MinHash, SimHash, rolling
+fingerprint) used by near-dup blocking and the dedup operator family.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+
+
+def sha1_hex(*parts: str) -> str:
+    """Deterministic id from natural-key parts (order-sensitive)."""
+    h = hashlib.sha1("\x1f".join(parts).encode("utf-8", "surrogatepass"))
+    return h.hexdigest()
+
+
+def episode_uuid(url: str, warc_ts_us: int) -> str:
+    return sha1_hex("ep", url, str(warc_ts_us))
+
+
+def node_uuid(group_id: str, name_norm: str) -> str:
+    """Keyed on (group, normalized name): exact duplicates across all
+    episodes collide by construction, making exact dedup
+    (node_name_match, bulk_utils.py:243-253) a distinct-by-key pass with
+    no uuid_map entries needed for the exact tier."""
+    return sha1_hex("node", group_id, name_norm)
+
+
+def edge_uuid(group_id: str, src: str, tgt: str, pred: str, fact_norm: str) -> str:
+    return sha1_hex("edge", group_id, src, tgt, pred, fact_norm)
+
+
+def stable_int(s: str, *, salt: str = "") -> int:
+    """64-bit deterministic hash (Python's hash() is seed-randomized)."""
+    d = hashlib.blake2b((salt + s).encode("utf-8", "surrogatepass"), digest_size=8).digest()
+    return int.from_bytes(d, "little")
+
+
+def partition_of(group_id: str, num_partitions: int) -> int:
+    return stable_int(group_id, salt="part") % num_partitions
+
+
+# ---------------------------------------------------------------- MinHash
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    return np.fromiter(
+        (stable_int(t, salt="mh") % _MERSENNE for t in tokens), dtype=np.uint64, count=len(tokens)
+    )
+
+
+def minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) for the family h_i(x) = (a_i * x + b_i) mod p."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(tokens: list[str], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature over a token/shingle set (uint64[num_perm])."""
+    if not tokens:
+        return np.full(a.shape[0], _MERSENNE, dtype=np.uint64)
+    x = _token_hashes(tokens)
+    # (num_perm, n) universal hashes; object-dtype not needed: do mod-mul in python ints? No:
+    # use uint64 with mod via float trick is lossy -> use Python ints per perm is slow.
+    # 61-bit Mersenne modulus keeps a*x within 122 bits -> use object only if needed.
+    # Vectorized: compute in uint128 via two 64-bit halves is overkill; use np.uint64
+    # overflow-safe approach with dtype=object for a*x. For num_perm<=128 and short
+    # token lists this is fast enough; hot paths use char-shingle counts instead.
+    sig = np.empty(a.shape[0], dtype=np.uint64)
+    xs = x.astype(object)
+    for i in range(a.shape[0]):
+        vals = (int(a[i]) * xs + int(b[i])) % _MERSENNE
+        sig[i] = int(min(vals))
+    return sig
+
+
+def lsh_band_keys(sig: np.ndarray, bands: int, rows: int) -> list[str]:
+    """Split a signature into `bands` bands of `rows` rows; each band's
+    hash is a blocking key. Pairs agreeing on any band become candidates."""
+    keys = []
+    for bi in range(bands):
+        band = sig[bi * rows : (bi + 1) * rows]
+        h = hashlib.blake2b(band.tobytes() + bytes([bi]), digest_size=8).hexdigest()
+        keys.append(f"{bi}:{h}")
+    return keys
+
+
+def char_shingles(s: str, k: int = 3) -> list[str]:
+    s = f"^{s.lower()}$"
+    if len(s) <= k:
+        return [s]
+    return [s[i : i + k] for i in range(len(s) - k + 1)]
+
+
+def word_shingles(text: str, k: int = 5) -> list[str]:
+    toks = text.lower().split()
+    if len(toks) <= k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+# ---------------------------------------------------------------- SimHash
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over a token multiset (Charikar 2002)."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = stable_int(t, salt="sh")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# ------------------------------------------------------ rolling fingerprint
+
+def rolling_fingerprints(text: str, window: int = 50, keep_mod: int = 8) -> list[int]:
+    """Winnowing-style document fingerprint: rolling hash over a char
+    window, keep hashes ≡ 0 (mod keep_mod). Deterministic, mergeable."""
+    data = text.encode("utf-8", "ignore")
+    n = len(data)
+    if n == 0:
+        return []
+    if n <= window:
+        return [stable_int(text, salt="fp")]
+    base, mod = 257, (1 << 61) - 1
+    pw = pow(base, window - 1, mod)
+    h = 0
+    out = []
+    for i, byte in enumerate(data):
+        if i >= window:
+            h = (h - data[i - window] * pw) % mod
+        h = (h * base + byte) % mod
+        if i >= window - 1 and h % keep_mod == 0:
+            out.append(h)
+    return out

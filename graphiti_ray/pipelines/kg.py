@@ -1,0 +1,233 @@
+"""Flagship pipeline: pages -> canonical knowledge graph.
+
+Composition (SURVEY.md §7; the batch re-expression of
+Graphiti.add_episode_bulk, graphiti_core/graphiti.py:493-604, PLUS the
+temporal invalidation the bulk path skips — graphiti.py:526-528
+documents that gap; here T2/T3 run on the bulk shape):
+
+  pages --map_batches--> episodes          (S1/S2/S3; html->text)
+        --actor-pool--> extracted union    (M1/M2/M3/M9)
+        --split-->  nodes_raw | edges_raw | mentions_raw
+  nodes_raw  --groupby(uuid) + blocking + CC--> nodes, uuid_map, alias
+  edges_raw  --broadcast rewrite + groupby(pair) + groupby(subj,pred)-->
+               edges (bi-temporal, expired_at stamped)
+  mentions   --broadcast rewrite + groupby dedupe--> mentions
+  edges x node-names --> triples
+
+`now` (the expired_at stamp, reference utc_now at
+edge_operations.py:257) is a parameter so outputs are deterministic;
+default = max(warc_ts) + 1 day computed from the episodes.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages import canonicalize, edges as edge_stage, extract
+from ..stages.joins import lookup_column
+from ..state import checkpoint as ckpt
+
+DEFAULT_NOW = datetime(2026, 1, 1)
+
+
+@dataclass
+class KGResult:
+    episodes: object
+    nodes: object
+    edges: object
+    mentions: object
+    triples: object
+    uuid_map: object
+
+
+def _dedupe_mentions(mentions_ds, alias: dict[str, str]):
+    """Rewrite mention pointers through the alias map, then collapse
+    duplicate (episode, entity) rows (aliases of one entity mentioned in
+    the same episode merge after canonicalization)."""
+    import ray
+    from ray.data.aggregate import Min
+
+    ref = ray.put(alias)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        a = ray.get(ref)
+        ent = [a.get(u, u) for u in t.column("entity_uuid").to_pylist()]
+        return t.set_column(
+            t.schema.get_field_index("entity_uuid"), "entity_uuid",
+            pa.array(ent, pa.string()),
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["episode_uuid", "entity_uuid"]).aggregate(
+            [("group_id", "min"), ("created_at", "min"), ("partition_id", "min")]
+        )
+        return g.rename_columns(
+            ["episode_uuid", "entity_uuid", "group_id", "created_at", "partition_id"]
+        )
+
+    rewritten = mentions_ds.map_batches(rewrite, batch_format="pyarrow").map_batches(
+        partial, batch_format="pyarrow"
+    )
+    agg = rewritten.groupby(["episode_uuid", "entity_uuid"]).aggregate(
+        Min("group_id", alias_name="group_id"),
+        Min("created_at", alias_name="created_at"),
+        Min("partition_id", alias_name="partition_id"),
+    )
+    return agg
+
+
+def build_triples(edges_ds, nodes_ds, nodes_count: int | None = None):
+    """edges + node names -> (subj, pred, obj) triples.
+
+    Node-name lookup is a broadcast (ray.put once) below
+    joins.BROADCAST_MAX_ROWS distinct entities, else a hash join."""
+    e = lookup_column(
+        edges_ds, "source_node_uuid", nodes_ds, "uuid", "name", "subj",
+        mapping_rows=nodes_count,
+    )
+    e = lookup_column(
+        e, "target_node_uuid", nodes_ds, "uuid", "name", "obj",
+        mapping_rows=nodes_count,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        eps = t.column("episodes")
+        first_ep = pc.list_element(eps, 0)
+        return pa.table(
+            {
+                "subj": t.column("subj"),
+                "pred": t.column("name"),
+                "obj": t.column("obj"),
+                "fact": t.column("fact"),
+                "valid_at": t.column("valid_at"),
+                "invalid_at": t.column("invalid_at"),
+                "group_id": t.column("group_id"),
+                "episode_uuid": first_ep,
+                "partition_id": t.column("partition_id"),
+            }
+        )
+
+    return e.map_batches(project, batch_format="pyarrow")
+
+
+def build_kg(
+    pages_ds,
+    *,
+    now: datetime = DEFAULT_NOW,
+    concurrency=4,
+    skip_partitions: set[int] | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> KGResult:
+    """Run the full construction over a pages Dataset.
+
+    checkpoint_dir: when set, the episodes and extraction stage outputs
+    are spilled to parquet stage checkpoints (so the expensive extractor
+    runs once even though three tables branch off it, and a rerun with
+    resume=True skips completed stages). When None, the extraction union
+    is materialized in the object store instead.
+    """
+    episodes = extract.pages_to_episodes(pages_ds)
+    if skip_partitions:
+        skip = pa.array(sorted(skip_partitions), pa.int32())
+        episodes = episodes.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t.column("partition_id"), value_set=skip))),
+            batch_format="pyarrow",
+        )
+    if checkpoint_dir:
+        episodes = ckpt.stage_checkpoint(
+            episodes, os.path.join(checkpoint_dir, "episodes"), resume
+        )
+    extracted = extract.extract_all(episodes, concurrency=concurrency)
+    if checkpoint_dir:
+        extracted = ckpt.stage_checkpoint(
+            extracted, os.path.join(checkpoint_dir, "extracted"), resume
+        )
+    else:
+        extracted = extracted.materialize()
+
+    nodes_raw, edges_raw, mentions_raw = extract.split_extracted(extracted)
+    nodes, uuid_map, alias = canonicalize.canonicalize_nodes(nodes_raw)
+    nodes = nodes.materialize()
+    edges = edge_stage.resolve_edges(edges_raw, alias, now)
+    mentions = _dedupe_mentions(mentions_raw, alias)
+    triples = build_triples(edges, nodes, nodes_count=nodes.count())
+    return KGResult(
+        episodes=episodes,
+        nodes=nodes,
+        edges=edges,
+        mentions=mentions,
+        triples=triples,
+        uuid_map=uuid_map,
+    )
+
+
+def run_kg_to_dir(
+    pages_ds,
+    out_dir: str,
+    *,
+    now: datetime = DEFAULT_NOW,
+    resume: bool = True,
+    concurrency=4,
+) -> dict:
+    """Materialize the KG to partitioned parquet with per-partition
+    lineage and checkpoint-resume (state/checkpoint.py docstring)."""
+    t0 = time.time()
+    completed = ckpt.completed_partitions(out_dir) if resume else set()
+    ckpt.clean_incomplete(out_dir, completed)
+
+    result = build_kg(
+        pages_ds,
+        now=now,
+        concurrency=concurrency,
+        skip_partitions=completed or None,
+        checkpoint_dir=None,
+    )
+
+    counts: dict[int, dict[str, int]] = {}
+
+    def write(ds, name: str):
+        if ds.schema() is None:  # empty dataset (e.g. everything resumed)
+            os.makedirs(os.path.join(out_dir, name), exist_ok=True)
+            return
+        ds.write_parquet(os.path.join(out_dir, name), partition_cols=["partition_id"])
+        per = ds.groupby("partition_id").count().take_all()
+        for r in per:
+            counts.setdefault(int(r["partition_id"]), {})[name] = int(r["count()"])
+
+    write(result.episodes, "episodes")
+    if not counts:  # no partitions left to process
+        return {
+            "partitions_processed": [],
+            "wall_s": time.time() - t0,
+            "skipped": sorted(completed),
+        }
+    write(result.nodes, "nodes")
+    write(result.edges, "edges")
+    write(result.mentions, "mentions")
+    write(result.triples, "triples")
+
+    wall = time.time() - t0
+    new_parts = sorted(counts)
+    rows = [
+        {
+            "partition_id": p,
+            "episodes": counts[p].get("episodes", 0),
+            "nodes": counts[p].get("nodes", 0),
+            "edges": counts[p].get("edges", 0),
+            "mentions": counts[p].get("mentions", 0),
+            "triples": counts[p].get("triples", 0),
+            "wall_s": wall / max(1, len(new_parts)),
+            "run_ts": time.time(),
+        }
+        for p in new_parts
+    ]
+    if rows:
+        ckpt.write_manifest(out_dir, rows)
+    return {"partitions_processed": new_parts, "wall_s": wall, "skipped": sorted(completed)}

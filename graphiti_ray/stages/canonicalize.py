@@ -1,0 +1,264 @@
+"""Entity canonicalization: exact dedup + blocked near-dup + uuid_map.
+
+Semantics rebuilt (never ported) from the reference bulk dedupe chain:
+- exact tier  = node_name_match (bulk_utils.py:243-253): first-wins by
+  name. Here node uuids are ALREADY content-keyed
+  (sha1(group|name_norm), functions/hashing.py:node_uuid) so the exact
+  tier is a pure merge-by-uuid aggregation — no uuid_map entries, no
+  shuffle of a separate map.
+- near tier   = compress_nodes / dedupe_node_list / resolve_extracted_node
+  (bulk_utils.py:256-327, node_operations.py:215-459): the O(n^2)
+  all-pairs + LLM chunk dedupe + fixpoint recursion becomes
+  blocking (surname key + MinHash-LSH bands on name trigrams)
+  -> per-block deterministic pair matching (alias_match)
+  -> connected components (stages/cc.py)
+  -> one canonical node per component, most-complete name wins,
+     uuid_map: member -> canonical (flat by construction, i.e. already
+     path-compressed per compress_uuid_map, bulk_utils.py:352-361).
+
+Shuffle keys (SURVEY.md §4 table, shuffle ①):
+  phase 1: uuid (= hash(group,name_norm))  — exact merge groupby.
+           Per-batch partial aggregation runs first, so the shuffle
+           moves one row per distinct (batch, uuid) — the combiner
+           pattern; hot names (skew) collapse inside every batch before
+           the exchange, which is the salting equivalent for an
+           associative merge.
+  phase 2: block_key — candidate generation groupby.
+  phase 3: component id — merge groupby (tiny).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Max, Min, Sum
+
+from ..functions.extraction import alias_match, decode_name_key, name_sort_key, surname_key
+from ..functions.hashing import char_shingles, lsh_band_keys, minhash_params, minhash_signature
+
+MAX_BLOCK = 256  # safety cap on a blocking group (hot-key guard)
+LSH_BANDS, LSH_ROWS = 8, 2  # 16 perms; P(candidate) = 1-(1-J^2)^8 — high recall at J>=0.5
+_MH_A, _MH_B = minhash_params(LSH_BANDS * LSH_ROWS)
+
+
+def _partial_exact(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: collapse duplicate uuids before the shuffle."""
+    name_key = pc.binary_join_element_wise(
+        pc.utf8_lpad(pc.cast(pc.utf8_length(batch.column("name")), pa.string()), 4, "0"),
+        batch.column("name"),
+        "|",
+    )
+    t = batch.append_column("name_key", name_key)
+    g = t.group_by("uuid").aggregate(
+        [
+            ("name_key", "max"),
+            ("name_norm", "min"),
+            ("group_id", "min"),
+            ("partition_id", "min"),
+            ("created_at", "min"),
+            ("uuid", "count"),
+        ]
+    )
+    return g.rename_columns(
+        ["uuid", "name_key", "name_norm", "group_id", "partition_id", "created_at", "cnt"]
+    )
+
+
+def exact_merge(nodes_raw_ds):
+    """Distinct canonical row per uuid; n_mentions = row count.
+
+    Two-phase aggregation: map-side combiner (above) then a global
+    groupby(uuid) with associative aggregates only — Max on the
+    length-encoded name key picks the most complete surface form.
+    """
+    partial = nodes_raw_ds.map_batches(_partial_exact, batch_format="pyarrow")
+    agg = partial.groupby("uuid").aggregate(
+        Max("name_key", alias_name="name_key"),
+        Min("name_norm", alias_name="name_norm"),
+        Min("group_id", alias_name="group_id"),
+        Min("partition_id", alias_name="partition_id"),
+        Min("created_at", alias_name="created_at"),
+        Sum("cnt", alias_name="n_mentions"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        names = [decode_name_key(k) for k in t.column("name_key").to_pylist()]
+        t = t.append_column("name", pa.array(names, pa.string()))
+        return t.drop_columns(["name_key"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _block_rows(batch: pa.Table) -> pa.Table:
+    """flat-map each distinct entity to its blocking keys: the surname
+    key (person-alias families) plus MinHash-LSH band keys over name
+    char-trigrams (generic near-dup candidates, the 'MinHash/ANN top-k'
+    blocking of the north star). Replaces the reference's all-pairs
+    embedding dot-products (bulk_utils.py:269-273)."""
+    a, b = _MH_A, _MH_B
+    keys, uuids, norms, names, groups = [], [], [], [], []
+    for uuid, norm, name, grp in zip(
+        batch.column("uuid").to_pylist(),
+        batch.column("name_norm").to_pylist(),
+        batch.column("name").to_pylist(),
+        batch.column("group_id").to_pylist(),
+    ):
+        bks = [f"s|{grp}|{surname_key(norm)}"]
+        if len(norm.split()) >= 2:
+            sig = minhash_signature(char_shingles(norm), a, b)
+            bks += [f"m|{grp}|{k}" for k in lsh_band_keys(sig, LSH_BANDS, LSH_ROWS)]
+        for bk in bks:
+            keys.append(bk)
+            uuids.append(uuid)
+            norms.append(norm)
+            names.append(name)
+            groups.append(grp)
+    return pa.table(
+        {
+            "block_key": pa.array(keys, pa.string()),
+            "uuid": pa.array(uuids, pa.string()),
+            "name_norm": pa.array(norms, pa.string()),
+            "name": pa.array(names, pa.string()),
+            "group_id": pa.array(groups, pa.string()),
+        }
+    )
+
+
+def _pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
+    """Within one block emit matched candidate pairs (a<b by uuid).
+
+    The deterministic alias_match verdict stands in for the LLM dedupe
+    prompt (prompts/dedupe_nodes.py:47-128). Blocks larger than
+    MAX_BLOCK keep only the lexicographically-first MAX_BLOCK names
+    (deterministic hot-key guard; logged via the dropped count column).
+    """
+    g = g.sort_values("uuid").drop_duplicates("uuid")
+    if len(g) > MAX_BLOCK:
+        g = g.head(MAX_BLOCK)
+    out_a, out_b = [], []
+    recs = list(zip(g["uuid"], g["name_norm"]))
+    for i in range(len(recs)):
+        for j in range(i + 1, len(recs)):
+            if alias_match(recs[i][1], recs[j][1]):
+                a, b = sorted((recs[i][0], recs[j][0]))
+                out_a.append(a)
+                out_b.append(b)
+    return pd.DataFrame({"a": out_a, "b": out_b})
+
+
+def candidate_pairs(nodes_exact_ds):
+    """nodes -> distinct matched pairs. Shuffle key: block_key."""
+    blocks = nodes_exact_ds.map_batches(_block_rows, batch_format="pyarrow")
+    pairs = blocks.groupby("block_key").map_groups(_pairs_in_block, batch_format="pandas")
+    # distinct (a, b) — same pair can surface from several bands
+    return (
+        pairs.groupby(["a", "b"])
+        .count()
+        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+    )
+
+
+NODE_STAGE_SCHEMA = pa.schema(
+    [
+        ("uuid", pa.string()),
+        ("name_norm", pa.string()),
+        ("group_id", pa.string()),
+        ("partition_id", pa.int32()),
+        ("created_at", pa.timestamp("us")),
+        ("n_mentions", pa.int64()),
+        ("name", pa.string()),
+    ]
+)
+
+
+def build_uuid_map_and_nodes(nodes_exact_ds, comp: dict[str, str]):
+    """Apply components: merge member nodes, emit canonical nodes + the
+    alias map (old_uuid -> canonical_uuid, flat = already path-compressed
+    per compress_uuid_map, bulk_utils.py:352-361).
+
+    comp maps member uuid -> component representative. The canonical
+    NODE of a component is the member with the most complete name
+    (name_sort_key max; ties by uuid), matching the reference's
+    keep-the-more-complete-node merge (node_operations.py:298-412) —
+    its uuid survives, the others remap to it.
+
+    Member rows (duplicate candidates only — a small fraction of all
+    entities) are merged on the driver; the non-member survivor stream
+    never leaves the cluster.
+    """
+    import ray
+    import ray.data as rd
+
+    member_set = frozenset(comp)
+    ref = ray.put(member_set)
+
+    def split(keep_members: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ms = ray.get(ref)
+            mask = pa.array([u in ms for u in t.column("uuid").to_pylist()])
+            return t.filter(mask if keep_members else pc.invert(mask))
+
+        return f
+
+    survivors = nodes_exact_ds.map_batches(split(False), batch_format="pyarrow")
+    member_rows = (
+        nodes_exact_ds.map_batches(split(True), batch_format="pyarrow").take_all()
+    )
+
+    groups: dict[str, list[dict]] = {}
+    for r in member_rows:
+        groups.setdefault(comp[r["uuid"]], []).append(r)
+
+    merged_rows, map_rows = [], []
+    alias: dict[str, str] = {}
+    for cid in sorted(groups):
+        rows = groups[cid]
+        win = max(rows, key=lambda r: (name_sort_key(r["name"]), r["uuid"]))
+        merged = dict(win)
+        merged["n_mentions"] = sum(r["n_mentions"] for r in rows)
+        merged["created_at"] = min(r["created_at"] for r in rows)
+        merged_rows.append({k: merged[k] for k in NODE_STAGE_SCHEMA.names})
+        for r in rows:
+            if r["uuid"] != win["uuid"]:
+                alias[r["uuid"]] = win["uuid"]
+                map_rows.append(
+                    {
+                        "old_uuid": r["uuid"],
+                        "canonical_uuid": win["uuid"],
+                        "group_id": r["group_id"],
+                    }
+                )
+
+    merged_ds = rd.from_arrow(pa.Table.from_pylist(merged_rows, schema=NODE_STAGE_SCHEMA))
+    uuid_map_tbl = pa.Table.from_pylist(
+        map_rows,
+        schema=pa.schema(
+            [("old_uuid", pa.string()), ("canonical_uuid", pa.string()), ("group_id", pa.string())]
+        ),
+    )
+    nodes = survivors.map_batches(
+        lambda t: t.select(NODE_STAGE_SCHEMA.names).cast(NODE_STAGE_SCHEMA),
+        batch_format="pyarrow",
+    ).union(merged_ds)
+    return nodes, rd.from_arrow(uuid_map_tbl), alias
+
+
+def canonicalize_nodes(nodes_raw_ds):
+    """Full canonicalization: (nodes_ds, uuid_map_ds, alias_dict).
+
+    alias_dict (old->canonical, broadcast via ray.put downstream) powers
+    the J3 pointer rewrite (bulk_utils.py:367-374). Driver union-find is
+    used below cc.DRIVER_THRESHOLD pairs; above it the distributed
+    label-propagation path (stages/cc.py) computes components.
+    """
+    from . import cc
+
+    exact = exact_merge(nodes_raw_ds).materialize()
+    pairs = candidate_pairs(exact)
+    comp = cc.components(pairs)
+    if comp is None:  # very large duplicate set: distributed path
+        labels = cc.connected_components_ds(pairs)
+        comp = {r["uuid"]: r["label"] for r in labels.take_all()}
+    return build_uuid_map_and_nodes(exact, comp)

@@ -1,0 +1,276 @@
+"""Edge resolution: pointer rewrite -> pair-group dedupe -> temporal sweep.
+
+Semantics rebuilt from the reference:
+- J3 resolve_edge_pointers (bulk_utils.py:367-374): src/tgt uuids
+  rewritten through the alias map. Implemented as a BROADCAST lookup
+  (ray.put once, read per actor) because the alias map covers only
+  duplicate-candidate names; a bucketed hash-join fallback
+  (stages/joins.py) exists for when it cannot be broadcast.
+- J4 chunk_edges_by_nodes (bulk_utils.py:417-434): self-loops dropped,
+  direction-agnostic sorted (src,tgt) pair key. Our shuffle key ②.
+- D5/D6/D7 dedupe (bulk_utils.py:330-349, edge_operations.py:151-192,
+  308-381): within a pair group, edges with the same (predicate,
+  normalized fact) merge; provenance lists union
+  (edge.episodes += ...); canonical uuid is re-minted from the
+  canonical key so merges are replay-stable. 'Ended' marker facts
+  (invalid_at set, valid_at null — e.g. "X no longer works for Y")
+  fold their invalid_at into the open edge of the same (pair,
+  predicate), the deterministic analog of the LLM reusing the existing
+  edge and landing its extracted end date on it.
+- T2 resolve_edge_contradictions (edge_operations.py:234-261) +
+  T3 resolve_extracted_edge (edge_operations.py:264-305): a single
+  deterministic sweep per (group_id, subject, predicate) for EXCLUSIVE
+  predicates. The reference applies these rules per arriving edge
+  against candidates; sorted by valid_at the same rules become
+  order-free:
+      for each edge e with valid_at != null:
+          among contradicting edges n (different object) with
+          n.valid_at > e.valid_at and NOT disjoint
+          (skip when e.invalid_at <= n.valid_at or
+           n.invalid_at <= e.valid_at — the T2 skip conditions),
+          the earliest n closes e: e.invalid_at = n.valid_at,
+          e.expired_at = now.
+  This reproduces both directions of the reference logic (older edge
+  closed by newer fact; new edge immediately closed when a more recent
+  fact already exists) — pinned by the ported cases of
+  tests/utils/maintenance/test_edge_operations.py:94-237.
+
+Deterministic `now`: the reference stamps expired_at with utc_now()
+(edge_operations.py:257). Batch engine takes `now` as a pipeline
+parameter so reruns are byte-identical.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.extraction import EXCLUSIVE_PREDICATES
+from ..functions.hashing import sha1_hex
+
+_TS = pa.timestamp("us")
+EDGE_STAGE_FIELDS = [
+    ("uuid", pa.string()),
+    ("source_node_uuid", pa.string()),
+    ("target_node_uuid", pa.string()),
+    ("name", pa.string()),
+    ("fact", pa.large_string()),
+    ("fact_norm", pa.string()),
+    ("episodes", pa.list_(pa.string())),
+    ("group_id", pa.string()),
+    ("created_at", _TS),
+    ("valid_at", _TS),
+    ("invalid_at", _TS),
+    ("partition_id", pa.int32()),
+    ("pair_key", pa.string()),
+]
+PAIR_STAGE_SCHEMA = pa.schema(EDGE_STAGE_FIELDS)
+SWEPT_SCHEMA = pa.schema(EDGE_STAGE_FIELDS + [("expired_at", _TS)])
+
+
+def _df_to_arrow(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
+    """pandas -> Arrow with explicit schema; list columns (episodes)
+    converted row-wise (Ray's automatic pandas-block conversion treats
+    object columns of lists as ragged tensors, which Arrow rejects)."""
+    arrays = []
+    for f in schema:
+        col = df[f.name]
+        if pa.types.is_list(f.type):
+            vals = [None if v is None else list(v) for v in col]
+            arrays.append(pa.array(vals, type=f.type))
+        elif pa.types.is_timestamp(f.type):
+            vals = [None if pd.isna(v) else v for v in col]
+            arrays.append(pa.array(vals, type=f.type))
+        else:
+            arrays.append(pa.array(col.tolist(), type=f.type))
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+def rewrite_pointers(edges_ds, alias: dict[str, str]):
+    """J3: rewrite src/tgt through the broadcast alias map."""
+    import ray
+
+    ref = ray.put(alias)
+
+    def f(t: pa.Table) -> pa.Table:
+        a = ray.get(ref)
+        if not a:
+            return t
+        src = [a.get(u, u) for u in t.column("source_node_uuid").to_pylist()]
+        tgt = [a.get(u, u) for u in t.column("target_node_uuid").to_pylist()]
+        t = t.set_column(
+            t.schema.get_field_index("source_node_uuid"), "source_node_uuid",
+            pa.array(src, pa.string()),
+        )
+        return t.set_column(
+            t.schema.get_field_index("target_node_uuid"), "target_node_uuid",
+            pa.array(tgt, pa.string()),
+        )
+
+    return edges_ds.map_batches(f, batch_format="pyarrow")
+
+
+def add_pair_key(edges_ds):
+    """J4: drop self-loops, add direction-agnostic sorted pair key."""
+
+    def f(t: pa.Table) -> pa.Table:
+        src = t.column("source_node_uuid").to_pylist()
+        tgt = t.column("target_node_uuid").to_pylist()
+        keep = [i for i, (s, g) in enumerate(zip(src, tgt)) if s != g]
+        t = t.take(keep)
+        src = t.column("source_node_uuid").to_pylist()
+        tgt = t.column("target_node_uuid").to_pylist()
+        pk = [min(s, g) + "|" + max(s, g) for s, g in zip(src, tgt)]
+        return t.append_column("pair_key", pa.array(pk, pa.string()))
+
+    return edges_ds.map_batches(f, batch_format="pyarrow")
+
+
+def _merge_pair_group(g: pd.DataFrame) -> pd.DataFrame:
+    """D5/D6/D7 within one (pair_key) group, vectorized pandas.
+
+    Merge rule per (direction, predicate, fact_norm): episodes =
+    sorted distinct union; created_at/valid_at/invalid_at = min
+    non-null; canonical uuid = sha1 of the canonical key.
+    Then fold 'ended' markers into the open positive edge.
+    """
+    g = g.sort_values(["source_node_uuid", "name", "fact_norm", "created_at", "uuid"])
+    out_rows = []
+    for (src, tgt, pred, fnorm), sub in g.groupby(
+        ["source_node_uuid", "target_node_uuid", "name", "fact_norm"], sort=True
+    ):
+        first = sub.iloc[0]
+        episodes = sorted(set(sub["episode_uuid"]))
+        row = {
+            "uuid": sha1_hex("cedge", first["group_id"], src, tgt, pred, fnorm),
+            "source_node_uuid": src,
+            "target_node_uuid": tgt,
+            "name": pred,
+            "fact": first["fact"],
+            "fact_norm": fnorm,
+            "episodes": episodes,
+            "group_id": first["group_id"],
+            "created_at": sub["created_at"].min(),
+            "valid_at": sub["valid_at"].min(),  # min non-null (NaT ignored by pandas min)
+            "invalid_at": sub["invalid_at"].min(),
+            "partition_id": first["partition_id"],
+            "pair_key": first["pair_key"],
+        }
+        out_rows.append(row)
+    # fold ended markers (valid_at null, invalid_at set) into the open
+    # positive edge of the same (direction, predicate)
+    res = pd.DataFrame(out_rows)
+    for c in ("valid_at", "invalid_at", "created_at"):
+        res[c] = pd.to_datetime(res[c])
+    drop = set()
+    for i, row in res.iterrows():
+        if pd.isna(row["valid_at"]) and not pd.isna(row["invalid_at"]):
+            cand = res[
+                (res["source_node_uuid"] == row["source_node_uuid"])
+                & (res["target_node_uuid"] == row["target_node_uuid"])
+                & (res["name"] == row["name"])
+                & res["valid_at"].notna()
+                & (res["valid_at"] < row["invalid_at"])
+                & (res.index != i)
+            ]
+            if len(cand):
+                j = cand.sort_values(["valid_at", "fact_norm"]).index[-1]  # latest open fact
+                cur = res.at[j, "invalid_at"]
+                if pd.isna(cur) or row["invalid_at"] < cur:
+                    res.at[j, "invalid_at"] = row["invalid_at"]
+                eps = sorted(set(res.at[j, "episodes"]) | set(row["episodes"]))
+                res.at[j, "episodes"] = eps
+                drop.add(i)
+    if drop:
+        res = res.drop(index=list(drop))
+    return _df_to_arrow(res, PAIR_STAGE_SCHEMA)
+
+
+def dedupe_pair_groups(edges_with_pair_ds):
+    """Shuffle key ②: (pair_key). groupby.map_groups pair-group reducer."""
+    return edges_with_pair_ds.groupby("pair_key").map_groups(
+        _merge_pair_group, batch_format="pandas"
+    )
+
+
+def _sweep_group(g: pd.DataFrame, now: datetime) -> pd.DataFrame:
+    """T2/T3 sweep for one (group_id, subject, predicate) group."""
+    g = g.copy()
+    if "expired_at" not in g.columns:
+        g["expired_at"] = pd.NaT
+    # extraction-time invalid_at -> expired (edge_operations.py:285-287)
+    has_inv = g["invalid_at"].notna()
+    g.loc[has_inv & g["expired_at"].isna(), "expired_at"] = now
+    order = g[g["valid_at"].notna()].sort_values(["valid_at", "created_at", "uuid"])
+    idx = list(order.index)
+    for ii, i in enumerate(idx):
+        e_valid = g.at[i, "valid_at"]
+        e_inv = g.at[i, "invalid_at"]
+        for j in idx[ii + 1 :]:
+            if g.at[j, "target_node_uuid"] == g.at[i, "target_node_uuid"]:
+                continue  # same object: not a contradiction
+            n_valid = g.at[j, "valid_at"]
+            n_inv = g.at[j, "invalid_at"]
+            if n_valid <= e_valid:
+                continue
+            # T2 disjointness skips (edge_operations.py:240-250)
+            if not pd.isna(e_inv) and e_inv <= n_valid:
+                continue
+            if not pd.isna(n_inv) and n_inv <= e_valid:
+                continue
+            # earliest later contradicting fact closes e
+            g.at[i, "invalid_at"] = n_valid
+            g.at[i, "expired_at"] = now
+            break
+    return _df_to_arrow(g, SWEPT_SCHEMA)
+
+
+def temporal_sweep(deduped_ds, now: datetime):
+    """Shuffle key ③: (group_id, source_node_uuid, name) for exclusive
+    predicates; non-exclusive edges bypass the shuffle entirely."""
+    import pyarrow.compute as pc
+
+    preds = list(EXCLUSIVE_PREDICATES)
+
+    def add_expired(t: pa.Table) -> pa.Table:
+        if "expired_at" in t.schema.names:
+            return t
+        inv = t.column("invalid_at")
+        exp = pc.if_else(
+            pc.is_valid(inv),
+            pa.scalar(now, pa.timestamp("us")),
+            pa.scalar(None, pa.timestamp("us")),
+        )
+        return t.append_column("expired_at", exp)
+
+    exclusive = deduped_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("name"), value_set=pa.array(preds))),
+        batch_format="pyarrow",
+    )
+    rest = deduped_ds.map_batches(
+        lambda t: add_expired(
+            t.filter(pc.invert(pc.is_in(t.column("name"), value_set=pa.array(preds))))
+        ),
+        batch_format="pyarrow",
+    )
+    swept = exclusive.groupby(["group_id", "source_node_uuid", "name"]).map_groups(
+        lambda g: _sweep_group(g, now), batch_format="pandas"
+    )
+    return swept.union(rest)
+
+
+def resolve_edges(edges_raw_ds, alias: dict[str, str], now: datetime):
+    """Full edge resolution chain. Returns canonical edges Dataset with
+    expired_at populated."""
+    e = rewrite_pointers(edges_raw_ds, alias)
+    e = add_pair_key(e)
+    e = dedupe_pair_groups(e)
+    e = temporal_sweep(e, now)
+    final_cols = [
+        "uuid", "source_node_uuid", "target_node_uuid", "name", "fact", "fact_norm",
+        "episodes", "group_id", "created_at", "valid_at", "invalid_at", "expired_at",
+        "partition_id",
+    ]
+    return e.map_batches(lambda t: t.select(final_cols), batch_format="pyarrow")

@@ -1,0 +1,221 @@
+"""Extraction stages: pages -> episodes -> (nodes_raw | edges_raw | mentions).
+
+Ray-Data shape:
+- ``pages_to_episodes``: stateless ``map_batches`` (zero-copy Arrow in),
+  html->text (byte-identical per url, S3 analog), deterministic
+  ``episode_uuid = sha1(url|warc_ts)`` (episode construction, S1/S2:
+  graphiti_core/graphiti.py:254-335, 493-604).
+- ``MentionRelationExtractor``: a stateful ACTOR-POOL class for
+  ``map_batches(cls, concurrency=N)`` — patterns compiled once per actor
+  in ``__init__`` (the batch analog of the model/LLM-client state the
+  reference holds per process, llm_client/client.py:47-114), one fused
+  pass per Arrow batch emitting entity mentions (M1,
+  node_operations.py:121-212), fact triples (M2,
+  edge_operations.py:73-148), edge dates (M3,
+  temporal_operations.py:32-68) and MENTIONS provenance edges (M9,
+  edge_operations.py:37-52).
+
+The three record kinds come out of ONE extraction pass as a union table
+with a ``kind`` column (node|edge|mention) so the expensive stage runs
+once; downstream splits with cheap vectorized filters.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlparse
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.extraction import compile_patterns, extract_episode
+from ..functions.hashing import edge_uuid, episode_uuid, node_uuid, partition_of
+from ..functions.text import html_to_text, normalize_fact, normalize_name
+from ..schemas import TS
+
+DEFAULT_NUM_PARTITIONS = 32
+
+EXTRACTED_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),  # node | edge | mention
+        ("uuid", pa.string()),
+        ("episode_uuid", pa.string()),
+        ("group_id", pa.string()),
+        ("partition_id", pa.int32()),
+        ("created_at", TS),
+        # node fields
+        ("name", pa.string()),  # also the edge predicate for kind=edge
+        ("name_norm", pa.string()),
+        # edge fields
+        ("source_node_uuid", pa.string()),
+        ("target_node_uuid", pa.string()),
+        ("fact", pa.large_string()),
+        ("fact_norm", pa.string()),
+        ("valid_at", TS),
+        ("invalid_at", TS),
+        # mention fields
+        ("entity_uuid", pa.string()),
+    ]
+)
+
+
+def group_id_of(url: str) -> str:
+    """group_id = registrable host of the url — Graphiti's 'partition of
+    the graph' (nodes.py:81); one web domain = one graph partition."""
+    return urlparse(url).netloc or "unknown"
+
+
+def pages_to_episodes_batch(batch: pa.Table) -> pa.Table:
+    urls = batch.column("url").to_pylist()
+    ts = batch.column("warc_ts")
+    ts_us = pc.cast(ts, pa.int64()).to_pylist()
+    html = batch.column("html").to_pylist()
+    text = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+
+    groups = [group_id_of(u) for u in urls]
+    return pa.table(
+        {
+            "episode_uuid": pa.array(
+                [episode_uuid(u, t) for u, t in zip(urls, ts_us)], pa.string()
+            ),
+            "group_id": pa.array(groups, pa.string()),
+            "url": batch.column("url"),
+            "content": pa.array(
+                [html_to_text(h, t) for h, t in zip(html, text)], pa.string()
+            ),
+            "valid_at": ts,
+            "source": pa.array(["text"] * len(urls), pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "partition_id": pa.array(
+                [partition_of(g, DEFAULT_NUM_PARTITIONS) for g in groups], pa.int32()
+            ),
+        }
+    )
+
+
+def pages_to_episodes(pages_ds, batch_size: int = 2048):
+    """pages -> episodes. Stateless tasks; Arrow in/out."""
+    return pages_ds.map_batches(
+        pages_to_episodes_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+class MentionRelationExtractor:
+    """Fused M1+M2+M3+M9 actor. State (compiled patterns; in production a
+    NER/LLM model) built once per actor; __call__ handles one Arrow batch
+    of episodes and emits the union extraction table."""
+
+    def __init__(self, langs: tuple[str, ...] = ("en",)):
+        self.patterns = compile_patterns()
+        self.langs = set(langs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {name: [] for name in EXTRACTED_SCHEMA.names}
+
+        def emit(kind: str, **kw) -> None:
+            cols["kind"].append(kind)
+            for name in EXTRACTED_SCHEMA.names:
+                if name != "kind":
+                    cols[name].append(kw.get(name))
+
+        ep_uuids = batch.column("episode_uuid").to_pylist()
+        groups = batch.column("group_id").to_pylist()
+        contents = batch.column("content").to_pylist()
+        valid_ats = batch.column("valid_at").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        parts = batch.column("partition_id").to_pylist()
+
+        for ep, grp, content, ref_ts, lang, part in zip(
+            ep_uuids, groups, contents, valid_ats, langs, parts
+        ):
+            if lang not in self.langs:
+                continue
+            ex = extract_episode(content, ref_ts, self.patterns)
+            name_to_uuid: dict[str, str] = {}
+            for ent in ex.entities:
+                norm = normalize_name(ent)
+                nuid = node_uuid(grp, norm)
+                name_to_uuid[ent] = nuid
+                emit(
+                    "node",
+                    uuid=nuid,
+                    episode_uuid=ep,
+                    group_id=grp,
+                    partition_id=part,
+                    created_at=ref_ts,
+                    name=ent,
+                    name_norm=norm,
+                )
+                emit(
+                    "mention",
+                    uuid=None,
+                    episode_uuid=ep,
+                    group_id=grp,
+                    partition_id=part,
+                    created_at=ref_ts,
+                    entity_uuid=nuid,
+                )
+            for rel in ex.relations:
+                src = name_to_uuid[rel.subj]
+                tgt = name_to_uuid[rel.obj]
+                fnorm = normalize_fact(rel.fact)
+                emit(
+                    "edge",
+                    uuid=edge_uuid(grp, src, tgt, rel.pred, fnorm),
+                    episode_uuid=ep,
+                    group_id=grp,
+                    partition_id=part,
+                    created_at=ref_ts,
+                    name=rel.pred,
+                    source_node_uuid=src,
+                    target_node_uuid=tgt,
+                    fact=rel.fact,
+                    fact_norm=fnorm,
+                    valid_at=rel.valid_at,
+                    invalid_at=rel.invalid_at,
+                )
+        arrays = [
+            pa.array(cols[f.name], type=f.type) for f in EXTRACTED_SCHEMA
+        ]
+        return pa.Table.from_arrays(arrays, schema=EXTRACTED_SCHEMA)
+
+
+def extract_all(episodes_ds, concurrency=4, batch_size: int = 512):
+    """episodes -> union extracted table (kind in node|edge|mention)."""
+    return episodes_ds.map_batches(
+        MentionRelationExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def split_extracted(extracted_ds):
+    """Split the union table into (nodes_raw, edges_raw, mentions) views.
+
+    Cheap vectorized filters; caller should checkpoint/materialize the
+    union first so extraction runs once (pipelines/kg.py does)."""
+
+    def keep(kind: str, columns: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("kind"), kind)).select(columns)
+
+        return f
+
+    nodes = extracted_ds.map_batches(
+        keep("node", ["uuid", "name", "name_norm", "group_id", "episode_uuid",
+                      "created_at", "partition_id"]),
+        batch_format="pyarrow",
+    )
+    edges = extracted_ds.map_batches(
+        keep("edge", ["uuid", "source_node_uuid", "target_node_uuid", "name",
+                      "fact", "fact_norm", "episode_uuid", "group_id",
+                      "created_at", "valid_at", "invalid_at", "partition_id"]),
+        batch_format="pyarrow",
+    )
+    mentions = extracted_ds.map_batches(
+        keep("mention", ["episode_uuid", "entity_uuid", "group_id",
+                         "created_at", "partition_id"]),
+        batch_format="pyarrow",
+    )
+    return nodes, edges, mentions
