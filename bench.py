@@ -1,0 +1,191 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the flagship KG pipeline twice in FRESH processes at
+two parallelism levels (8 and 32 CPUs by default) on the same input and
+reports both throughputs plus scaling efficiency — the sandbox stand-in
+for the N-node vs 4N-node cluster criterion (BASELINE.json north_rule).
+Results are recorded in BASELINE.md by hand each round.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+
+
+def _consume(result) -> int:
+    """Force execution; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    return result.count()
+
+
+def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) -> dict:
+    from graphiti_ray import queries as q
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    # The flagship KG construction (docs -> triples), timed end-to-end
+    # with a cold cache, then the operator-family headliners.
+    names = only or [
+        "kg_triples",
+        "dedup_minhash_lsh",
+        "dedup_jaccard_pairs",
+        "dedup_embedding_pairs",
+        "knn_bruteforce",
+        "text_stats",
+        "lang_id",
+        "doc_fingerprints",
+        "event_windows",
+        "communities",
+    ]
+    for name in names:
+        fn = q.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            rows[name] = _consume(fn(sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # keep the bench alive; report the failure
+            timings[name] = -1.0
+            rows[name] = -1
+            print(f"bench: {name} failed: {e!r}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t > 0), 3)
+    n_docs = rows.get("kg_triples", 0)
+    return {
+        "metric": "e2e_headline_pipelines_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+    }
+
+
+def _kg_throughput(sf_dir: str, num_cpus: int) -> dict:
+    """Flagship KG pipeline only: docs/s and triples/s at this CPU count.
+
+    Uses a page-corpus multiplier at small sf so the job is long enough
+    to measure scheduling, not just startup.
+    """
+    from graphiti_ray.pipelines.kg import build_kg
+    from graphiti_ray.sources.pages import documents_count, synthetic_pages
+
+    mult = int(os.environ.get("GRAFT_BENCH_MULT", "4"))
+    n_docs = documents_count(sf_dir) * mult
+    pages = synthetic_pages(sf_dir, multiplier=mult)
+    t0 = time.time()
+    kg = build_kg(pages, concurrency=max(2, num_cpus // 2))
+    n_triples = kg.triples.count()
+    wall = time.time() - t0
+    return {
+        "wall_s": round(wall, 3),
+        "docs": n_docs,
+        "triples": n_triples,
+        "docs_per_s": round(n_docs / wall, 2),
+        "triples_per_s": round(n_triples / wall, 2),
+        "num_cpus": num_cpus,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true",
+                    help="run the KG pipeline at two CPU counts in fresh "
+                         "processes; report throughputs + efficiency")
+    ap.add_argument("--_child-throughput", type=int, default=None,
+                    help=argparse.SUPPRESS)  # internal: one scaling leg
+    ap.add_argument("--cpus", type=int, nargs=2, default=[8, 32],
+                    metavar=("SMALL", "LARGE"), help="scaling CPU levels")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args._child_throughput is not None:
+        _init_ray(args._child_throughput)
+        out = _kg_throughput(sf_dir, args._child_throughput)
+        print(json.dumps(out))
+        import ray
+
+        ray.shutdown()
+        return
+
+    if args.scaling:
+        small, large = args.cpus
+        legs = {}
+        for cpus in (small, large):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--_child-throughput", str(cpus)],
+                capture_output=True, text=True, env={**os.environ},
+                timeout=3600,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            legs[cpus] = json.loads(line)
+        ratio = large / small
+        speedup = legs[small]["wall_s"] / legs[large]["wall_s"]
+        efficiency = round(speedup / ratio, 3)
+        print(json.dumps({
+            "metric": "kg_scaling_efficiency",
+            "value": efficiency,
+            "unit": "fraction",
+            "small": legs[small],
+            "large": legs[large],
+            "cpu_ratio": ratio,
+            "speedup": round(speedup, 3),
+            "sf": _sf_of(sf_dir),
+        }))
+        return
+
+    _init_ray(num_cpus)
+    out = run_benchmarks(sf_dir, num_cpus)
+    print(json.dumps(out))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -111,22 +111,61 @@ def word_shingles(text: str, k: int = 5) -> list[str]:
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 
+_P31 = (1 << 31) - 1
+
+
+def token_hashes31(tokens: list[str]) -> np.ndarray:
+    """Token hashes in [0, 2^31): a*x products then fit in uint64, so the
+    whole MinHash family is computable with vectorized uint64 ops (the
+    object-dtype 61-bit path above is the high-precision fallback)."""
+    return np.fromiter(
+        (stable_int(t, salt="mh") % _P31 for t in tokens),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+
+
+def minhash_params31(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _P31, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _P31, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature_fast(
+    xs: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """uint64[num_perm] MinHash of pre-hashed shingles (token_hashes31).
+
+    Fully vectorized: (num_perm, n) universal-hash matrix, min over n.
+    """
+    if xs.size == 0:
+        return np.full(a.shape[0], _P31, dtype=np.uint64)
+    return ((a[:, None] * xs[None, :] + b[:, None]) % _P31).min(axis=1)
+
+
 # ---------------------------------------------------------------- SimHash
 
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over a token multiset (Charikar 2002)."""
+    """64-bit SimHash over a token multiset (Charikar 2002). Vectorized:
+    (n, 64) bit matrix via shifts, column sums, sign -> bits."""
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in tokens:
-        h = stable_int(t, salt="sh")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    hs = np.fromiter(
+        (stable_int(t, salt="sh") for t in tokens), dtype=np.uint64, count=len(tokens)
+    )
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+    acc = np.where(bits.astype(bool), 1, -1).sum(axis=0)
+    return int(np.packbits((acc > 0)[::-1]).view(">u8")[0])
+
+
+def simhash_chunks(h: int, n_chunks: int = 4) -> list[int]:
+    """Split a 64-bit simhash into n 16-bit chunks. Pigeonhole: two
+    hashes with hamming distance <= n_chunks-1 agree on >=1 chunk, so
+    chunk-equality blocking is COMPLETE for distance <= n_chunks-1."""
+    w = 64 // n_chunks
+    mask = (1 << w) - 1
+    return [(h >> (i * w)) & mask for i in range(n_chunks)]
 
 
 def hamming64(a: int, b: int) -> int:

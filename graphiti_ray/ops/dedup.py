@@ -1,0 +1,356 @@
+"""Deduplication operator family over the document corpus.
+
+Five tiers, all over ``corpus.docs_with_dups`` / ``embeddings_with_dups``
+(planted duplicates so results are non-trivial):
+
+- ``exact_dedup``      — sha256(text) hash-partitioned groupby with
+                         in-batch partial aggregation (combiner) before
+                         the shuffle; survivors = min doc_id per hash.
+- ``jaccard_pairs``    — word-3-gram-shingle Jaccard >= 0.6 pairs,
+                         complete within a blocking key (lang); the
+                         inverted-index pair counter is the vectorizable
+                         stand-in for an O(n^2) all-pairs scan. Exact
+                         SQL oracle (integer threshold: 5*inter >= 3*un,
+                         no float compares).
+- ``minhash_lsh_pairs``— the SCALE path for the same semantics: 128-perm
+                         MinHash, 32 bands x 4 rows banding (candidate
+                         P(s=0.6)≈0.99, P(s=0.7)≈0.9998), candidates
+                         verified with exact Jaccard, so precision is
+                         1.0 and recall is the banding probability.
+- ``simhash_pairs``    — 64-bit SimHash, hamming <= 3, with 4x16-bit
+                         chunk blocking (pigeonhole-COMPLETE for d<=3).
+- ``embedding_cosine_pairs`` — near-dup by cosine >= 0.9 over the
+                         embedding column; brute-force tiled matmul vs a
+                         broadcast normalized matrix (ray.put once). The
+                         ANN-bucketed variant for >memory corpora is
+                         ops/simsearch.py.
+
+Graphiti analog: the exact tier is node_name_match
+(graphiti_core/utils/bulk_utils.py:243-253); the near tiers replace the
+O(n^2) all-pairs compress_nodes (bulk_utils.py:256-327) with blocked
+sketch candidates — SURVEY.md §2.5 D1/D2.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import (
+    minhash_params31,
+    minhash_signature_fast,
+    simhash64,
+    simhash_chunks,
+    stable_int,
+)
+from .corpus import docs_with_dups, embeddings_with_dups
+
+JACCARD_NUM, JACCARD_DEN = 3, 5  # threshold 0.6 as an exact rational
+NUM_PERM, BANDS, ROWS = 128, 32, 4
+SIMHASH_MAX_HAMMING = 3
+COSINE_THRESHOLD = 0.9
+_P31 = (1 << 31) - 1
+_M61 = (1 << 61) - 1
+
+
+# ------------------------------------------------------------- shingles
+
+def word_3gram_shingles(text: str) -> list[str]:
+    """Word 3-grams; whole text when < 3 words. Matches the SQL mirror
+    (list_transform over string_split) token for token."""
+    w = text.split(" ")
+    if len(w) < 3:
+        return [" ".join(w)]
+    return [" ".join(w[i : i + 3]) for i in range(len(w) - 2)]
+
+
+def shingle_hash_set(text: str) -> np.ndarray:
+    """Sorted unique 61-bit shingle hashes (uint64 storage). 61 bits so
+    set-intersection sizes match the string-set SQL oracle (expected
+    collisions ~1e-9 at 64k distinct shingles; 32-bit would expect ~1)."""
+    hs = {stable_int(s, salt="mh") % _M61 for s in word_3gram_shingles(text)}
+    return np.fromiter(sorted(hs), dtype=np.uint64, count=len(hs))
+
+
+def _shingle_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    sets = [shingle_hash_set(t) for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "sh": pa.array([s.astype(np.int64) for s in sets], pa.list_(pa.int64())),
+            "n_sh": pa.array([len(s) for s in sets], pa.int64()),
+        }
+    )
+
+
+def _pairs_from_index(
+    ids: list[int], sets: list[np.ndarray]
+) -> list[tuple[int, int, int, int]]:
+    """Complete qualifying-pair enumeration via an inverted index:
+    shingle -> posting list; co-occurrence counts = intersection sizes.
+    Cost is sum over shingles of |postings|^2 — bounded by block size,
+    not corpus size."""
+    postings: dict[int, list[int]] = defaultdict(list)
+    for row, s in enumerate(sets):
+        for h in s.tolist():
+            postings[h].append(row)
+    counts: dict[tuple[int, int], int] = defaultdict(int)
+    for rows in postings.values():
+        if len(rows) < 2:
+            continue
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                counts[(rows[i], rows[j])] += 1
+    out = []
+    for (i, j), inter in counts.items():
+        un = len(sets[i]) + len(sets[j]) - inter
+        if JACCARD_DEN * inter >= JACCARD_NUM * un:
+            a, b = ids[i], ids[j]
+            if a > b:
+                a, b = b, a
+            out.append((a, b, inter, un))
+    return out
+
+
+def _pairs_table(pairs: list[tuple[int, int, int, int]]) -> pa.Table:
+    pairs.sort()
+    return pa.table(
+        {
+            "a_id": pa.array([p[0] for p in pairs], pa.int64()),
+            "b_id": pa.array([p[1] for p in pairs], pa.int64()),
+            "inter": pa.array([p[2] for p in pairs], pa.int64()),
+            "un": pa.array([p[3] for p in pairs], pa.int64()),
+        }
+    )
+
+
+# ----------------------------------------------------------- exact dedup
+
+def exact_dedup(sf_dir: str):
+    """(text_sha, canonical_doc_id, n_dups): groupby(sha256) with
+    in-batch partial min/count so the shuffle carries one row per
+    distinct text per block, not one per document."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        shas = [
+            hashlib.sha256(t.encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        t = batch.append_column("text_sha", pa.array(shas, pa.string()))
+        g = t.group_by("text_sha").aggregate([("doc_id", "min"), ("doc_id", "count")])
+        return g.rename_columns(["text_sha", "canonical_doc_id", "n_dups"])
+
+    ds = docs_with_dups(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return ds.groupby("text_sha").aggregate(
+        Min("canonical_doc_id", alias_name="canonical_doc_id"),
+        Sum("n_dups", alias_name="n_dups"),
+    )
+
+
+# ------------------------------------------------- jaccard (exact, blocked)
+
+def jaccard_pairs(sf_dir: str):
+    """All same-lang pairs with shingle-Jaccard >= 0.6. lang is the
+    blocking key (at CC scale: lang x content-hash-prefix); within a
+    block the inverted index enumerates exactly the co-occurring pairs."""
+
+    def per_group(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        sets = [
+            np.asarray(s, dtype=np.uint64) for s in batch.column("sh").to_pylist()
+        ]
+        return _pairs_table(_pairs_from_index(ids, sets))
+
+    sh = docs_with_dups(sf_dir).map_batches(_shingle_batch, batch_format="pyarrow")
+    return sh.groupby("lang").map_groups(per_group, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- MinHash + LSH
+
+class _SignatureStage:
+    """Actor-pool stage: MinHash family params built once per actor."""
+
+    def __init__(self):
+        self.a, self.b = minhash_params31(NUM_PERM)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, bands, sigs = [], [], []
+        for i, s in zip(
+            batch.column("doc_id").to_pylist(), batch.column("sh").to_pylist()
+        ):
+            xs31 = np.asarray(s, dtype=np.uint64) % _P31  # fold to 31 bits for
+            # overflow-free vectorized minhash; only affects LSH recall
+            sig = minhash_signature_fast(xs31, self.a, self.b)
+            for bi in range(BANDS):
+                band = sig[bi * ROWS : (bi + 1) * ROWS]
+                h = hashlib.blake2b(
+                    band.tobytes() + bytes([bi]), digest_size=8
+                ).hexdigest()
+                ids.append(i)
+                bands.append(f"{bi}:{h}")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "band_key": pa.array(bands, pa.string()),
+            }
+        )
+
+
+def minhash_lsh_pairs(sf_dir: str, concurrency: int = 4):
+    """Banding -> candidate pairs -> exact-Jaccard verification.
+
+    Candidates come from a groupby(band_key) (the LSH bucket shuffle);
+    verification reads the shingle sets through a broadcast map (ray.put
+    once — at >broadcast scale this becomes two hash joins)."""
+    import ray
+
+    sh = docs_with_dups(sf_dir).map_batches(_shingle_batch, batch_format="pyarrow")
+    sh = sh.materialize()
+
+    # broadcast doc -> shingle set (small side at bench scale)
+    sh_map: dict[int, np.ndarray] = {}
+    for b in sh.select_columns(["doc_id", "sh"]).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        for i, s in zip(b.column("doc_id").to_pylist(), b.column("sh").to_pylist()):
+            sh_map[i] = np.asarray(s, dtype=np.uint64)
+    sh_ref = ray.put(sh_map)
+
+    bands = sh.map_batches(
+        _SignatureStage, batch_format="pyarrow", concurrency=concurrency
+    )
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        ids = sorted(batch.column("doc_id").to_pylist())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table(
+            {"a_id": pa.array(a, pa.int64()), "b_id": pa.array(b, pa.int64())}
+        )
+
+    cand = bands.groupby("band_key").map_groups(bucket_pairs, batch_format="pyarrow")
+    # candidate pairs repeat across bands -> dedupe with a distinct groupby
+    cand = cand.groupby(["a_id", "b_id"]).count().select_columns(["a_id", "b_id"])
+
+    def verify(batch: pa.Table) -> pa.Table:
+        m = ray.get(sh_ref)
+        pairs = []
+        for a, b in zip(
+            batch.column("a_id").to_pylist(), batch.column("b_id").to_pylist()
+        ):
+            sa, sb = m[a], m[b]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            un = sa.size + sb.size - inter
+            if JACCARD_DEN * inter >= JACCARD_NUM * un:
+                pairs.append((a, b, inter, un))
+        return _pairs_table(pairs)
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- SimHash
+
+def simhash_pairs(sf_dir: str):
+    """Pairs with simhash hamming distance <= 3; 4x16-bit chunk blocking
+    is pigeonhole-complete at this radius (hashing.simhash_chunks)."""
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        ids, keys, hashes = [], [], []
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            h = simhash64(word_3gram_shingles(t))
+            for ci, cv in enumerate(simhash_chunks(h)):
+                ids.append(i)
+                keys.append(f"{ci}:{cv}")
+                hashes.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_key": pa.array(keys, pa.string()),
+                "simhash": pa.array(hashes, pa.uint64()),
+            }
+        )
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("simhash").to_pylist(),
+            )
+        )
+        a, b, d = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                dist = bin(rows[i][1] ^ rows[j][1]).count("1")
+                if dist <= SIMHASH_MAX_HAMMING:
+                    a.append(rows[i][0])
+                    b.append(rows[j][0])
+                    d.append(dist)
+        return pa.table(
+            {
+                "a_id": pa.array(a, pa.int64()),
+                "b_id": pa.array(b, pa.int64()),
+                "hamming": pa.array(d, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    sk = docs_with_dups(sf_dir).map_batches(sketch, batch_format="pyarrow")
+    pairs = sk.groupby("chunk_key").map_groups(bucket_pairs, batch_format="pyarrow")
+    return pairs.groupby(["a_id", "b_id"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ------------------------------------------------- embedding cosine pairs
+
+def embedding_cosine_pairs(sf_dir: str):
+    """(a_id, b_id) with cosine >= 0.9 over the embedding column.
+
+    The full normalized matrix is ray.put ONCE and every task computes
+    its tile against it (a blocked brute-force matmul). Threshold 0.9 is
+    empirically > 0.29 above any non-planted pair, so float32-vs-float64
+    noise cannot flip membership."""
+    import ray
+
+    vecs = embeddings_with_dups(sf_dir).materialize()
+    ids_all, mats = [], []
+    for b in vecs.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        ids_all.extend(b.column("vec_id").to_pylist())
+        mats.append(np.array(b.column("embedding").to_pylist(), dtype=np.float64))
+    m = np.concatenate(mats, axis=0)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    m = m / norms
+    ref = ray.put((np.asarray(ids_all, dtype=np.int64), m))
+
+    def tile(batch: pa.Table) -> pa.Table:
+        all_ids, full = ray.get(ref)
+        my_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mv = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(mv, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (mv / n) @ full.T
+        rows, cols = np.nonzero(sims >= COSINE_THRESHOLD)
+        a = my_ids[rows]
+        b = all_ids[cols]
+        keep = a < b  # dedupe orientation + drop self
+        out = np.stack([a[keep], b[keep]], axis=1)
+        out = out[np.lexsort((out[:, 1], out[:, 0]))]
+        return pa.table(
+            {
+                "a_id": pa.array(out[:, 0], pa.int64()),
+                "b_id": pa.array(out[:, 1], pa.int64()),
+            }
+        )
+
+    return vecs.map_batches(tile, batch_format="pyarrow")

@@ -1,0 +1,109 @@
+"""Windowed / sessionized operators over the events stream table.
+
+- ``event_windows``: per-user sliding context window — for each event,
+  the previous up-to-3 event_ids of the same user in (ts, event_id)
+  order. This is the batch re-expression of Graphiti's episode context
+  window (EPISODE_WINDOW_LEN=3, graphiti_core/utils/maintenance/
+  graph_data_operations.py:26,104-159; bulk variant
+  utils/bulk_utils.py:73-88 — SURVEY.md §2.6 T4): partition by the
+  session key, order by event time, lag-3.
+- ``events_hourly``: tumbling-window aggregate (hour x event_type) with
+  in-batch PARTIAL aggregation before the shuffle, so the exchange
+  carries one row per (hour, type) per block. Money values are summed
+  as integer cents (floor(v*100+0.5) — identical IEEE ops in numpy and
+  DuckDB) so the oracle hash-compare is float-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+WINDOW = 3
+HOUR_US = 3_600_000_000
+
+
+def event_windows(sf_dir: str):
+    """(event_id, prev1, prev2, prev3): per-user lag window.
+
+    groupby(user_id).map_groups — user_id is the session/partition key;
+    each group is sorted by (ts, event_id) and shifted. At CC scale the
+    key is (user_id) hash-partitioned; skewed users would be range-split
+    with carry-over of the last WINDOW rows."""
+    import ray.data as rd
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(group.column("ts"), pa.int64()))
+        ids = np.asarray(group.column("event_id"))
+        order = np.lexsort((ids, ts))
+        ids = ids[order]
+        cols = {"event_id": pa.array(ids, pa.int64())}
+        for lag in range(1, WINDOW + 1):
+            prev = np.full(len(ids), -1, dtype=np.int64)
+            if len(ids) > lag:
+                prev[lag:] = ids[:-lag]
+            cols[f"prev{lag}"] = pa.array(
+                [None if v < 0 else int(v) for v in prev], pa.int64()
+            )
+        return pa.table(cols)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def events_hourly(sf_dir: str):
+    """(hour_epoch_s, event_type, n_events, sum_cents): tumbling hourly
+    aggregate, partial-combined per block before the groupby shuffle."""
+    from ray.data.aggregate import Sum
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = np.asarray(pc.cast(batch.column("ts"), pa.int64()))
+        hour = (ts_us // HOUR_US) * 3600
+        cents = np.floor(np.asarray(batch.column("value"), dtype=np.float64) * 100 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "hour_epoch_s": pa.array(hour, pa.int64()),
+                "event_type": batch.column("event_type"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        g = t.group_by(["hour_epoch_s", "event_type"]).aggregate(
+            [("cents", "count"), ("cents", "sum")]
+        )
+        return g.rename_columns(["hour_epoch_s", "event_type", "n_events", "sum_cents"])
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    ).map_batches(partial, batch_format="pyarrow")
+    return ds.groupby(["hour_epoch_s", "event_type"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_cents", alias_name="sum_cents"),
+    )
+
+
+def events_json_extract(sf_dir: str):
+    """(event_id, k_val): JSON scalar extraction from the props column —
+    the engine's JSON-function surface (SURVEY.md §2.8)."""
+    import json
+
+    import ray.data as rd
+
+    def ext(batch: pa.Table) -> pa.Table:
+        ks = [
+            json.loads(p).get("k") if p else None
+            for p in batch.column("props").to_pylist()
+        ]
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "k_val": pa.array(ks, pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    ).map_batches(ext, batch_format="pyarrow")

@@ -96,15 +96,256 @@ FROM documents
 """
 
 
+# ------------------------------------------------ training-data operators
+
+def dedup_exact(sf_dir: str):
+    from .ops.dedup import exact_dedup
+
+    return exact_dedup(sf_dir)
+
+
+def dedup_jaccard_pairs(sf_dir: str):
+    from .ops.dedup import jaccard_pairs
+
+    return jaccard_pairs(sf_dir)
+
+
+def dedup_minhash_lsh(sf_dir: str):
+    from .ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(sf_dir)
+
+
+def dedup_simhash(sf_dir: str):
+    from .ops.dedup import simhash_pairs
+
+    return simhash_pairs(sf_dir)
+
+
+def dedup_embedding_pairs(sf_dir: str):
+    from .ops.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(sf_dir)
+
+
+def knn_bruteforce(sf_dir: str):
+    from .ops.simsearch import knn_bruteforce as knn
+
+    return knn(sf_dir)
+
+
+def knn_lsh(sf_dir: str):
+    from .ops.simsearch import knn_lsh as knn
+
+    return knn(sf_dir)
+
+
+def text_stats(sf_dir: str):
+    from .ops.textstats import text_stats as ts
+
+    return ts(sf_dir)
+
+
+def lang_id(sf_dir: str):
+    from .ops.textstats import lang_id as li
+
+    return li(sf_dir)
+
+
+def doc_fingerprints(sf_dir: str):
+    from .ops.textstats import doc_fingerprints as fp
+
+    return fp(sf_dir)
+
+
+def event_windows(sf_dir: str):
+    from .ops.windows import event_windows as ew
+
+    return ew(sf_dir)
+
+
+def events_hourly(sf_dir: str):
+    from .ops.windows import events_hourly as eh
+
+    return eh(sf_dir)
+
+
+def events_json(sf_dir: str):
+    from .ops.windows import events_json_extract
+
+    return events_json_extract(sf_dir)
+
+
+def multimodal_decode(sf_dir: str):
+    from .ops.multimodal import decode_payloads
+
+    return decode_payloads(sf_dir)
+
+
+# ----------------------------------------------------------- oracle SQL
+
+def _with_docs_dups(body: str) -> str:
+    from .ops.corpus import DOCS_WITH_DUPS_CTE
+
+    return f"WITH {DOCS_WITH_DUPS_CTE} {body}"
+
+
+def _with_vec_dups(body: str) -> str:
+    from .ops.corpus import EMBEDDINGS_WITH_DUPS_CTE
+
+    return f"WITH {EMBEDDINGS_WITH_DUPS_CTE} {body}"
+
+
+DEDUP_EXACT_SQL = _with_docs_dups("""
+SELECT sha256(text) AS text_sha,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_dups
+FROM corpus GROUP BY sha256(text)
+""")
+
+_SHINGLE_EXPR = """
+list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+  ELSE list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+  END)
+"""
+
+DEDUP_JACCARD_SQL = _with_docs_dups(f"""
+, sh AS (
+  SELECT doc_id, lang, {_SHINGLE_EXPR} AS shingles
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM corpus)
+), scored AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         len(list_intersect(a.shingles, b.shingles)) AS inter,
+         len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles)) AS un
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, inter, un FROM scored WHERE 5*inter >= 3*un
+""")
+
+DEDUP_EMBEDDING_SQL = _with_vec_dups("""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+""")
+
+KNN_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8
+), s AS (
+  SELECT q.qid, e.vec_id AS vid,
+         list_cosine_similarity(q.qe, e.embedding) AS c
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.qid
+)
+SELECT qid AS query_id, vid AS neighbor_id, rank FROM (
+  SELECT qid, vid,
+         row_number() OVER (PARTITION BY qid ORDER BY c DESC, vid ASC) AS rank
+  FROM s
+) WHERE rank <= 10
+"""
+
+TEXT_STATS_SQL = r"""
+SELECT doc_id,
+  len(string_split(text, ' ')) AS n_words,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens,
+  len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+  len(regexp_extract_all(text, '\b(the|a|of|and|in|on)\b')) AS n_stop,
+  strlen(text) AS n_bytes,
+  CAST(CASE WHEN len(string_split(text, ' ')) >= 10 AND strlen(text) <= 100000
+    AND 20*len(regexp_extract_all(text, '\b(the|a|of|and|in|on)\b'))
+        >= len(string_split(text, ' '))
+   THEN 1 ELSE 0 END AS BIGINT) AS quality_ok
+FROM documents
+"""
+
+LANG_ID_SQL = r"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '\b(the|a|of|and|is|to)\b')) AS score_en,
+  len(regexp_extract_all(text, '\b(el|la|de|que|los|una)\b')) AS score_es,
+  len(regexp_extract_all(text, '\b(le|la|les|des|est|une)\b')) AS score_fr,
+  len(regexp_extract_all(text, '\b(der|die|das|und|ist|ein)\b')) AS score_de,
+  CASE
+    WHEN score_en = 0 AND score_es = 0 AND score_fr = 0 AND score_de = 0 THEN 'und'
+    WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de THEN 'en'
+    WHEN score_es >= score_fr AND score_es >= score_de THEN 'es'
+    WHEN score_fr >= score_de THEN 'fr'
+    ELSE 'de' END AS lang_pred
+FROM documents
+"""
+
+EVENT_WINDOWS_SQL = """
+SELECT event_id,
+  lag(event_id, 1) OVER w AS prev1,
+  lag(event_id, 2) OVER w AS prev2,
+  lag(event_id, 3) OVER w AS prev3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+EVENTS_HOURLY_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch_s,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2
+"""
+
+EVENTS_JSON_SQL = """
+SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k_val FROM events
+"""
+
+MULTIMODAL_SQL = """
+SELECT doc_id,
+       strlen(text) AS n_bytes,
+       strlen(text) % 640 + 1 AS fake_width,
+       strlen(text) % 480 + 1 AS fake_height,
+       sha256(text) AS payload_sha
+FROM documents
+"""
+
+
 QUERIES = {
+    # KG construction (strong gate = pytest vs single-process oracle)
     "kg_triples": kg_triples,
     "kg_nodes": kg_nodes,
     "kg_edges": kg_edges,
     "kg_mentions": kg_mentions,
     "kg_uuid_map": kg_uuid_map,
     "kg_episodes_docs": kg_episodes_docs,
+    # dedup family
+    "dedup_exact": dedup_exact,
+    "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_pairs": dedup_embedding_pairs,
+    # similarity search
+    "knn_bruteforce": knn_bruteforce,
+    "knn_lsh": knn_lsh,
+    # text analysis
+    "text_stats": text_stats,
+    "lang_id": lang_id,
+    "doc_fingerprints": doc_fingerprints,
+    # windows / sessions / json
+    "event_windows": event_windows,
+    "events_hourly": events_hourly,
+    "events_json": events_json,
+    # multimodal plumbing
+    "multimodal_decode": multimodal_decode,
 }
 
 ORACLE_SQL = {
     "kg_episodes_docs": KG_EPISODES_DOCS_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
+    "dedup_embedding_pairs": DEDUP_EMBEDDING_SQL,
+    "knn_bruteforce": KNN_SQL,
+    "text_stats": TEXT_STATS_SQL,
+    "lang_id": LANG_ID_SQL,
+    "event_windows": EVENT_WINDOWS_SQL,
+    "events_hourly": EVENTS_HOURLY_SQL,
+    "events_json": EVENTS_JSON_SQL,
+    "multimodal_decode": MULTIMODAL_SQL,
+    # dedup_minhash_lsh / dedup_simhash / knn_lsh / doc_fingerprints and
+    # the kg_* chain are non-SQL-expressible (sketch/probabilistic or
+    # hash-identity logic) -> rows-only driver check; pytest pins them.
 }
