@@ -96,6 +96,44 @@ FROM documents
 """
 
 
+def communities(sf_dir: str):
+    """D9 label propagation over the canonical entity graph."""
+    from .stages.communities import build_communities
+
+    kg = _kg(sf_dir)
+    return build_communities(kg.nodes, kg.edges)
+
+
+def mention_degrees(sf_dir: str):
+    """D11 episode-mentions degree aggregate (search_utils.py:798-822)."""
+    from ray.data.aggregate import Count
+
+    kg = _kg(sf_dir)
+    return kg.mentions.groupby("entity_uuid").aggregate(
+        Count(alias_name="n_mentions")
+    )
+
+
+def search_hybrid_demo(sf_dir: str):
+    """Q1-Q3 hybrid search: fixed query set -> fused top-k node uuids."""
+    import pyarrow as pa
+
+    from .search import node_search
+
+    kg = _kg(sf_dir)
+    nodes = kg.nodes
+    rows = []
+    for q in ("Barton", "Zorex Corp", "Dorville"):
+        for rank, u in enumerate(node_search(nodes, q), 1):
+            rows.append({"query": q, "uuid": u, "rank": rank})
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query", pa.string()), ("uuid", pa.string()), ("rank", pa.int64())]
+        ),
+    )
+
+
 # ------------------------------------------------ training-data operators
 
 def dedup_exact(sf_dir: str):
@@ -312,6 +350,9 @@ QUERIES = {
     "kg_mentions": kg_mentions,
     "kg_uuid_map": kg_uuid_map,
     "kg_episodes_docs": kg_episodes_docs,
+    "communities": communities,
+    "mention_degrees": mention_degrees,
+    "search_hybrid_demo": search_hybrid_demo,
     # dedup family
     "dedup_exact": dedup_exact,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,

@@ -1,0 +1,223 @@
+"""Distributed hybrid search over the KG tables.
+
+Batch shape of graphiti_core/search/search.py:61-227 (Q1-Q6):
+- each LANE (fulltext-lite, cosine) is a distributed ``map_batches``
+  scoring pass over the corpus Dataset followed by
+  ``sort(score desc).limit(k)`` — never a driver-side scan;
+- lanes are unioned and fused with RRF (rank.rrf) on the tiny top-k
+  candidate sets; optional MMR / node-distance / mentions rerank;
+- BFS expansion is an iterative broadcast-frontier filter, depth<=3
+  (MAX_SEARCH_DEPTH, search_utils.py:52).
+
+Fulltext-lite scoring: per-candidate sum of matched query-term counts
+scaled by inverse sqrt doc length (a BM25-ish TF scorer without global
+IDF — the per-partition analog of the reference's Lucene index,
+search_utils.py:146-197). Cosine lane uses the same deterministic hash
+embeddings as canonicalization (functions/embed.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.embed import hash_embed_texts
+from ..functions.text import lucene_sanitize, normalize_name
+from .rank import rrf
+
+DEFAULT_LIMIT = 10  # search_config.py:29 DEFAULT_SEARCH_LIMIT
+MIN_SCORE = 0.6  # search_utils.py:50 DEFAULT_MIN_SCORE
+MAX_SEARCH_DEPTH = 3  # search_utils.py:52
+MAX_QUERY_LENGTH = 32  # search_utils.py:53 (words kept per query)
+
+
+# ------------------------------------------------------------- filters
+
+_OPS = {
+    ">": pc.greater,
+    ">=": pc.greater_equal,
+    "<": pc.less,
+    "<=": pc.less_equal,
+    "==": pc.equal,
+    "!=": pc.not_equal,
+}
+
+
+@dataclass
+class SearchFilters:
+    """AND-of-ORs date filters + label filter
+    (graphiti_core/search/search_filters.py:25-171): each entry of a
+    date filter list is an OR-group of (op, value) tuples; groups AND."""
+
+    node_labels: list[str] | None = None
+    valid_at: list[list[tuple[str, datetime]]] = field(default_factory=list)
+    invalid_at: list[list[tuple[str, datetime]]] = field(default_factory=list)
+    created_at: list[list[tuple[str, datetime]]] = field(default_factory=list)
+    expired_at: list[list[tuple[str, datetime]]] = field(default_factory=list)
+
+    def _col_mask(self, t: pa.Table, col: str, groups) -> pa.Array | None:
+        if not groups or col not in t.schema.names:
+            return None
+        mask = None
+        for or_group in groups:
+            gm = None
+            for op, val in or_group:
+                m = _OPS[op](t.column(col), pa.scalar(val, pa.timestamp("us")))
+                m = pc.fill_null(m, False)
+                gm = m if gm is None else pc.or_(gm, m)
+            mask = gm if mask is None else pc.and_(mask, gm)
+        return mask
+
+    def apply(self, ds):
+        """Vectorized predicate pushdown: one map_batches, pyarrow
+        kernels only (Q12 -> ds.filter analog)."""
+        if not (self.node_labels or self.valid_at or self.invalid_at
+                or self.created_at or self.expired_at):
+            return ds
+
+        def f(t: pa.Table) -> pa.Table:
+            mask = None
+            for col, groups in (
+                ("valid_at", self.valid_at),
+                ("invalid_at", self.invalid_at),
+                ("created_at", self.created_at),
+                ("expired_at", self.expired_at),
+            ):
+                m = self._col_mask(t, col, groups)
+                if m is not None:
+                    mask = m if mask is None else pc.and_(mask, m)
+            if self.node_labels and "labels" in t.schema.names:
+                lm = pa.array(
+                    [
+                        bool(set(ls or []) & set(self.node_labels))
+                        for ls in t.column("labels").to_pylist()
+                    ]
+                )
+                mask = lm if mask is None else pc.and_(mask, lm)
+            return t if mask is None else t.filter(mask)
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- lanes
+
+def _query_terms(query: str) -> list[str]:
+    q = lucene_sanitize(query)  # M6 parity: specials are escaped/neutral
+    terms = normalize_name(q).split()
+    return terms[:MAX_QUERY_LENGTH]
+
+
+def _fulltext_lane(ds, text_col: str, id_col: str, query: str, limit: int):
+    terms = _query_terms(query)
+    if not terms:
+        return None
+
+    def score(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(t.column(text_col))
+        total = None
+        for term in terms:
+            c = pc.count_substring(txt, term)
+            total = c if total is None else pc.add(total, c)
+        length = pc.utf8_length(t.column(text_col))
+        s = pc.divide(
+            pc.cast(total, pa.float64()),
+            pc.sqrt(pc.cast(pc.add(length, 1), pa.float64())),
+        )
+        out = pa.table({id_col: t.column(id_col), "score": s})
+        return out.filter(pc.greater(out.column("score"), 0.0))
+
+    return ds.map_batches(score, batch_format="pyarrow").sort(
+        ["score", id_col], descending=[True, False]
+    ).limit(limit)
+
+
+def _cosine_lane(ds, text_col: str, id_col: str, query: str, limit: int,
+                 min_score: float = MIN_SCORE):
+    qv = hash_embed_texts([query])[0]
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        emb = hash_embed_texts(texts)
+        s = emb @ qv
+        out = pa.table(
+            {id_col: t.column(id_col), "score": pa.array(s, pa.float64())}
+        )
+        return out.filter(pc.greater_equal(out.column("score"), min_score))
+
+    return ds.map_batches(score, batch_format="pyarrow").sort(
+        ["score", id_col], descending=[True, False]
+    ).limit(limit)
+
+
+def _lane_ids(lane, id_col: str) -> list[str]:
+    if lane is None:
+        return []
+    return [r[id_col] for r in lane.take_all()]
+
+
+def node_search(
+    nodes_ds,
+    query: str,
+    limit: int = DEFAULT_LIMIT,
+    filters: SearchFilters | None = None,
+) -> list[str]:
+    """Hybrid node search (Q3/J1 analog): fulltext ∪ cosine lanes over
+    the distributed nodes table, RRF-fused, top-limit node uuids."""
+    ds = filters.apply(nodes_ds) if filters else nodes_ds
+    ft = _fulltext_lane(ds, "name", "uuid", query, limit * 2)
+    cos = _cosine_lane(ds, "name", "uuid", query, limit * 2)
+    fused = rrf([_lane_ids(ft, "uuid"), _lane_ids(cos, "uuid")])
+    return fused[:limit]
+
+
+def edge_search(
+    edges_ds,
+    query: str,
+    limit: int = DEFAULT_LIMIT,
+    filters: SearchFilters | None = None,
+) -> list[str]:
+    """Hybrid edge search (Q2 analog) over fact text."""
+    ds = filters.apply(edges_ds) if filters else edges_ds
+    ft = _fulltext_lane(ds, "fact", "uuid", query, limit * 2)
+    cos = _cosine_lane(ds, "fact", "uuid", query, limit * 2)
+    fused = rrf([_lane_ids(ft, "uuid"), _lane_ids(cos, "uuid")])
+    return fused[:limit]
+
+
+def bfs_neighborhood(edges_ds, origin_uuids: list[str], depth: int = MAX_SEARCH_DEPTH):
+    """Graph expansion RELATES_TO{1,depth} (Q6, search_utils.py:277-329):
+    iterative broadcast-frontier semi-join — the frontier (small) is
+    ray.put each hop and every edge block filters against it; no
+    all-to-all shuffle."""
+    import ray
+
+    seen: set[str] = set(origin_uuids)
+    frontier = set(origin_uuids)
+    hops: dict[str, int] = {u: 0 for u in origin_uuids}
+    for d in range(1, depth + 1):
+        ref = ray.put(frontier)
+
+        def touch(t: pa.Table) -> pa.Table:
+            fr = ray.get(ref)
+            src = t.column("source_node_uuid").to_pylist()
+            tgt = t.column("target_node_uuid").to_pylist()
+            keep = [i for i, (s, g) in enumerate(zip(src, tgt)) if s in fr or g in fr]
+            return t.take(keep).select(["source_node_uuid", "target_node_uuid"])
+
+        touched = edges_ds.map_batches(touch, batch_format="pyarrow").take_all()
+        nxt: set[str] = set()
+        for r in touched:
+            for u in (r["source_node_uuid"], r["target_node_uuid"]):
+                if u not in seen:
+                    nxt.add(u)
+        for u in nxt:
+            hops[u] = d
+            seen.add(u)
+        if not nxt:
+            break
+        frontier = nxt
+    return hops
