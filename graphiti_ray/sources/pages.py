@@ -32,8 +32,14 @@ def documents_count(sf_dir: str) -> int:
 
 
 def synthetic_pages(sf_dir: str, multiplier: int = 1, seed: int = 42):
-    """Synthetic corpus sized to the sf tier (rows(documents) x mult)."""
-    return pages_dataset(documents_count(sf_dir) * multiplier, seed=seed)
+    """Synthetic corpus sized to the sf tier (rows(documents) x mult).
+
+    Block count ~n/2048 (floor 32): enough tasks to fill the actor pool
+    without paying per-block scheduling on hundreds of tiny blocks (the
+    rd.range default of 200 blocks costs more in scheduling than the
+    work at small sf)."""
+    n = documents_count(sf_dir) * multiplier
+    return pages_dataset(n, seed=seed, override_num_blocks=max(32, n // 2048))
 
 
 def _doc_batch_to_pages(batch: pa.Table) -> pa.Table:

@@ -39,6 +39,10 @@ from ..functions.extraction import alias_match, decode_name_key, name_sort_key, 
 from ..functions.hashing import char_shingles, lsh_band_keys, minhash_params, minhash_signature
 
 MAX_BLOCK = 256  # safety cap on a blocking group (hot-key guard)
+# Shuffle granularity: blocks are small, so the exchange key is
+# hash(block_key) % NUM_BUCKETS and one reducer call handles every
+# block of its bucket (per-group scheduling overhead amortized ~50x).
+NUM_BUCKETS = 256
 LSH_BANDS, LSH_ROWS = 8, 2  # 16 perms; P(candidate) = 1-(1-J^2)^8 — high recall at J>=0.5
 _MH_A, _MH_B = minhash_params(LSH_BANDS * LSH_ROWS)
 
@@ -115,9 +119,14 @@ def _block_rows(batch: pa.Table) -> pa.Table:
             norms.append(norm)
             names.append(name)
             groups.append(grp)
+    from ..functions.hashing import stable_int
+
     return pa.table(
         {
             "block_key": pa.array(keys, pa.string()),
+            "block_bucket": pa.array(
+                [stable_int(k, salt="bbkt") % NUM_BUCKETS for k in keys], pa.int32()
+            ),
             "uuid": pa.array(uuids, pa.string()),
             "name_norm": pa.array(norms, pa.string()),
             "name": pa.array(names, pa.string()),
@@ -126,37 +135,39 @@ def _block_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def _pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
-    """Within one block emit matched candidate pairs (a<b by uuid).
+def _pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """All blocks of one bucket -> matched candidate pairs (a<b by uuid).
 
     The deterministic alias_match verdict stands in for the LLM dedupe
     prompt (prompts/dedupe_nodes.py:47-128). Blocks larger than
     MAX_BLOCK keep only the lexicographically-first MAX_BLOCK names
-    (deterministic hot-key guard; logged via the dropped count column).
+    (deterministic hot-key guard).
     """
-    g = g.sort_values("uuid").drop_duplicates("uuid")
-    if len(g) > MAX_BLOCK:
-        g = g.head(MAX_BLOCK)
     out_a, out_b = [], []
-    recs = list(zip(g["uuid"], g["name_norm"]))
-    for i in range(len(recs)):
-        for j in range(i + 1, len(recs)):
-            if alias_match(recs[i][1], recs[j][1]):
-                a, b = sorted((recs[i][0], recs[j][0]))
-                out_a.append(a)
-                out_b.append(b)
-    return pd.DataFrame({"a": out_a, "b": out_b})
+    for _, g in df.groupby("block_key", sort=False):
+        g = g.sort_values("uuid").drop_duplicates("uuid")
+        if len(g) > MAX_BLOCK:
+            g = g.head(MAX_BLOCK)
+        recs = list(zip(g["uuid"], g["name_norm"]))
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                if alias_match(recs[i][1], recs[j][1]):
+                    a, b = sorted((recs[i][0], recs[j][0]))
+                    out_a.append(a)
+                    out_b.append(b)
+    return pd.DataFrame({"a": out_a, "b": out_b}).drop_duplicates()
 
 
 def candidate_pairs(nodes_exact_ds):
-    """nodes -> distinct matched pairs. Shuffle key: block_key."""
+    """nodes -> distinct matched pairs. Shuffle key: hash(block_key)
+    bucket (one reducer call per bucket, all its blocks inside)."""
     blocks = nodes_exact_ds.map_batches(_block_rows, batch_format="pyarrow")
-    pairs = blocks.groupby("block_key").map_groups(_pairs_in_block, batch_format="pandas")
-    # distinct (a, b) — same pair can surface from several bands
-    return (
-        pairs.groupby(["a", "b"])
-        .count()
-        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+    # No global distinct pass: a pair can surface from blocks in two
+    # different buckets, but downstream union-find / label propagation
+    # is idempotent on duplicate pairs — a dedupe shuffle would cost an
+    # extra all-to-all for nothing.
+    return blocks.groupby("block_bucket").map_groups(
+        _pairs_in_bucket, batch_format="pandas"
     )
 
 

@@ -114,6 +114,7 @@ def connected_components_ds(pairs_ds, max_iters: int = 8):
 def components(pairs_ds, driver_threshold: int = DRIVER_THRESHOLD) -> dict[str, str] | None:
     """Dispatch: dict (driver path) or None -> caller must use
     connected_components_ds (kept separate so tests can force either)."""
+    pairs_ds = pairs_ds.materialize()  # count + take_all = ONE execution
     n = pairs_ds.count()
     if n == 0:
         return {}

@@ -112,8 +112,27 @@ def rewrite_pointers(edges_ds, alias: dict[str, str]):
     return edges_ds.map_batches(f, batch_format="pyarrow")
 
 
+# Shuffle granularity: groups are tiny (one entity pair / one subject),
+# so shuffling per-KEY would pay per-group scheduling+pandas overhead
+# thousands of times. Instead the exchange key is hash(key) % NUM_BUCKETS
+# and the reducer handles ALL keys of one bucket in one vectorized pass —
+# identical semantics (every key lives in exactly one bucket), ~50x less
+# per-group overhead. Bucket count bounds per-task memory at scale:
+# bucket size ≈ |edges| / NUM_BUCKETS.
+NUM_BUCKETS = 256
+
+
+def _bucket_of_col(values: list[str]) -> pa.Array:
+    from ..functions.hashing import stable_int
+
+    return pa.array(
+        [stable_int(v, salt="ebkt") % NUM_BUCKETS for v in values], pa.int32()
+    )
+
+
 def add_pair_key(edges_ds):
-    """J4: drop self-loops, add direction-agnostic sorted pair key."""
+    """J4: drop self-loops, add direction-agnostic sorted pair key (and
+    its shuffle bucket)."""
 
     def f(t: pa.Table) -> pa.Table:
         src = t.column("source_node_uuid").to_pylist()
@@ -123,50 +142,49 @@ def add_pair_key(edges_ds):
         src = t.column("source_node_uuid").to_pylist()
         tgt = t.column("target_node_uuid").to_pylist()
         pk = [min(s, g) + "|" + max(s, g) for s, g in zip(src, tgt)]
-        return t.append_column("pair_key", pa.array(pk, pa.string()))
+        t = t.append_column("pair_key", pa.array(pk, pa.string()))
+        return t.append_column("pair_bucket", _bucket_of_col(pk))
 
     return edges_ds.map_batches(f, batch_format="pyarrow")
 
 
 def _merge_pair_group(g: pd.DataFrame) -> pd.DataFrame:
-    """D5/D6/D7 within one (pair_key) group, vectorized pandas.
+    """D5/D6/D7 for one BUCKET of pair groups, vectorized pandas.
 
     Merge rule per (direction, predicate, fact_norm): episodes =
     sorted distinct union; created_at/valid_at/invalid_at = min
-    non-null; canonical uuid = sha1 of the canonical key.
+    non-null; canonical uuid = sha1 of the canonical key; surviving
+    fact = the earliest (created_at, uuid) surface form.
     Then fold 'ended' markers into the open positive edge.
     """
-    g = g.sort_values(["source_node_uuid", "name", "fact_norm", "created_at", "uuid"])
-    out_rows = []
-    for (src, tgt, pred, fnorm), sub in g.groupby(
+    g = g.sort_values(["created_at", "uuid"])
+    gb = g.groupby(
         ["source_node_uuid", "target_node_uuid", "name", "fact_norm"], sort=True
-    ):
-        first = sub.iloc[0]
-        episodes = sorted(set(sub["episode_uuid"]))
-        row = {
-            "uuid": sha1_hex("cedge", first["group_id"], src, tgt, pred, fnorm),
-            "source_node_uuid": src,
-            "target_node_uuid": tgt,
-            "name": pred,
-            "fact": first["fact"],
-            "fact_norm": fnorm,
-            "episodes": episodes,
-            "group_id": first["group_id"],
-            "created_at": sub["created_at"].min(),
-            "valid_at": sub["valid_at"].min(),  # min non-null (NaT ignored by pandas min)
-            "invalid_at": sub["invalid_at"].min(),
-            "partition_id": first["partition_id"],
-            "pair_key": first["pair_key"],
-        }
-        out_rows.append(row)
+    )
+    res = gb.agg(
+        fact=("fact", "first"),
+        group_id=("group_id", "first"),
+        created_at=("created_at", "min"),
+        valid_at=("valid_at", "min"),  # min skips NaT
+        invalid_at=("invalid_at", "min"),
+        partition_id=("partition_id", "first"),
+        pair_key=("pair_key", "first"),
+        episodes=("episode_uuid", lambda s: sorted(set(s))),
+    ).reset_index()
+    res["uuid"] = [
+        sha1_hex("cedge", r.group_id, r.source_node_uuid, r.target_node_uuid,
+                 r.name, r.fact_norm)
+        for r in res.itertuples(index=False)
+    ]
     # fold ended markers (valid_at null, invalid_at set) into the open
     # positive edge of the same (direction, predicate)
-    res = pd.DataFrame(out_rows)
     for c in ("valid_at", "invalid_at", "created_at"):
         res[c] = pd.to_datetime(res[c])
     drop = set()
-    for i, row in res.iterrows():
-        if pd.isna(row["valid_at"]) and not pd.isna(row["invalid_at"]):
+    markers = res.index[res["valid_at"].isna() & res["invalid_at"].notna()]
+    for i in markers:
+        row = res.loc[i]
+        if True:
             cand = res[
                 (res["source_node_uuid"] == row["source_node_uuid"])
                 & (res["target_node_uuid"] == row["target_node_uuid"])
@@ -189,14 +207,17 @@ def _merge_pair_group(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def dedupe_pair_groups(edges_with_pair_ds):
-    """Shuffle key ②: (pair_key). groupby.map_groups pair-group reducer."""
-    return edges_with_pair_ds.groupby("pair_key").map_groups(
+    """Shuffle key ②: hash(pair_key) bucket; the reducer merges all
+    pair groups of a bucket in one vectorized pass."""
+    return edges_with_pair_ds.groupby("pair_bucket").map_groups(
         _merge_pair_group, batch_format="pandas"
     )
 
 
 def _sweep_group(g: pd.DataFrame, now: datetime) -> pd.DataFrame:
-    """T2/T3 sweep for one (group_id, subject, predicate) group."""
+    """T2/T3 sweep for one (group_id, subject, predicate) group.
+    Mutates and returns the pandas group (conversion happens once per
+    bucket in _sweep_bucket)."""
     g = g.copy()
     if "expired_at" not in g.columns:
         g["expired_at"] = pd.NaT
@@ -224,7 +245,20 @@ def _sweep_group(g: pd.DataFrame, now: datetime) -> pd.DataFrame:
             g.at[i, "invalid_at"] = n_valid
             g.at[i, "expired_at"] = now
             break
-    return _df_to_arrow(g, SWEPT_SCHEMA)
+    return g
+
+
+def _sweep_bucket(df: pd.DataFrame, now: datetime) -> pa.Table:
+    """All (group_id, subject, predicate) groups of one bucket; one
+    Arrow conversion per bucket."""
+    parts = [
+        _sweep_group(g, now)
+        for _, g in df.groupby(
+            ["group_id", "source_node_uuid", "name"], sort=True
+        )
+    ]
+    out = pd.concat(parts, ignore_index=True) if parts else df.assign(expired_at=pd.NaT)
+    return _df_to_arrow(out, SWEPT_SCHEMA)
 
 
 def temporal_sweep(deduped_ds, now: datetime):
@@ -245,18 +279,29 @@ def temporal_sweep(deduped_ds, now: datetime):
         )
         return t.append_column("expired_at", exp)
 
-    exclusive = deduped_ds.map_batches(
-        lambda t: t.filter(pc.is_in(t.column("name"), value_set=pa.array(preds))),
-        batch_format="pyarrow",
-    )
+    from ..functions.hashing import stable_int
+
+    def tag_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("name"), value_set=pa.array(preds)))
+        keys = [
+            stable_int(f"{g}|{s}|{n}", salt="sbkt") % NUM_BUCKETS
+            for g, s, n in zip(
+                t.column("group_id").to_pylist(),
+                t.column("source_node_uuid").to_pylist(),
+                t.column("name").to_pylist(),
+            )
+        ]
+        return t.append_column("sweep_bucket", pa.array(keys, pa.int32()))
+
+    exclusive = deduped_ds.map_batches(tag_bucket, batch_format="pyarrow")
     rest = deduped_ds.map_batches(
         lambda t: add_expired(
             t.filter(pc.invert(pc.is_in(t.column("name"), value_set=pa.array(preds))))
         ),
         batch_format="pyarrow",
     )
-    swept = exclusive.groupby(["group_id", "source_node_uuid", "name"]).map_groups(
-        lambda g: _sweep_group(g, now), batch_format="pandas"
+    swept = exclusive.groupby("sweep_bucket").map_groups(
+        lambda df: _sweep_bucket(df, now), batch_format="pandas"
     )
     return swept.union(rest)
 

@@ -8,7 +8,7 @@ from datetime import datetime, timedelta
 import pandas as pd
 import pytest
 
-from graphiti_ray.stages.edges import _merge_pair_group, _sweep_group
+from graphiti_ray.stages.edges import _merge_pair_group, _sweep_bucket
 
 NOW = datetime(2026, 1, 1)
 
@@ -32,7 +32,7 @@ def mk(uuid, tgt, valid_at=None, invalid_at=None, created=None, fact_norm=None):
 
 
 def sweep(rows):
-    out = _sweep_group(pd.DataFrame(rows), NOW)
+    out = _sweep_bucket(pd.DataFrame(rows), NOW)
     return {r["uuid"]: r for r in out.to_pylist()}
 
 
