@@ -67,11 +67,27 @@ def word_3gram_shingles(text: str) -> list[str]:
     return [" ".join(w[i : i + 3]) for i in range(len(w) - 2)]
 
 
+_SHINGLE_CACHE: dict[str, int] = {}
+_SHINGLE_CACHE_MAX = 4_000_000  # bounded per worker process
+
+
+def _shingle_h(s: str) -> int:
+    v = _SHINGLE_CACHE.get(s)
+    if v is None:
+        v = stable_int(s, salt="mh") % _M61
+        if len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
+            _SHINGLE_CACHE.clear()
+        _SHINGLE_CACHE[s] = v
+    return v
+
+
 def shingle_hash_set(text: str) -> np.ndarray:
     """Sorted unique 61-bit shingle hashes (uint64 storage). 61 bits so
     set-intersection sizes match the string-set SQL oracle (expected
-    collisions ~1e-9 at 64k distinct shingles; 32-bit would expect ~1)."""
-    hs = {stable_int(s, salt="mh") % _M61 for s in word_3gram_shingles(text)}
+    collisions ~1e-9 at 64k distinct shingles; 32-bit would expect ~1).
+    Hashes are memoized per worker (shingle vocabulary repeats heavily
+    across documents)."""
+    hs = {_shingle_h(s) for s in word_3gram_shingles(text)}
     return np.fromiter(sorted(hs), dtype=np.uint64, count=len(hs))
 
 
@@ -173,6 +189,9 @@ def jaccard_pairs(sf_dir: str):
 
 # --------------------------------------------------------- MinHash + LSH
 
+LSH_BUCKETS = 1024  # shuffle granularity: hash(band_key) % LSH_BUCKETS
+
+
 class _SignatureStage:
     """Actor-pool stage: MinHash family params built once per actor."""
 
@@ -180,7 +199,7 @@ class _SignatureStage:
         self.a, self.b = minhash_params31(NUM_PERM)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, bands, sigs = [], [], []
+        ids, bands, buckets = [], [], []
         for i, s in zip(
             batch.column("doc_id").to_pylist(), batch.column("sh").to_pylist()
         ):
@@ -191,13 +210,16 @@ class _SignatureStage:
                 band = sig[bi * ROWS : (bi + 1) * ROWS]
                 h = hashlib.blake2b(
                     band.tobytes() + bytes([bi]), digest_size=8
-                ).hexdigest()
+                ).digest()
+                k = int.from_bytes(h, "little")
                 ids.append(i)
-                bands.append(f"{bi}:{h}")
+                bands.append(k >> 1)  # int64 band identity (63 bits)
+                buckets.append(k % LSH_BUCKETS)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "band_key": pa.array(bands, pa.string()),
+                "band_key": pa.array(bands, pa.int64()),
+                "band_bucket": pa.array(buckets, pa.int32()),
             }
         )
 
@@ -226,19 +248,28 @@ def minhash_lsh_pairs(sf_dir: str, concurrency: int = 4):
         _SignatureStage, batch_format="pyarrow", concurrency=concurrency
     )
 
-    def bucket_pairs(batch: pa.Table) -> pa.Table:
-        ids = sorted(batch.column("doc_id").to_pylist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
+    def bucket_pairs(df) -> pa.Table:
+        """All band groups of one bucket in one call (most bands are
+        singletons — shuffling per band_key would pay per-group
+        overhead ~BANDS x corpus times)."""
+        seen: set[tuple[int, int]] = set()
+        for _, g in df.groupby("band_key", sort=False):
+            if len(g) < 2:
+                continue
+            ids = sorted(set(g["doc_id"]))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    seen.add((ids[i], ids[j]))
+        seen_l = sorted(seen)
         return pa.table(
-            {"a_id": pa.array(a, pa.int64()), "b_id": pa.array(b, pa.int64())}
+            {
+                "a_id": pa.array([p[0] for p in seen_l], pa.int64()),
+                "b_id": pa.array([p[1] for p in seen_l], pa.int64()),
+            }
         )
 
-    cand = bands.groupby("band_key").map_groups(bucket_pairs, batch_format="pyarrow")
-    # candidate pairs repeat across bands -> dedupe with a distinct groupby
+    cand = bands.groupby("band_bucket").map_groups(bucket_pairs, batch_format="pandas")
+    # pairs can still repeat across buckets -> one distinct shuffle
     cand = cand.groupby(["a_id", "b_id"]).count().select_columns(["a_id", "b_id"])
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -263,8 +294,10 @@ def simhash_pairs(sf_dir: str):
     """Pairs with simhash hamming distance <= 3; 4x16-bit chunk blocking
     is pigeonhole-complete at this radius (hashing.simhash_chunks)."""
 
+    SIM_BUCKETS = 1024
+
     def sketch(batch: pa.Table) -> pa.Table:
-        ids, keys, hashes = [], [], []
+        ids, keys, buckets, hashes = [], [], [], []
         for i, t in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
@@ -272,30 +305,30 @@ def simhash_pairs(sf_dir: str):
             for ci, cv in enumerate(simhash_chunks(h)):
                 ids.append(i)
                 keys.append(f"{ci}:{cv}")
+                buckets.append((cv * 4 + ci) % SIM_BUCKETS)
                 hashes.append(h)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "chunk_key": pa.array(keys, pa.string()),
+                "chunk_bucket": pa.array(buckets, pa.int32()),
                 "simhash": pa.array(hashes, pa.uint64()),
             }
         )
 
-    def bucket_pairs(batch: pa.Table) -> pa.Table:
-        rows = sorted(
-            zip(
-                batch.column("doc_id").to_pylist(),
-                batch.column("simhash").to_pylist(),
-            )
-        )
+    def bucket_pairs(df) -> pa.Table:
         a, b, d = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                dist = bin(rows[i][1] ^ rows[j][1]).count("1")
-                if dist <= SIMHASH_MAX_HAMMING:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-                    d.append(dist)
+        for _, g in df.groupby("chunk_key", sort=False):
+            if len(g) < 2:
+                continue
+            rows = sorted(set(zip(g["doc_id"], g["simhash"])))
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    dist = bin(int(rows[i][1]) ^ int(rows[j][1])).count("1")
+                    if dist <= SIMHASH_MAX_HAMMING:
+                        a.append(rows[i][0])
+                        b.append(rows[j][0])
+                        d.append(dist)
         return pa.table(
             {
                 "a_id": pa.array(a, pa.int64()),
@@ -307,7 +340,7 @@ def simhash_pairs(sf_dir: str):
     from ray.data.aggregate import Min
 
     sk = docs_with_dups(sf_dir).map_batches(sketch, batch_format="pyarrow")
-    pairs = sk.groupby("chunk_key").map_groups(bucket_pairs, batch_format="pyarrow")
+    pairs = sk.groupby("chunk_bucket").map_groups(bucket_pairs, batch_format="pandas")
     return pairs.groupby(["a_id", "b_id"]).aggregate(Min("hamming", alias_name="hamming"))
 
 

@@ -155,8 +155,12 @@ def build_kg(
     nodes_raw, edges_raw, mentions_raw = extract.split_extracted(extracted)
     nodes, uuid_map, alias = canonicalize.canonicalize_nodes(nodes_raw)
     nodes = nodes.materialize()
-    edges = edge_stage.resolve_edges(edges_raw, alias, now)
-    mentions = _dedupe_mentions(mentions_raw, alias)
+    # canonical edges/mentions are orders of magnitude smaller than the
+    # input; materializing lets every downstream consumer (triples,
+    # communities, search, degree aggregates) reuse them instead of
+    # re-running the resolution shuffles
+    edges = edge_stage.resolve_edges(edges_raw, alias, now).materialize()
+    mentions = _dedupe_mentions(mentions_raw, alias).materialize()
     triples = build_triples(edges, nodes, nodes_count=nodes.count())
     return KGResult(
         episodes=episodes,
