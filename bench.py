@@ -112,11 +112,13 @@ def _kg_throughput(sf_dir: str, num_cpus: int) -> dict:
     from graphiti_ray.pipelines.kg import build_kg
     from graphiti_ray.sources.pages import documents_count, synthetic_pages
 
-    mult = int(os.environ.get("GRAFT_BENCH_MULT", "4"))
+    mult = int(os.environ.get("GRAFT_BENCH_MULT", "16"))
     n_docs = documents_count(sf_dir) * mult
     pages = synthetic_pages(sf_dir, multiplier=mult)
     t0 = time.time()
-    kg = build_kg(pages, concurrency=max(2, num_cpus // 2))
+    # extraction actors are 1-CPU each; size the pool to the machine so
+    # the fused generate->extract stage saturates it
+    kg = build_kg(pages, concurrency=max(2, num_cpus - 1))
     n_triples = kg.triples.count()
     wall = time.time() - t0
     return {

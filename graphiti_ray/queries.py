@@ -87,6 +87,40 @@ def kg_episodes_docs(sf_dir: str):
     return eps.map_batches(proj, batch_format="pyarrow")
 
 
+def episode_windows(sf_dir: str):
+    """T4 context windows: previous up-to-3 episode urls per group in
+    chronological order (EPISODE_WINDOW_LEN=3)."""
+    from .sources.pages import pages_from_documents
+    from .stages.extract import pages_to_episodes
+    from .stages.summarize import episode_windows as ew
+
+    return ew(pages_to_episodes(pages_from_documents(sf_dir)))
+
+
+def node_summaries(sf_dir: str):
+    """M4 deterministic per-entity summaries from graph evidence."""
+    from .stages.summarize import summarize_nodes
+
+    kg = _kg(sf_dir)
+    return summarize_nodes(kg.nodes, kg.edges)
+
+
+EPISODE_WINDOWS_SQL = """
+WITH pages AS (
+  SELECT 'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example/doc'
+           || CAST(doc_id AS VARCHAR) AS url,
+         'site' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS group_id,
+         (1672531200 + (doc_id * 61) % 63072000) AS ts_s
+  FROM documents
+)
+SELECT url,
+  lag(url, 1) OVER w AS prev1,
+  lag(url, 2) OVER w AS prev2,
+  lag(url, 3) OVER w AS prev3
+FROM pages WINDOW w AS (PARTITION BY group_id ORDER BY ts_s, url)
+"""
+
+
 KG_EPISODES_DOCS_SQL = """
 SELECT 'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example/doc' || CAST(doc_id AS VARCHAR) AS url,
        'site' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS group_id,
@@ -353,6 +387,8 @@ QUERIES = {
     "communities": communities,
     "mention_degrees": mention_degrees,
     "search_hybrid_demo": search_hybrid_demo,
+    "episode_windows": episode_windows,
+    "node_summaries": node_summaries,
     # dedup family
     "dedup_exact": dedup_exact,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
@@ -376,6 +412,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "kg_episodes_docs": KG_EPISODES_DOCS_SQL,
+    "episode_windows": EPISODE_WINDOWS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
     "dedup_embedding_pairs": DEDUP_EMBEDDING_SQL,

@@ -156,7 +156,8 @@ def _cosine_lane(ds, text_col: str, id_col: str, query: str, limit: int,
 def _lane_ids(lane, id_col: str) -> list[str]:
     if lane is None:
         return []
-    return [r[id_col] for r in lane.take_all()]
+    df = lane.to_pandas()
+    return df[id_col].tolist() if id_col in df.columns else []
 
 
 def node_search(
@@ -208,12 +209,11 @@ def bfs_neighborhood(edges_ds, origin_uuids: list[str], depth: int = MAX_SEARCH_
             keep = [i for i, (s, g) in enumerate(zip(src, tgt)) if s in fr or g in fr]
             return t.take(keep).select(["source_node_uuid", "target_node_uuid"])
 
-        touched = edges_ds.map_batches(touch, batch_format="pyarrow").take_all()
+        touched = edges_ds.map_batches(touch, batch_format="pyarrow").to_pandas()
         nxt: set[str] = set()
-        for r in touched:
-            for u in (r["source_node_uuid"], r["target_node_uuid"]):
-                if u not in seen:
-                    nxt.add(u)
+        for u in set(touched["source_node_uuid"]) | set(touched["target_node_uuid"]):
+            if u not in seen:
+                nxt.add(u)
         for u in nxt:
             hops[u] = d
             seen.add(u)

@@ -36,7 +36,13 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Max, Min, Sum
 
 from ..functions.extraction import alias_match, decode_name_key, name_sort_key, surname_key
-from ..functions.hashing import char_shingles, lsh_band_keys, minhash_params, minhash_signature
+from ..functions.hashing import (
+    char_shingles,
+    lsh_band_keys,
+    minhash_params31,
+    minhash_signature_fast,
+    token_hashes31,
+)
 
 MAX_BLOCK = 256  # safety cap on a blocking group (hot-key guard)
 # Shuffle granularity: blocks are small, so the exchange key is
@@ -44,7 +50,7 @@ MAX_BLOCK = 256  # safety cap on a blocking group (hot-key guard)
 # block of its bucket (per-group scheduling overhead amortized ~50x).
 NUM_BUCKETS = 256
 LSH_BANDS, LSH_ROWS = 8, 2  # 16 perms; P(candidate) = 1-(1-J^2)^8 — high recall at J>=0.5
-_MH_A, _MH_B = minhash_params(LSH_BANDS * LSH_ROWS)
+_MH_A, _MH_B = minhash_params31(LSH_BANDS * LSH_ROWS)
 
 
 def _partial_exact(batch: pa.Table) -> pa.Table:
@@ -111,7 +117,7 @@ def _block_rows(batch: pa.Table) -> pa.Table:
     ):
         bks = [f"s|{grp}|{surname_key(norm)}"]
         if len(norm.split()) >= 2:
-            sig = minhash_signature(char_shingles(norm), a, b)
+            sig = minhash_signature_fast(token_hashes31(char_shingles(norm)), a, b)
             bks += [f"m|{grp}|{k}" for k in lsh_band_keys(sig, LSH_BANDS, LSH_ROWS)]
         for bk in bks:
             keys.append(bk)
@@ -215,7 +221,9 @@ def build_uuid_map_and_nodes(nodes_exact_ds, comp: dict[str, str]):
 
     survivors = nodes_exact_ds.map_batches(split(False), batch_format="pyarrow")
     member_rows = (
-        nodes_exact_ds.map_batches(split(True), batch_format="pyarrow").take_all()
+        nodes_exact_ds.map_batches(split(True), batch_format="pyarrow")
+        .to_pandas()
+        .to_dict("records")
     )
 
     groups: dict[str, list[dict]] = {}
@@ -271,5 +279,6 @@ def canonicalize_nodes(nodes_raw_ds):
     comp = cc.components(pairs)
     if comp is None:  # very large duplicate set: distributed path
         labels = cc.connected_components_ds(pairs)
-        comp = {r["uuid"]: r["label"] for r in labels.take_all()}
+        ldf = labels.to_pandas()
+        comp = dict(zip(ldf["uuid"], ldf["label"]))
     return build_uuid_map_and_nodes(exact, comp)

@@ -119,6 +119,6 @@ def components(pairs_ds, driver_threshold: int = DRIVER_THRESHOLD) -> dict[str, 
     if n == 0:
         return {}
     if n <= driver_threshold:
-        rows = pairs_ds.take_all()
-        return union_find([(r["a"], r["b"]) for r in rows])
+        df = pairs_ds.to_pandas()  # NOT take_all: per-row collect cost
+        return union_find(list(zip(df["a"], df["b"])))
     return None

@@ -1,0 +1,110 @@
+"""M4 node summaries + episode context windows (T4).
+
+- ``summarize_nodes``: per-entity summary built deterministically from
+  graph evidence (mention count + per-predicate relation counts) — the
+  batch stand-in for the LLM summary prompt
+  (graphiti_core/utils/maintenance/node_operations.py:329-376,
+  prompts/summarize_nodes.py:68-106), behind the same output surface
+  (uuid, name, summary) so an LLM actor pool can drop in.
+- ``episode_windows``: for each episode, the previous up-to-3 episode
+  urls of the same group in (valid_at, url) order — Graphiti's
+  EPISODE_WINDOW_LEN=3 context retrieval
+  (graphiti_core/utils/maintenance/graph_data_operations.py:26,104-159)
+  re-expressed as a per-group lag window (SURVEY.md §2.6 T4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+WINDOW = 3  # EPISODE_WINDOW_LEN
+
+
+def summarize_nodes(nodes_ds, edges_ds):
+    """(uuid, name, summary): summary = mentions + sorted predicate
+    histogram over incident canonical edges.
+
+    Shuffle: one groupby(uuid) over exploded (node, predicate) rows with
+    in-batch partial counts; the node side joins via broadcast."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        rows_u, rows_p = [], []
+        for s, g, p in zip(
+            t.column("source_node_uuid").to_pylist(),
+            t.column("target_node_uuid").to_pylist(),
+            t.column("name").to_pylist(),
+        ):
+            rows_u.append(s)
+            rows_p.append(p)
+            rows_u.append(g)
+            rows_p.append(p)
+        out = pa.table(
+            {
+                "uuid": pa.array(rows_u, pa.string()),
+                "pred": pa.array(rows_p, pa.string()),
+            }
+        )
+        g = out.group_by(["uuid", "pred"]).aggregate([("pred", "count")])
+        return g.rename_columns(["uuid", "pred", "cnt"])
+
+    pred_counts = (
+        edges_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["uuid", "pred"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    # small side: per-uuid predicate histogram -> broadcast dict
+    hist: dict[str, list[tuple[str, int]]] = {}
+    for b in pred_counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for u, p, c in zip(
+            b.column("uuid").to_pylist(),
+            b.column("pred").to_pylist(),
+            b.column("cnt").to_pylist(),
+        ):
+            hist.setdefault(u, []).append((p, int(c)))
+    ref = ray.put(hist)
+
+    def build(t: pa.Table) -> pa.Table:
+        h = ray.get(ref)
+        summaries = []
+        for u, name, nm in zip(
+            t.column("uuid").to_pylist(),
+            t.column("name").to_pylist(),
+            t.column("n_mentions").to_pylist(),
+        ):
+            preds = sorted(h.get(u, []), key=lambda x: (-x[1], x[0]))
+            rel = ", ".join(f"{p} x{c}" for p, c in preds[:5])
+            s = f"{name}: mentioned in {nm} episodes"
+            if rel:
+                s += f"; relations: {rel}"
+            summaries.append(s)
+        return pa.table(
+            {
+                "uuid": t.column("uuid"),
+                "name": t.column("name"),
+                "summary": pa.array(summaries, pa.string()),
+            }
+        )
+
+    return nodes_ds.map_batches(build, batch_format="pyarrow")
+
+
+def episode_windows(episodes_ds):
+    """(url, prev1, prev2, prev3): per-group chronological lag window."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["valid_at", "url"])
+        out = {"url": g["url"].tolist()}
+        for lag in range(1, WINDOW + 1):
+            out[f"prev{lag}"] = g["url"].shift(lag).tolist()
+        return pd.DataFrame(out)
+
+    ds = episodes_ds.map_batches(
+        lambda t: t.select(["group_id", "url", "valid_at"]), batch_format="pyarrow"
+    )
+    return ds.groupby("group_id").map_groups(per_group, batch_format="pandas")

@@ -1,0 +1,87 @@
+"""S6 lookups and S8 destructive ops over the KG tables."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def kg(ray_session):
+    from graphiti_ray.pipelines.kg import build_kg
+    from graphiti_ray.synth import pages_dataset
+
+    return build_kg(pages_dataset(200), now=datetime(2026, 1, 1), concurrency=2)
+
+
+def test_get_by_uuids(kg):
+    from graphiti_ray.state.graph_ops import get_by_uuids
+
+    nodes = kg.nodes.to_pandas()
+    want = sorted(nodes["uuid"].head(5))
+    got = get_by_uuids(kg.nodes, want).to_pandas()
+    assert sorted(got["uuid"]) == want
+
+
+def test_get_by_group_ids_with_cursor_and_limit(kg):
+    from graphiti_ray.state.graph_ops import get_by_group_ids
+
+    nodes = kg.nodes.to_pandas()
+    grp = nodes["group_id"].iloc[0]
+    all_in_group = sorted(nodes[nodes["group_id"] == grp]["uuid"])
+    assert len(all_in_group) >= 3
+    page1 = get_by_group_ids(kg.nodes, [grp], limit=2).to_pandas()["uuid"].tolist()
+    assert page1 == all_in_group[:2]
+    page2 = get_by_group_ids(
+        kg.nodes, [grp], limit=2, cursor_uuid=page1[-1]
+    ).to_pandas()["uuid"].tolist()
+    assert page2 == all_in_group[2:4]
+
+
+def test_remove_episode_cascade(kg):
+    from graphiti_ray.state.graph_ops import remove_episode
+
+    edges = kg.edges.to_pandas()
+    # pick an episode that is the sole provenance of some edge
+    solo = None
+    for r in edges.itertuples(index=False):
+        if len(r.episodes) == 1:
+            solo = r.episodes[0]
+            sole_edge = r.uuid
+            break
+    assert solo is not None
+    out = remove_episode(kg, solo)
+    eps = out["episodes"].to_pandas()
+    assert solo not in set(eps["episode_uuid"])
+    men = out["mentions"].to_pandas()
+    assert solo not in set(men["episode_uuid"])
+    new_edges = out["edges"].to_pandas()
+    # the solely-provenanced edge is gone; no surviving edge lists it
+    assert sole_edge not in set(new_edges["uuid"])
+    assert all(solo not in list(lst) for lst in new_edges["episodes"])
+    # node count shrinks or stays (orphans dropped), never grows
+    assert out["nodes"].count() <= kg.nodes.count()
+
+
+def test_delete_group_partitions(tmp_path, ray_session):
+    import os
+
+    from graphiti_ray.pipelines.kg import run_kg_to_dir
+    from graphiti_ray.state.graph_ops import delete_group_partitions
+    from graphiti_ray.synth import pages_dataset
+
+    out = str(tmp_path / "kg")
+    run_kg_to_dir(pages_dataset(120), out, resume=False, concurrency=2)
+    parts = [
+        int(p.split("=")[1])
+        for p in os.listdir(os.path.join(out, "nodes"))
+        if p.startswith("partition_id=")
+    ]
+    victim = parts[0]
+    removed = delete_group_partitions(out, [victim])
+    assert removed
+    assert not os.path.isdir(os.path.join(out, "nodes", f"partition_id={victim}"))
+    # other partitions intact
+    for p in parts[1:]:
+        assert os.path.isdir(os.path.join(out, "nodes", f"partition_id={p}"))

@@ -1,0 +1,73 @@
+"""M4 node summaries, T4 episode windows, A4/Q10 cross-encoder stage."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def kg(ray_session):
+    from graphiti_ray.pipelines.kg import build_kg
+    from graphiti_ray.synth import pages_dataset
+
+    return build_kg(pages_dataset(200), now=datetime(2026, 1, 1), concurrency=2)
+
+
+def test_node_summaries(kg):
+    from graphiti_ray.stages.summarize import summarize_nodes
+
+    df = summarize_nodes(kg.nodes, kg.edges).to_pandas()
+    assert len(df) == kg.nodes.count()
+    nodes = kg.nodes.to_pandas().set_index("uuid")
+    # summary always carries the mention count; entities with edges get
+    # a relation histogram
+    for r in df.head(20).itertuples(index=False):
+        assert r.summary.startswith(f"{r.name}: mentioned in ")
+        assert str(nodes.loc[r.uuid, "n_mentions"]) in r.summary
+    edges = kg.edges.to_pandas()
+    linked = set(edges["source_node_uuid"]) | set(edges["target_node_uuid"])
+    with_rel = df[df["uuid"].isin(linked)]
+    assert (with_rel["summary"].str.contains("relations:")).all()
+
+
+def test_episode_windows_lag_semantics(ray_session):
+    from graphiti_ray.sources.pages import pages_from_documents
+    from graphiti_ray.stages.extract import pages_to_episodes
+    from graphiti_ray.stages.summarize import episode_windows
+
+    eps = pages_to_episodes(pages_from_documents("/root/testdata/sf0.001"))
+    got = episode_windows(eps).to_pandas()
+    ref = eps.to_pandas()[["group_id", "url", "valid_at"]]
+    ref = ref.sort_values(["group_id", "valid_at", "url"])
+    for lag in (1, 2, 3):
+        ref[f"prev{lag}"] = ref.groupby("group_id")["url"].shift(lag)
+    merged = got.set_index("url").sort_index()
+    expected = ref.set_index("url").sort_index()
+    for lag in (1, 2, 3):
+        assert merged[f"prev{lag}"].fillna("-").equals(expected[f"prev{lag}"].fillna("-"))
+
+
+def test_cross_encoder_rank(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphiti_ray.search.rerank_models import cross_encoder_rank
+
+    cands = rd.from_arrow(
+        pa.table(
+            {
+                "uuid": ["a", "b", "c"],
+                "passage": [
+                    "completely unrelated text here",
+                    "alice works for acme corp",
+                    "alice works somewhere",
+                ],
+            }
+        )
+    )
+    out = cross_encoder_rank(cands, "alice works for acme")
+    assert out[0] == "b"
+    assert out[-1] == "a"
