@@ -1,0 +1,92 @@
+"""Pluggable model-client interfaces (SURVEY.md §2.9) + response cache.
+
+The reference injects LLMClient / EmbedderClient / CrossEncoderClient
+through the Graphiti constructor (graphiti_core/graphiti.py:92-152);
+extraction, dedupe verdicts, summaries and reranking all route through
+them. This engine keeps the same seam at the ACTOR-POOL boundary: every
+stateful stage takes a factory; the deterministic implementations are
+the default, and an LLM-backed client is a drop-in that this container
+cannot run (no network) — ``LLMExtractorClient`` documents the contract
+and raises cleanly.
+
+``ResponseCache`` is the batch analog of the reference's md5-keyed LLM
+diskcache (llm_client/client.py:116-151): content-hash keyed, held per
+actor, so retries and replays of a batch never re-pay model calls.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from datetime import datetime
+from typing import Protocol
+
+from .extraction import EpisodeExtraction, compile_patterns, extract_episode
+from .hashing import sha1_hex
+
+
+class ExtractorClient(Protocol):
+    """M1/M2/M3 contract: one episode in, entities+relations out."""
+
+    def extract(self, content: str, reference_time: datetime) -> EpisodeExtraction: ...
+
+
+class ResponseCache:
+    """Bounded LRU keyed on sha1(model_id | content) — deterministic
+    across actors, unlike the reference's message-dump md5 which bakes
+    in prompt ordering."""
+
+    def __init__(self, max_entries: int = 100_000):
+        self.max_entries = max_entries
+        self._d: OrderedDict[str, object] = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def key(self, model_id: str, content: str) -> str:
+        return sha1_hex("cache", model_id, content)
+
+    def get(self, k: str):
+        v = self._d.get(k)
+        if v is not None:
+            self._d.move_to_end(k)
+            self.hits += 1
+        else:
+            self.misses += 1
+        return v
+
+    def put(self, k: str, v) -> None:
+        self._d[k] = v
+        self._d.move_to_end(k)
+        if len(self._d) > self.max_entries:
+            self._d.popitem(last=False)
+
+
+class DeterministicExtractorClient:
+    """Default rule-based extractor with a response cache (the exact
+    logic the oracle pipeline shares — functions/extraction.py)."""
+
+    model_id = "rules-v1"
+
+    def __init__(self, cache_entries: int = 100_000):
+        self.patterns = compile_patterns()
+        self.cache = ResponseCache(cache_entries)
+
+    def extract(self, content: str, reference_time: datetime) -> EpisodeExtraction:
+        k = self.cache.key(self.model_id, f"{content}|{reference_time.isoformat()}")
+        hit = self.cache.get(k)
+        if hit is not None:
+            return hit
+        out = extract_episode(content, reference_time, self.patterns)
+        self.cache.put(k, out)
+        return out
+
+
+class LLMExtractorClient:
+    """Drop-in seam for a real LLM extractor (reflexion prompts of
+    node_operations.py:121-212 / edge_operations.py:73-148). No network
+    in this environment -> constructing it raises."""
+
+    def __init__(self, *a, **kw):
+        raise NotImplementedError(
+            "LLM clients need network access; inject a DeterministicExtractorClient "
+            "or your own ExtractorClient implementation instead"
+        )

@@ -158,9 +158,20 @@ def build_kg(
     # canonical edges/mentions are orders of magnitude smaller than the
     # input; materializing lets every downstream consumer (triples,
     # communities, search, degree aggregates) reuse them instead of
-    # re-running the resolution shuffles
-    edges = edge_stage.resolve_edges(edges_raw, alias, now).materialize()
-    mentions = _dedupe_mentions(mentions_raw, alias).materialize()
+    # re-running the resolution shuffles. The two branches are
+    # independent -> materialize CONCURRENTLY so their shuffles share
+    # the cluster instead of running as back-to-back barriers.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_edges = ex.submit(
+            lambda: edge_stage.resolve_edges(edges_raw, alias, now).materialize()
+        )
+        f_mentions = ex.submit(
+            lambda: _dedupe_mentions(mentions_raw, alias).materialize()
+        )
+        edges = f_edges.result()
+        mentions = f_mentions.result()
     triples = build_triples(edges, nodes, nodes_count=nodes.count())
     return KGResult(
         episodes=episodes,

@@ -27,7 +27,6 @@ from urllib.parse import urlparse
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.extraction import compile_patterns, extract_episode
 from ..functions.hashing import edge_uuid, episode_uuid, node_uuid, partition_of
 from ..functions.text import html_to_text, normalize_fact, normalize_name
 from ..schemas import TS
@@ -101,12 +100,16 @@ def pages_to_episodes(pages_ds, batch_size: int = 2048):
 
 
 class MentionRelationExtractor:
-    """Fused M1+M2+M3+M9 actor. State (compiled patterns; in production a
-    NER/LLM model) built once per actor; __call__ handles one Arrow batch
-    of episodes and emits the union extraction table."""
+    """Fused M1+M2+M3+M9 actor. State (extractor client with response
+    cache; in production an NER/LLM model) built once per actor;
+    __call__ handles one Arrow batch of episodes and emits the union
+    extraction table. ``client_factory`` is the §2.9 pluggability seam
+    (functions/clients.py — any ExtractorClient drops in)."""
 
-    def __init__(self, langs: tuple[str, ...] = ("en",)):
-        self.patterns = compile_patterns()
+    def __init__(self, langs: tuple[str, ...] = ("en",), client_factory=None):
+        from ..functions.clients import DeterministicExtractorClient
+
+        self.client = (client_factory or DeterministicExtractorClient)()
         self.langs = set(langs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -130,7 +133,7 @@ class MentionRelationExtractor:
         ):
             if lang not in self.langs:
                 continue
-            ex = extract_episode(content, ref_ts, self.patterns)
+            ex = self.client.extract(content, ref_ts)
             name_to_uuid: dict[str, str] = {}
             for ent in ex.entities:
                 norm = normalize_name(ent)

@@ -71,3 +71,34 @@ def test_cross_encoder_rank(ray_session):
     out = cross_encoder_rank(cands, "alice works for acme")
     assert out[0] == "b"
     assert out[-1] == "a"
+
+
+def test_embed_stage_and_clients(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    import pytest as _pytest
+
+    from graphiti_ray.functions.clients import (
+        DeterministicExtractorClient,
+        LLMExtractorClient,
+    )
+    from graphiti_ray.stages.embed_stage import add_embeddings
+
+    ds = rd.from_arrow(pa.table({"uuid": ["a", "b"], "name": ["Ana Barton", "Zorex Corp"]}))
+    out = add_embeddings(ds, "name", "name_embedding").to_pandas()
+    from graphiti_ray import EMBEDDING_DIM
+
+    v = np.array(out["name_embedding"].tolist())
+    assert v.shape == (2, EMBEDDING_DIM)
+    np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, rtol=1e-5)
+
+    from datetime import datetime
+
+    c = DeterministicExtractorClient()
+    r1 = c.extract("Ana Barton works for Zorex Corp.", datetime(2024, 1, 1))
+    r2 = c.extract("Ana Barton works for Zorex Corp.", datetime(2024, 1, 1))
+    assert r1 is r2  # response-cache hit returns the cached object
+    assert c.cache.hits == 1
+    with _pytest.raises(NotImplementedError):
+        LLMExtractorClient()
