@@ -162,7 +162,7 @@ def exact_dedup(sf_dir: str):
         g = t.group_by("text_sha").aggregate([("doc_id", "min"), ("doc_id", "count")])
         return g.rename_columns(["text_sha", "canonical_doc_id", "n_dups"])
 
-    ds = docs_with_dups(sf_dir).map_batches(partial, batch_format="pyarrow")
+    ds = docs_with_dups(sf_dir).map_batches(partial, batch_format="pyarrow", batch_size=None)
     return ds.groupby("text_sha").aggregate(
         Min("canonical_doc_id", alias_name="canonical_doc_id"),
         Sum("n_dups", alias_name="n_dups"),

@@ -78,7 +78,7 @@ def events_hourly(sf_dir: str):
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
-    ).map_batches(partial, batch_format="pyarrow")
+    ).map_batches(partial, batch_format="pyarrow", batch_size=None)
     return ds.groupby(["hour_epoch_s", "event_type"]).aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("sum_cents", alias_name="sum_cents"),

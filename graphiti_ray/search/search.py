@@ -111,23 +111,62 @@ def _query_terms(query: str) -> list[str]:
     return terms[:MAX_QUERY_LENGTH]
 
 
+BM25_K1, BM25_B = 1.5, 0.75
+
+
+def _corpus_stats(ds, text_col: str, terms: list[str]) -> tuple[int, float, dict[str, int]]:
+    """One aggregate pass: N docs, avg doc length (words), per-term DF
+    for the <=32 query terms. Output is tiny (one row per block) —
+    summed on the driver. The global-IDF analog of the Lucene index
+    stats (search_utils.py:146-197)."""
+    import numpy as np
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(t.column(text_col))
+        n = t.num_rows
+        lens = pc.list_value_length(pc.utf8_split_whitespace(txt))
+        total_len = int(np.asarray(lens).sum()) if n else 0
+        row = {"n_docs": [n], "total_len": [total_len]}
+        for i, term in enumerate(terms):
+            c = pc.count_substring(txt, term)
+            row[f"df_{i}"] = [int(np.asarray(pc.min_element_wise(c, 1)).sum())]
+        return pa.table(row)
+
+    df = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    n_docs = int(df["n_docs"].sum())
+    avgdl = float(df["total_len"].sum()) / max(1, n_docs)
+    dfs = {t: int(df[f"df_{i}"].sum()) for i, t in enumerate(terms)}
+    return n_docs, avgdl, dfs
+
+
 def _fulltext_lane(ds, text_col: str, id_col: str, query: str, limit: int):
+    """BM25 lane (k1=1.5, b=0.75) with true global IDF: a cheap stats
+    pass, then distributed scoring -> sort -> limit."""
+    import math
+
+    import numpy as np
+
     terms = _query_terms(query)
     if not terms:
         return None
+    n_docs, avgdl, dfs = _corpus_stats(ds, text_col, terms)
+    idf = {
+        t: math.log(1 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in terms
+    }
 
     def score(t: pa.Table) -> pa.Table:
         txt = pc.utf8_lower(t.column(text_col))
-        total = None
-        for term in terms:
-            c = pc.count_substring(txt, term)
-            total = c if total is None else pc.add(total, c)
-        length = pc.utf8_length(t.column(text_col))
-        s = pc.divide(
-            pc.cast(total, pa.float64()),
-            pc.sqrt(pc.cast(pc.add(length, 1), pa.float64())),
+        dl = np.asarray(
+            pc.list_value_length(pc.utf8_split_whitespace(txt)), dtype=np.float64
         )
-        out = pa.table({id_col: t.column(id_col), "score": s})
+        norm = BM25_K1 * (1 - BM25_B + BM25_B * dl / max(avgdl, 1e-9))
+        s = np.zeros(t.num_rows, dtype=np.float64)
+        for term in terms:
+            tf = np.asarray(pc.count_substring(txt, term), dtype=np.float64)
+            s += idf[term] * tf * (BM25_K1 + 1) / (tf + norm)
+        out = pa.table(
+            {id_col: t.column(id_col), "score": pa.array(s, pa.float64())}
+        )
         return out.filter(pc.greater(out.column("score"), 0.0))
 
     return ds.map_batches(score, batch_format="pyarrow").sort(

@@ -83,7 +83,9 @@ def exact_merge(nodes_raw_ds):
     groupby(uuid) with associative aggregates only — Max on the
     length-encoded name key picks the most complete surface form.
     """
-    partial = nodes_raw_ds.map_batches(_partial_exact, batch_format="pyarrow")
+    partial = nodes_raw_ds.map_batches(
+        _partial_exact, batch_format="pyarrow", batch_size=None
+    )  # whole-block batches: the combiner dedupes across the full block
     agg = partial.groupby("uuid").aggregate(
         Max("name_key", alias_name="name_key"),
         Min("name_norm", alias_name="name_norm"),
@@ -281,4 +283,13 @@ def canonicalize_nodes(nodes_raw_ds):
         labels = cc.connected_components_ds(pairs)
         ldf = labels.to_pandas()
         comp = dict(zip(ldf["uuid"], ldf["label"]))
-    return build_uuid_map_and_nodes(exact, comp)
+    nodes, uuid_map, alias = build_uuid_map_and_nodes(exact, comp)
+
+    def with_labels(t: pa.Table) -> pa.Table:
+        # entity-type labels (nodes.py:82); custom classification slots in
+        # at the extractor client — the base label is always present
+        return t.append_column(
+            "labels", pa.array([["Entity"]] * t.num_rows, pa.list_(pa.string()))
+        )
+
+    return nodes.map_batches(with_labels, batch_format="pyarrow"), uuid_map, alias

@@ -111,6 +111,58 @@ def connected_components_ds(pairs_ds, max_iters: int = 8):
     return labels
 
 
+def compress_uuid_map_ds(uuid_map_ds, max_iters: int = 8):
+    """D8 compress_uuid_map (bulk_utils.py:352-361) as a standalone
+    distributed operator: resolve old->canonical chains (a->b->c
+    becomes a->c) by iterated self-join until fixpoint.
+
+    The main canonicalization path emits flat maps by construction
+    (component representative), so this exists for externally-supplied
+    chained maps. Converges in <= chain-depth iterations."""
+    import pandas as pd
+
+    def probe_rows(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": t["canonical_uuid"], "old_uuid": t["old_uuid"],
+             "val": t["canonical_uuid"], "tag": "need"}
+        )
+
+    def have_rows(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": t["old_uuid"], "old_uuid": t["old_uuid"],
+             "val": t["canonical_uuid"], "tag": "have"}
+        )
+
+    def hop(g: pd.DataFrame) -> pd.DataFrame:
+        have = g[g["tag"] == "have"]
+        nxt = have["val"].iloc[0] if len(have) else None
+        need = g[g["tag"] == "need"]
+        if not len(need):
+            return pd.DataFrame(
+                {"old_uuid": [], "canonical_uuid": [], "hopped": []}
+            ).astype({"old_uuid": str, "canonical_uuid": str, "hopped": bool})
+        return pd.DataFrame(
+            {
+                "old_uuid": need["old_uuid"],
+                "canonical_uuid": nxt if nxt is not None else need["val"],
+                "hopped": nxt is not None,
+            }
+        )
+
+    for _ in range(max_iters):
+        both = uuid_map_ds.map_batches(probe_rows, batch_format="pandas").union(
+            uuid_map_ds.map_batches(have_rows, batch_format="pandas")
+        )
+        resolved = both.groupby("key").map_groups(hop, batch_format="pandas").materialize()
+        any_hop = bool(resolved.to_pandas()["hopped"].any())
+        uuid_map_ds = resolved.map_batches(
+            lambda t: t[["old_uuid", "canonical_uuid"]], batch_format="pandas"
+        )
+        if not any_hop:
+            break
+    return uuid_map_ds
+
+
 def components(pairs_ds, driver_threshold: int = DRIVER_THRESHOLD) -> dict[str, str] | None:
     """Dispatch: dict (driver path) or None -> caller must use
     connected_components_ds (kept separate so tests can force either)."""

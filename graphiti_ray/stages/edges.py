@@ -131,8 +131,13 @@ def _bucket_of_col(values: list[str]) -> pa.Array:
 
 
 def add_pair_key(edges_ds):
-    """J4: drop self-loops, add direction-agnostic sorted pair key (and
-    its shuffle bucket)."""
+    """J4: drop self-loops, add direction-agnostic sorted pair key.
+
+    The SHUFFLE key is hash(source_node_uuid): the merge key
+    (src,tgt,pred,fact_norm), the marker-fold key (src,tgt,pred) and
+    the sweep key (group,src,pred) are all functions of the source
+    uuid, so ONE src-bucketed exchange feeds the fused
+    dedupe+invalidate reducer (two chained all-to-alls collapsed)."""
 
     def f(t: pa.Table) -> pa.Table:
         src = t.column("source_node_uuid").to_pylist()
@@ -143,7 +148,7 @@ def add_pair_key(edges_ds):
         tgt = t.column("target_node_uuid").to_pylist()
         pk = [min(s, g) + "|" + max(s, g) for s, g in zip(src, tgt)]
         t = t.append_column("pair_key", pa.array(pk, pa.string()))
-        return t.append_column("pair_bucket", _bucket_of_col(pk))
+        return t.append_column("pair_bucket", _bucket_of_col(src))
 
     return edges_ds.map_batches(f, batch_format="pyarrow")
 
@@ -207,11 +212,29 @@ def _merge_pair_group(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def dedupe_pair_groups(edges_with_pair_ds):
-    """Shuffle key ②: hash(pair_key) bucket; the reducer merges all
+    """Shuffle key ②: hash(source uuid) bucket; the reducer merges all
     pair groups of a bucket in one vectorized pass."""
     return edges_with_pair_ds.groupby("pair_bucket").map_groups(
         _merge_pair_group, batch_format="pandas"
     )
+
+
+def _merge_and_sweep_bucket(df: pd.DataFrame, now: datetime, preds: frozenset) -> pa.Table:
+    """Fused reducer: pair-group dedupe (D5/D6/D7), then the T2/T3
+    temporal sweep for exclusive predicates — all keys of one
+    src-bucket, ONE shuffle upstream."""
+    merged = _merge_pair_group(df).to_pandas()
+    excl = merged[merged["name"].isin(preds)]
+    rest = merged[~merged["name"].isin(preds)].copy()
+    rest["expired_at"] = pd.NaT
+    rest.loc[rest["invalid_at"].notna(), "expired_at"] = now
+    parts = [
+        _sweep_group(g, now)
+        for _, g in excl.groupby(["group_id", "source_node_uuid", "name"], sort=True)
+    ]
+    parts.append(rest)
+    out = pd.concat(parts, ignore_index=True)
+    return _df_to_arrow(out, SWEPT_SCHEMA)
 
 
 def _sweep_group(g: pd.DataFrame, now: datetime) -> pd.DataFrame:
@@ -307,12 +330,15 @@ def temporal_sweep(deduped_ds, now: datetime):
 
 
 def resolve_edges(edges_raw_ds, alias: dict[str, str], now: datetime):
-    """Full edge resolution chain. Returns canonical edges Dataset with
-    expired_at populated."""
+    """Full edge resolution chain — ONE src-bucketed shuffle feeding
+    the fused dedupe+temporal reducer. Returns canonical edges Dataset
+    with expired_at populated."""
     e = rewrite_pointers(edges_raw_ds, alias)
     e = add_pair_key(e)
-    e = dedupe_pair_groups(e)
-    e = temporal_sweep(e, now)
+    preds = frozenset(EXCLUSIVE_PREDICATES)
+    e = e.groupby("pair_bucket").map_groups(
+        lambda df: _merge_and_sweep_bucket(df, now, preds), batch_format="pandas"
+    )
     final_cols = [
         "uuid", "source_node_uuid", "target_node_uuid", "name", "fact", "fact_norm",
         "episodes", "group_id", "created_at", "valid_at", "invalid_at", "expired_at",

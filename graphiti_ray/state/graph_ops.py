@@ -56,6 +56,29 @@ def get_by_group_ids(ds, group_ids: list[str], limit: int | None = None,
     return out.limit(limit) if limit is not None else out
 
 
+def get_by_episode(kg, episode_uuid: str):
+    """Q13 provenance query (graphiti.py:710-721
+    get_nodes_and_edges_by_episode): the edges carrying this episode in
+    their provenance list plus the entities it mentions."""
+
+    def edge_filter(t: pa.Table) -> pa.Table:
+        keep = [
+            i
+            for i, lst in enumerate(t.column("episodes").to_pylist())
+            if episode_uuid in (lst or [])
+        ]
+        return t.take(keep)
+
+    edges = kg.edges.map_batches(edge_filter, batch_format="pyarrow")
+    ment = kg.mentions.map_batches(
+        lambda t: t.filter(pc.equal(t.column("episode_uuid"), episode_uuid)),
+        batch_format="pyarrow",
+    )
+    entity_uuids = ment.to_pandas()["entity_uuid"].tolist()
+    nodes = get_by_uuids(kg.nodes, entity_uuids)
+    return {"edges": edges, "nodes": nodes}
+
+
 # ------------------------------------------------------------- destructive
 
 def delete_group_partitions(kg_dir: str, partition_ids: list[int]) -> list[str]:

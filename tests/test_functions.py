@@ -107,3 +107,22 @@ def test_simhash_and_fingerprints():
     f1 = rolling_fingerprints(t1)
     assert f1 and f1 == rolling_fingerprints(t1)
     assert stable_int("x") == stable_int("x")
+
+
+def test_compress_uuid_map_chain(ray_session):
+    """D8: a->b->c chains compress to terminal canonical
+    (bulk_utils.py:352-361 semantics)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from graphiti_ray.stages.cc import compress_uuid_map_ds
+
+    m = rd.from_pandas(
+        pd.DataFrame(
+            {"old_uuid": ["a", "b", "x"], "canonical_uuid": ["b", "c", "y"]}
+        )
+    )
+    out = compress_uuid_map_ds(m).to_pandas().set_index("old_uuid")["canonical_uuid"]
+    assert out["a"] == "c"
+    assert out["b"] == "c"
+    assert out["x"] == "y"

@@ -85,3 +85,18 @@ def test_delete_group_partitions(tmp_path, ray_session):
     # other partitions intact
     for p in parts[1:]:
         assert os.path.isdir(os.path.join(out, "nodes", f"partition_id={p}"))
+
+
+def test_get_by_episode_provenance(kg):
+    from graphiti_ray.state.graph_ops import get_by_episode
+
+    edges = kg.edges.to_pandas()
+    ep = edges.iloc[0]["episodes"][0]
+    out = get_by_episode(kg, ep)
+    got_edges = out["edges"].to_pandas()
+    assert all(ep in list(lst) for lst in got_edges["episodes"])
+    assert len(got_edges) >= 1
+    got_nodes = out["nodes"].to_pandas()
+    ment = kg.mentions.to_pandas()
+    want_nodes = set(ment[ment["episode_uuid"] == ep]["entity_uuid"])
+    assert set(got_nodes["uuid"]) == want_nodes

@@ -135,3 +135,17 @@ def test_checkpoint_resume_partition_granularity(ray_session, pages_tbl, tmp_pat
     t_res = pq.read_table(f"{part_dir}/triples").to_pylist()
     assert triple_set(t_full) == triple_set(t_res)
     assert len(t_full) == len(t_res)
+
+
+def test_rerun_byte_identical(ray_session, pages_tbl, kg):
+    """Replay invariant: a second full run produces byte-identical
+    triples (content-hash uuids + order-free semantics -> deterministic
+    outputs across task retries and reruns)."""
+    import ray.data as rd
+
+    kg2 = build_kg(rd.from_arrow(pages_tbl), now=NOW, concurrency=2)
+    cols = ["subj", "pred", "obj", "fact", "valid_at", "invalid_at",
+            "group_id", "episode_uuid"]
+    a = kg.triples.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    b = kg2.triples.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
