@@ -67,15 +67,25 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
     # with a cold cache, then the operator-family headliners.
     names = only or [
         "kg_triples",
+        "communities",
+        "mention_degrees",
+        "node_summaries",
+        "search_hybrid_demo",
+        "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_jaccard_pairs",
+        "dedup_simhash",
         "dedup_embedding_pairs",
         "knn_bruteforce",
+        "knn_lsh",
         "text_stats",
         "lang_id",
         "doc_fingerprints",
         "event_windows",
-        "communities",
+        "events_hourly",
+        "events_json",
+        "episode_windows",
+        "multimodal_decode",
     ]
     for name in names:
         fn = q.QUERIES.get(name)
