@@ -286,10 +286,17 @@ def canonicalize_nodes(nodes_raw_ds):
     nodes, uuid_map, alias = build_uuid_map_and_nodes(exact, comp)
 
     def with_labels(t: pa.Table) -> pa.Table:
-        # entity-type labels (nodes.py:82); custom classification slots in
-        # at the extractor client — the base label is always present
+        # entity-type labels + open-schema attributes (nodes.py:82,
+        # 258-260); rule-based classification stands in for the LLM
+        # custom-entity-type pass (functions/classify.py)
+        from ..functions.classify import attributes_json, labels_of
+
+        names = t.column("name").to_pylist()
+        t = t.append_column(
+            "labels", pa.array([labels_of(n) for n in names], pa.list_(pa.string()))
+        )
         return t.append_column(
-            "labels", pa.array([["Entity"]] * t.num_rows, pa.list_(pa.string()))
+            "attributes", pa.array([attributes_json(n) for n in names], pa.string())
         )
 
     return nodes.map_batches(with_labels, batch_format="pyarrow"), uuid_map, alias

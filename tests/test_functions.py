@@ -126,3 +126,14 @@ def test_compress_uuid_map_chain(ray_session):
     assert out["a"] == "c"
     assert out["b"] == "c"
     assert out["x"] == "y"
+
+
+def test_entity_classification():
+    from graphiti_ray.functions.classify import attributes_json, classify, labels_of
+
+    assert classify("Zorex Corp") == ("Organization", {"suffix": "corp"})
+    assert classify("Ana Barton")[0] == "Person"
+    assert classify("A. Barton") == ("Person", {"first": "A", "last": "Barton"})
+    assert classify("Dorville") == ("Entity", {})
+    assert labels_of("Zorex Corp") == ["Entity", "Organization"]
+    assert attributes_json("Ana Barton") == '{"first": "Ana", "last": "Barton"}'
