@@ -100,3 +100,30 @@ def test_get_by_episode_provenance(kg):
     ment = kg.mentions.to_pandas()
     want_nodes = set(ment[ment["episode_uuid"] == ep]["entity_uuid"])
     assert set(got_nodes["uuid"]) == want_nodes
+
+
+def test_store_partition_pruned_load(tmp_path, ray_session):
+    from graphiti_ray.pipelines.kg import run_kg_to_dir
+    from graphiti_ray.state.store import (
+        available_partitions,
+        load_manifest,
+        load_table,
+    )
+    from graphiti_ray.synth import pages_dataset
+
+    out = str(tmp_path / "kg2")
+    run_kg_to_dir(pages_dataset(150), out, resume=False, concurrency=2)
+    parts = available_partitions(out, "triples")
+    assert parts
+    # full load == sum of per-partition loads
+    full = load_table(out, "triples").to_pandas()
+    subset = load_table(out, "triples", partitions=parts[:1]).to_pandas()
+    assert set(subset["partition_id"]) == {parts[0]}
+    assert len(subset) == (full["partition_id"] == parts[0]).sum()
+    assert str(subset["partition_id"].dtype) == "int32"
+    # lineage manifest covers every partition with consistent counts
+    man = load_manifest(out).to_pandas()
+    assert set(man["partition_id"]) == set(parts)
+    tri_counts = full.groupby("partition_id").size()
+    for r in man.itertuples(index=False):
+        assert tri_counts.get(r.partition_id, 0) == r.triples
