@@ -217,3 +217,31 @@ def test_multimodal_stub(ray_session):
     assert (df["fake_width"] == df["n_bytes"] % 640 + 1).all()
     with pytest.raises(NotImplementedError):
         decode_real(b"\x89PNG")
+
+
+def test_hot_block_cap_is_deterministic():
+    """Skew guard: a blocking group larger than MAX_BLOCK is truncated
+    to a deterministic subset, bounding per-bucket pair work on hot
+    keys (SURVEY.md §4 skew row)."""
+    import pandas as pd
+
+    from graphiti_ray.stages.canonicalize import MAX_BLOCK, _pairs_in_bucket
+
+    n = MAX_BLOCK + 100
+    df = pd.DataFrame(
+        {
+            "block_key": ["hot"] * n,
+            "uuid": [f"u{i:05d}" for i in range(n)],
+            "name_norm": ["smith"] * n,  # every pair alias-matches
+            "name": ["Smith"] * n,
+            "group_id": ["g"] * n,
+        }
+    )
+    out1 = _pairs_in_bucket(df)
+    out2 = _pairs_in_bucket(df.sample(frac=1.0, random_state=7))
+    # capped: pairs bounded by MAX_BLOCK choose 2, not n choose 2
+    assert len(out1) == MAX_BLOCK * (MAX_BLOCK - 1) // 2
+    # deterministic under input permutation (lexicographically-first kept)
+    a = out1.sort_values(["a", "b"]).reset_index(drop=True)
+    b = out2.sort_values(["a", "b"]).reset_index(drop=True)
+    assert a.equals(b)
