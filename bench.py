@@ -126,8 +126,9 @@ def _kg_throughput(sf_dir: str, num_cpus: int) -> dict:
     n_docs = documents_count(sf_dir) * mult
     pages = synthetic_pages(sf_dir, multiplier=mult)
     t0 = time.time()
-    # extraction actors are 1-CPU each; size the pool to the machine so
-    # the fused generate->extract stage saturates it
+    # extraction actors are 1-CPU each; FIXED pool sized to the machine
+    # (an autoscaling (2,N) pool was measured slower — it ramps lazily
+    # and leaves cores idle during the extraction phase)
     kg = build_kg(pages, concurrency=max(2, num_cpus - 1))
     n_triples = kg.triples.count()
     wall = time.time() - t0
@@ -150,6 +151,9 @@ def main() -> None:
                     help=argparse.SUPPRESS)  # internal: one scaling leg
     ap.add_argument("--cpus", type=int, nargs=2, default=[8, 32],
                     metavar=("SMALL", "LARGE"), help="scaling CPU levels")
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="runs per scaling leg; best (min wall) is kept "
+                         "to suppress machine noise")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -168,14 +172,19 @@ def main() -> None:
         small, large = args.cpus
         legs = {}
         for cpus in (small, large):
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--_child-throughput", str(cpus)],
-                capture_output=True, text=True, env={**os.environ},
-                timeout=3600,
-            )
-            line = proc.stdout.strip().splitlines()[-1]
-            legs[cpus] = json.loads(line)
+            best = None
+            for _ in range(max(1, args.repeats)):
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--_child-throughput", str(cpus)],
+                    capture_output=True, text=True, env={**os.environ},
+                    timeout=3600,
+                )
+                line = proc.stdout.strip().splitlines()[-1]
+                run = json.loads(line)
+                if best is None or run["wall_s"] < best["wall_s"]:
+                    best = run
+            legs[cpus] = best
         ratio = large / small
         speedup = legs[small]["wall_s"] / legs[large]["wall_s"]
         efficiency = round(speedup / ratio, 3)

@@ -46,22 +46,33 @@ class KGResult:
     uuid_map: object
 
 
-def _dedupe_mentions(mentions_ds, alias: dict[str, str]):
-    """Rewrite mention pointers through the alias map, then collapse
-    duplicate (episode, entity) rows (aliases of one entity mentioned in
-    the same episode merge after canonicalization)."""
+def _dedupe_mentions(mentions_ds, alias: dict[str, str], uuid_map_ds=None):
+    """Rewrite mention pointers through the alias map (broadcast dict,
+    or the uuid_map hash join past the broadcast threshold), then
+    collapse duplicate (episode, entity) rows (aliases of one entity
+    mentioned in the same episode merge after canonicalization)."""
     import ray
     from ray.data.aggregate import Min
 
-    ref = ray.put(alias)
+    from ..stages.edges import rewrite_pointers_join
+    from ..stages.joins import BROADCAST_MAX_ROWS
 
-    def rewrite(t: pa.Table) -> pa.Table:
-        a = ray.get(ref)
-        ent = [a.get(u, u) for u in t.column("entity_uuid").to_pylist()]
-        return t.set_column(
-            t.schema.get_field_index("entity_uuid"), "entity_uuid",
-            pa.array(ent, pa.string()),
-        )
+    if uuid_map_ds is not None and len(alias) > BROADCAST_MAX_ROWS:
+        mentions_ds = rewrite_pointers_join(mentions_ds, uuid_map_ds, ["entity_uuid"])
+
+        def rewrite(t: pa.Table) -> pa.Table:
+            return t
+
+    else:
+        ref = ray.put(alias)
+
+        def rewrite(t: pa.Table) -> pa.Table:
+            a = ray.get(ref)
+            ent = [a.get(u, u) for u in t.column("entity_uuid").to_pylist()]
+            return t.set_column(
+                t.schema.get_field_index("entity_uuid"), "entity_uuid",
+                pa.array(ent, pa.string()),
+            )
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by(["episode_uuid", "entity_uuid"]).aggregate(
@@ -165,10 +176,14 @@ def build_kg(
 
     with ThreadPoolExecutor(max_workers=2) as ex:
         f_edges = ex.submit(
-            lambda: edge_stage.resolve_edges(edges_raw, alias, now).materialize()
+            lambda: edge_stage.resolve_edges(
+                edges_raw, alias, now, uuid_map_ds=uuid_map
+            ).materialize()
         )
         f_mentions = ex.submit(
-            lambda: _dedupe_mentions(mentions_raw, alias).materialize()
+            lambda: _dedupe_mentions(
+                mentions_raw, alias, uuid_map_ds=uuid_map
+            ).materialize()
         )
         edges = f_edges.result()
         mentions = f_mentions.result()

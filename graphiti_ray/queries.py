@@ -21,12 +21,26 @@ NOW = datetime(2026, 1, 1)
 
 # --------------------------------------------------------------- KG cache
 
+def _extract_concurrency() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the Ray cluster: a (2, N)
+    range lets the pool start working before all actors are up."""
+    try:
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        n = 8
+    return (2, max(2, n - 1))
+
+
 @lru_cache(maxsize=2)
 def _kg(sf_dir: str):
     from .pipelines.kg import build_kg
     from .sources.pages import synthetic_pages
 
-    return build_kg(synthetic_pages(sf_dir), now=NOW, concurrency=4)
+    return build_kg(
+        synthetic_pages(sf_dir), now=NOW, concurrency=_extract_concurrency()
+    )
 
 
 # ----------------------------------------------------------- KG queries

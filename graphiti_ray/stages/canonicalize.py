@@ -219,67 +219,96 @@ def build_uuid_map_and_nodes(nodes_exact_ds, comp: dict[str, str]):
     keep-the-more-complete-node merge (node_operations.py:298-412) —
     its uuid survives, the others remap to it.
 
-    Member rows (duplicate candidates only — a small fraction of all
-    entities) are merged on the driver; the non-member survivor stream
-    never leaves the cluster.
-    """
+    Component MERGING is distributed: member rows (duplicate candidates
+    only — a small fraction of all entities) are tagged with their
+    component id and reduced in a bucketed groupby; the non-member
+    survivor stream never shuffles at all. Only the membership set and
+    the resulting alias map touch the driver (both O(duplicates), and
+    the alias consumer falls back to a hash join past the broadcast
+    threshold — stages/edges.rewrite_pointers)."""
+    import pandas as pd
     import ray
-    import ray.data as rd
 
-    member_set = frozenset(comp)
-    ref = ray.put(member_set)
+    from ..functions.hashing import stable_int
+
+    comp_ref = ray.put(comp)
 
     def split(keep_members: bool):
         def f(t: pa.Table) -> pa.Table:
-            ms = ray.get(ref)
+            ms = ray.get(comp_ref)
             mask = pa.array([u in ms for u in t.column("uuid").to_pylist()])
             return t.filter(mask if keep_members else pc.invert(mask))
 
         return f
 
     survivors = nodes_exact_ds.map_batches(split(False), batch_format="pyarrow")
-    member_rows = (
-        nodes_exact_ds.map_batches(split(True), batch_format="pyarrow")
-        .to_pandas()
-        .to_dict("records")
+
+    def tag(t: pa.Table) -> pa.Table:
+        ms = ray.get(comp_ref)
+        cids = [ms[u] for u in t.column("uuid").to_pylist()]
+        t = t.append_column("comp_id", pa.array(cids, pa.string()))
+        return t.append_column(
+            "comp_bucket",
+            pa.array([stable_int(c, salt="cbkt") % NUM_BUCKETS for c in cids], pa.int32()),
+        )
+
+    members = nodes_exact_ds.map_batches(split(True), batch_format="pyarrow").map_batches(
+        tag, batch_format="pyarrow"
     )
 
-    groups: dict[str, list[dict]] = {}
-    for r in member_rows:
-        groups.setdefault(comp[r["uuid"]], []).append(r)
+    out_schema = pa.schema(
+        [("kind", pa.string())]
+        + list(NODE_STAGE_SCHEMA)
+        + [("old_uuid", pa.string()), ("canonical_uuid", pa.string())]
+    )
 
-    merged_rows, map_rows = [], []
-    alias: dict[str, str] = {}
-    for cid in sorted(groups):
-        rows = groups[cid]
-        win = max(rows, key=lambda r: (name_sort_key(r["name"]), r["uuid"]))
-        merged = dict(win)
-        merged["n_mentions"] = sum(r["n_mentions"] for r in rows)
-        merged["created_at"] = min(r["created_at"] for r in rows)
-        merged_rows.append({k: merged[k] for k in NODE_STAGE_SCHEMA.names})
-        for r in rows:
-            if r["uuid"] != win["uuid"]:
-                alias[r["uuid"]] = win["uuid"]
-                map_rows.append(
-                    {
-                        "old_uuid": r["uuid"],
-                        "canonical_uuid": win["uuid"],
-                        "group_id": r["group_id"],
-                    }
-                )
+    def merge_components(df: pd.DataFrame) -> pa.Table:
+        """All components of one bucket: winner pick + merge + map rows."""
+        rows: list[dict] = []
+        for cid, g in df.groupby("comp_id", sort=True):
+            recs = g.to_dict("records")
+            win = max(recs, key=lambda r: (name_sort_key(r["name"]), r["uuid"]))
+            merged = {k: win[k] for k in NODE_STAGE_SCHEMA.names}
+            merged["n_mentions"] = int(g["n_mentions"].sum())
+            merged["created_at"] = g["created_at"].min()
+            rows.append({"kind": "node", **merged, "old_uuid": None, "canonical_uuid": None})
+            for r in recs:
+                if r["uuid"] != win["uuid"]:
+                    rows.append(
+                        {
+                            "kind": "map",
+                            **{k: r[k] for k in NODE_STAGE_SCHEMA.names},
+                            "old_uuid": r["uuid"],
+                            "canonical_uuid": win["uuid"],
+                        }
+                    )
+        return pa.Table.from_pylist(rows, schema=out_schema)
 
-    merged_ds = rd.from_arrow(pa.Table.from_pylist(merged_rows, schema=NODE_STAGE_SCHEMA))
-    uuid_map_tbl = pa.Table.from_pylist(
-        map_rows,
-        schema=pa.schema(
-            [("old_uuid", pa.string()), ("canonical_uuid", pa.string()), ("group_id", pa.string())]
+    merged = members.groupby("comp_bucket").map_groups(
+        merge_components, batch_format="pandas"
+    ).materialize()
+
+    merged_nodes = merged.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "node")).select(
+            NODE_STAGE_SCHEMA.names
         ),
+        batch_format="pyarrow",
     )
+    uuid_map = merged.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "map")).select(
+            ["old_uuid", "canonical_uuid", "group_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    # alias dict for the broadcast rewrite path (small by construction
+    # here; a Dataset-join rewrite takes over at scale)
+    adf = uuid_map.to_pandas()
+    alias = dict(zip(adf["old_uuid"], adf["canonical_uuid"]))
     nodes = survivors.map_batches(
         lambda t: t.select(NODE_STAGE_SCHEMA.names).cast(NODE_STAGE_SCHEMA),
         batch_format="pyarrow",
-    ).union(merged_ds)
-    return nodes, rd.from_arrow(uuid_map_tbl), alias
+    ).union(merged_nodes)
+    return nodes, uuid_map, alias
 
 
 def canonicalize_nodes(nodes_raw_ds):

@@ -88,6 +88,29 @@ def _df_to_arrow(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=schema)
 
 
+def rewrite_pointers_join(ds, uuid_map_ds, cols: list[str]):
+    """J3 at scale: rewrite pointer columns through the uuid_map
+    Dataset with hash joins (one per column) + coalesce — the fallback
+    when the alias map exceeds joins.BROADCAST_MAX_ROWS and can no
+    longer be ray.put as a dict."""
+    import pyarrow.compute as pc
+
+    from .joins import lookup_column
+
+    for col in cols:
+        ds = lookup_column(
+            ds, col, uuid_map_ds, "old_uuid", "canonical_uuid", f"__new_{col}"
+        )
+
+        def coalesce(t: pa.Table, col=col) -> pa.Table:
+            new = pc.coalesce(t.column(f"__new_{col}"), t.column(col))
+            i = t.schema.get_field_index(col)
+            return t.set_column(i, col, new).drop_columns([f"__new_{col}"])
+
+        ds = ds.map_batches(coalesce, batch_format="pyarrow")
+    return ds
+
+
 def rewrite_pointers(edges_ds, alias: dict[str, str]):
     """J3: rewrite src/tgt through the broadcast alias map."""
     import ray
@@ -329,11 +352,22 @@ def temporal_sweep(deduped_ds, now: datetime):
     return swept.union(rest)
 
 
-def resolve_edges(edges_raw_ds, alias: dict[str, str], now: datetime):
+def resolve_edges(edges_raw_ds, alias: dict[str, str], now: datetime,
+                  uuid_map_ds=None):
     """Full edge resolution chain — ONE src-bucketed shuffle feeding
     the fused dedupe+temporal reducer. Returns canonical edges Dataset
-    with expired_at populated."""
-    e = rewrite_pointers(edges_raw_ds, alias)
+    with expired_at populated.
+
+    Pointer rewrite: broadcast dict below BROADCAST_MAX_ROWS, else the
+    uuid_map hash-join path (pass uuid_map_ds)."""
+    from .joins import BROADCAST_MAX_ROWS
+
+    if uuid_map_ds is not None and len(alias) > BROADCAST_MAX_ROWS:
+        e = rewrite_pointers_join(
+            edges_raw_ds, uuid_map_ds, ["source_node_uuid", "target_node_uuid"]
+        )
+    else:
+        e = rewrite_pointers(edges_raw_ds, alias)
     e = add_pair_key(e)
     preds = frozenset(EXCLUSIVE_PREDICATES)
     e = e.groupby("pair_bucket").map_groups(

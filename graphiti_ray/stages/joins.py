@@ -1,9 +1,16 @@
-"""Join helpers: broadcast lookup vs partitioned hash join.
+"""Join helpers: broadcast lookup vs sharded-broadcast hash join.
 
-Policy (SURVEY.md §4 / ray_guide joins): a small side is ray.put once
-and read inside the stage (never re-shipped per batch); a large side
-uses ``Dataset.join`` (hash-partitioned). ``lookup_column`` picks
-automatically by row count.
+Policy (SURVEY.md §4 / ray_guide joins): a small mapping side is
+ray.put ONCE and read inside the stage (never re-shipped per batch). A
+large mapping is hash-SHARDED into object-store refs; every task
+fetches only the shards its batch's keys hash to, with a per-worker
+shard cache — memory per task is bounded by shard size
+(|mapping| / num_shards), not mapping size. This avoids
+``Dataset.join`` for the pointer-rewrite shape because Arrow acero
+joins reject list-typed payload columns (the edges ``episodes``
+provenance column) and the probe side here is wide.
+
+``lookup_column`` picks the path by mapping row count.
 """
 
 from __future__ import annotations
@@ -11,6 +18,11 @@ from __future__ import annotations
 import pyarrow as pa
 
 BROADCAST_MAX_ROWS = 5_000_000
+SHARD_TARGET_ROWS = 2_000_000  # mapping rows per shard in the sharded path
+
+# per-worker shard cache: (mapping_id, shard_idx) -> dict
+_SHARD_CACHE: dict[tuple[str, int], dict] = {}
+_SHARD_CACHE_MAX = 64
 
 
 def broadcast_map(ds, key_col: str, val_col: str) -> dict:
@@ -26,6 +38,48 @@ def broadcast_map(ds, key_col: str, val_col: str) -> dict:
     return out
 
 
+def _shard_of(key: str, num_shards: int) -> int:
+    from ..functions.hashing import stable_int
+
+    return stable_int(str(key), salt="jshard") % num_shards
+
+
+def _build_shards(mapping_ds, key_col: str, val_col: str, num_shards: int):
+    """Hash-shard the mapping into num_shards object-store dicts.
+    Returns (mapping_id, [refs])."""
+    import uuid
+
+    import ray
+
+    shards: list[dict] = [dict() for _ in range(num_shards)]
+    for batch in mapping_ds.select_columns([key_col, val_col]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        for k, v in zip(batch.column(key_col).to_pylist(), batch.column(val_col).to_pylist()):
+            shards[_shard_of(k, num_shards)][k] = v
+    refs = [ray.put(s) for s in shards]
+    return uuid.uuid4().hex, refs
+
+
+def _lookup_with_shards(mapping_id: str, refs, num_shards: int, keys: list):
+    """Resolve keys via the shard refs, fetching+caching shards lazily
+    per worker process."""
+    import ray
+
+    out = []
+    for k in keys:
+        si = _shard_of(k, num_shards)
+        ck = (mapping_id, si)
+        shard = _SHARD_CACHE.get(ck)
+        if shard is None:
+            shard = ray.get(refs[si])
+            if len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
+                _SHARD_CACHE.clear()
+            _SHARD_CACHE[ck] = shard
+        out.append(shard.get(k))
+    return out
+
+
 def lookup_column(
     target_ds,
     on: str,
@@ -35,10 +89,9 @@ def lookup_column(
     out_col: str,
     mapping_rows: int | None = None,
 ):
-    """Append ``out_col`` = mapping[on] to target_ds.
+    """Append ``out_col`` = mapping[on] to target_ds (None on miss).
 
-    Broadcast path when the mapping is small; Dataset.join otherwise.
-    """
+    Whole-map broadcast when small; sharded broadcast otherwise."""
     import ray
 
     n = mapping_rows if mapping_rows is not None else mapping_ds.count()
@@ -53,14 +106,16 @@ def lookup_column(
 
         return target_ds.map_batches(f, batch_format="pyarrow")
 
-    # large mapping: hash-partitioned join on the key
-    renamed = mapping_ds.select_columns([key_col, val_col]).map_batches(
-        lambda t: t.rename_columns([f"__k_{on}", out_col]), batch_format="pyarrow"
-    )
-    return target_ds.join(
-        renamed,
-        join_type="left_outer",
-        num_partitions=max(16, n // 2_000_000),
-        on=(on,),
-        right_on=(f"__k_{on}",),
-    )
+    # NOTE: shard construction streams through the driver (memory-bounded
+    # per batch, but the shard dicts live in driver heap until ray.put).
+    # The next tier for driver-exceeding maps is parquet-sharded lookup
+    # (write mapping hive-partitioned by shard, tasks read their shard
+    # files lazily) — same consumer-side contract.
+    num_shards = max(8, n // SHARD_TARGET_ROWS)
+    mapping_id, refs = _build_shards(mapping_ds, key_col, val_col, num_shards)
+
+    def g(t: pa.Table) -> pa.Table:
+        vals = _lookup_with_shards(mapping_id, refs, num_shards, t.column(on).to_pylist())
+        return t.append_column(out_col, pa.array(vals, pa.string()))
+
+    return target_ds.map_batches(g, batch_format="pyarrow")

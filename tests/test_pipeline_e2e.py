@@ -149,3 +149,22 @@ def test_rerun_byte_identical(ray_session, pages_tbl, kg):
     a = kg.triples.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
     b = kg2.triples.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_pointer_rewrite_join_path_matches_broadcast(ray_session, monkeypatch):
+    """At scale the alias map exceeds the broadcast threshold and the
+    J3 rewrite switches to uuid_map hash joins; output must be
+    identical to the broadcast path. Small corpus: the point is path
+    equivalence, and forced hash joins pay fixed actor costs."""
+    from graphiti_ray.synth import pages_dataset
+
+    import graphiti_ray.stages.joins as joins
+
+    base = build_kg(pages_dataset(80), now=NOW, concurrency=2)
+    cols = ["subj", "pred", "obj", "fact", "valid_at", "invalid_at"]
+    a = base.triples.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+
+    monkeypatch.setattr(joins, "BROADCAST_MAX_ROWS", 0)
+    kg2 = build_kg(pages_dataset(80), now=NOW, concurrency=2)
+    b = kg2.triples.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
