@@ -91,6 +91,20 @@ def shingle_hash_set(text: str) -> np.ndarray:
     return np.fromiter(sorted(hs), dtype=np.uint64, count=len(hs))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=2)
+def _shingled_corpus(sf_dir: str):
+    """Materialized (doc_id, lang, sh, n_sh) shingle table — shared by
+    the Jaccard and MinHash tiers so a sweep computes shingles once."""
+    return (
+        docs_with_dups(sf_dir)
+        .map_batches(_shingle_batch, batch_format="pyarrow")
+        .materialize()
+    )
+
+
 def _shingle_batch(batch: pa.Table) -> pa.Table:
     texts = batch.column("text").to_pylist()
     sets = [shingle_hash_set(t) for t in texts]
@@ -183,7 +197,7 @@ def jaccard_pairs(sf_dir: str):
         ]
         return _pairs_table(_pairs_from_index(ids, sets))
 
-    sh = docs_with_dups(sf_dir).map_batches(_shingle_batch, batch_format="pyarrow")
+    sh = _shingled_corpus(sf_dir)
     return sh.groupby("lang").map_groups(per_group, batch_format="pyarrow")
 
 
@@ -232,8 +246,7 @@ def minhash_lsh_pairs(sf_dir: str, concurrency: int = 4):
     once — at >broadcast scale this becomes two hash joins)."""
     import ray
 
-    sh = docs_with_dups(sf_dir).map_batches(_shingle_batch, batch_format="pyarrow")
-    sh = sh.materialize()
+    sh = _shingled_corpus(sf_dir)
 
     # broadcast doc -> shingle set (small side at bench scale)
     sh_map: dict[int, np.ndarray] = {}
