@@ -281,24 +281,37 @@ def minhash_lsh_pairs(sf_dir: str, concurrency: int = 4):
             }
         )
 
-    cand = bands.groupby("band_bucket").map_groups(bucket_pairs, batch_format="pandas")
-    # pairs can still repeat across buckets -> one distinct shuffle
-    cand = cand.groupby(["a_id", "b_id"]).count().select_columns(["a_id", "b_id"])
+    def bucket_pairs_tagged(df) -> pa.Table:
+        t = bucket_pairs(df)
+        # tag each candidate with a pair bucket so ONE further exchange
+        # does distinct + verification together
+        pb = [
+            (a * 1_000_003 + b) % LSH_BUCKETS
+            for a, b in zip(t.column("a_id").to_pylist(), t.column("b_id").to_pylist())
+        ]
+        return t.append_column("pair_bucket", pa.array(pb, pa.int32()))
 
-    def verify(batch: pa.Table) -> pa.Table:
+    cand = bands.groupby("band_bucket").map_groups(
+        bucket_pairs_tagged, batch_format="pandas"
+    )
+
+    def dedupe_and_verify(df) -> pa.Table:
+        """Pairs repeat across band buckets; each pair lands in exactly
+        one pair_bucket, so in-bucket distinct is global distinct, and
+        verification runs in the same reducer (one exchange total)."""
         m = ray.get(sh_ref)
         pairs = []
-        for a, b in zip(
-            batch.column("a_id").to_pylist(), batch.column("b_id").to_pylist()
-        ):
+        for a, b in sorted(set(zip(df["a_id"], df["b_id"]))):
             sa, sb = m[a], m[b]
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             un = sa.size + sb.size - inter
             if JACCARD_DEN * inter >= JACCARD_NUM * un:
-                pairs.append((a, b, inter, un))
+                pairs.append((int(a), int(b), int(inter), int(un)))
         return _pairs_table(pairs)
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return cand.groupby("pair_bucket").map_groups(
+        dedupe_and_verify, batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------- SimHash
