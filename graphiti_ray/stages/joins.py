@@ -19,6 +19,10 @@ import pyarrow as pa
 
 BROADCAST_MAX_ROWS = 5_000_000
 SHARD_TARGET_ROWS = 2_000_000  # mapping rows per shard in the sharded path
+# Past this, shards are spilled to parquet instead of driver-built
+# object-store dicts (driver heap no longer holds the whole mapping)
+PARQUET_SHARD_MAX_ROWS = 200_000_000
+PARQUET_SHARD_DIR = "/tmp/graphiti_ray_lookup_shards"
 
 # per-worker shard cache: (mapping_id, shard_idx) -> dict
 _SHARD_CACHE: dict[tuple[str, int], dict] = {}
@@ -106,16 +110,76 @@ def lookup_column(
 
         return target_ds.map_batches(f, batch_format="pyarrow")
 
-    # NOTE: shard construction streams through the driver (memory-bounded
-    # per batch, but the shard dicts live in driver heap until ray.put).
-    # The next tier for driver-exceeding maps is parquet-sharded lookup
-    # (write mapping hive-partitioned by shard, tasks read their shard
-    # files lazily) — same consumer-side contract.
-    num_shards = max(8, n // SHARD_TARGET_ROWS)
-    mapping_id, refs = _build_shards(mapping_ds, key_col, val_col, num_shards)
+    if n <= PARQUET_SHARD_MAX_ROWS:
+        # shard construction streams through the driver (memory-bounded
+        # per batch, but the shard dicts live in driver heap until
+        # ray.put)
+        num_shards = max(8, n // SHARD_TARGET_ROWS)
+        mapping_id, refs = _build_shards(mapping_ds, key_col, val_col, num_shards)
 
-    def g(t: pa.Table) -> pa.Table:
-        vals = _lookup_with_shards(mapping_id, refs, num_shards, t.column(on).to_pylist())
+        def g(t: pa.Table) -> pa.Table:
+            vals = _lookup_with_shards(
+                mapping_id, refs, num_shards, t.column(on).to_pylist()
+            )
+            return t.append_column(out_col, pa.array(vals, pa.string()))
+
+        return target_ds.map_batches(g, batch_format="pyarrow")
+
+    # largest tier: the mapping never assembles anywhere — it's written
+    # hive-partitioned by shard straight from the cluster, and lookup
+    # tasks lazily read (and cache) only the shard files their keys hit
+    num_shards = max(64, n // SHARD_TARGET_ROWS)
+    shard_dir = _write_parquet_shards(mapping_ds, key_col, val_col, num_shards)
+
+    def h(t: pa.Table) -> pa.Table:
+        vals = _lookup_with_parquet_shards(
+            shard_dir, num_shards, t.column(on).to_pylist()
+        )
         return t.append_column(out_col, pa.array(vals, pa.string()))
 
-    return target_ds.map_batches(g, batch_format="pyarrow")
+    return target_ds.map_batches(h, batch_format="pyarrow")
+
+
+def _write_parquet_shards(mapping_ds, key_col: str, val_col: str, num_shards: int) -> str:
+    """Distributed shard spill: mapping -> hive parquet by shard id.
+    No single process ever holds the whole mapping."""
+    import os
+    import uuid
+
+    shard_dir = os.path.join(PARQUET_SHARD_DIR, uuid.uuid4().hex)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        ks = t.column(key_col).to_pylist()
+        t = pa.table({"__k": t.column(key_col), "__v": t.column(val_col)})
+        return t.append_column(
+            "__shard", pa.array([_shard_of(k, num_shards) for k in ks], pa.int32())
+        )
+
+    mapping_ds.select_columns([key_col, val_col]).map_batches(
+        add_shard, batch_format="pyarrow"
+    ).write_parquet(shard_dir, partition_cols=["__shard"])
+    return shard_dir
+
+
+def _lookup_with_parquet_shards(shard_dir: str, num_shards: int, keys: list):
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for k in keys:
+        si = _shard_of(k, num_shards)
+        ck = (shard_dir, si)
+        shard = _SHARD_CACHE.get(ck)
+        if shard is None:
+            path = os.path.join(shard_dir, f"__shard={si}")
+            if os.path.isdir(path):
+                t = pq.read_table(path, columns=["__k", "__v"])
+                shard = dict(zip(t.column("__k").to_pylist(), t.column("__v").to_pylist()))
+            else:
+                shard = {}
+            if len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
+                _SHARD_CACHE.clear()
+            _SHARD_CACHE[ck] = shard
+        out.append(shard.get(k))
+    return out

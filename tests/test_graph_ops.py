@@ -127,3 +127,38 @@ def test_store_partition_pruned_load(tmp_path, ray_session):
     tri_counts = full.groupby("partition_id").size()
     for r in man.itertuples(index=False):
         assert tri_counts.get(r.partition_id, 0) == r.triples
+
+
+def test_lookup_column_all_three_tiers(ray_session, monkeypatch):
+    """Broadcast, object-store-sharded, and parquet-sharded lookup
+    tiers must produce identical results."""
+    import pandas as pd
+    import ray.data as rd
+
+    import graphiti_ray.stages.joins as joins
+
+    target = rd.from_pandas(
+        pd.DataFrame({"k": [f"id{i}" for i in range(50)], "x": list(range(50))})
+    )
+    mapping = rd.from_pandas(
+        pd.DataFrame(
+            {"old": [f"id{i}" for i in range(0, 50, 2)],
+             "new": [f"canon{i}" for i in range(0, 50, 2)]}
+        )
+    )
+
+    def run():
+        df = joins.lookup_column(target, "k", mapping, "old", "new", "out").to_pandas()
+        return df.sort_values("k").reset_index(drop=True)
+
+    base = run()
+    assert base.loc[base["k"] == "id2", "out"].iloc[0] == "canon2"
+    assert base.loc[base["k"] == "id3", "out"].isna().all()
+
+    monkeypatch.setattr(joins, "BROADCAST_MAX_ROWS", 0)
+    sharded = run()
+    assert base.equals(sharded)
+
+    monkeypatch.setattr(joins, "PARQUET_SHARD_MAX_ROWS", 0)
+    parquet_tier = run()
+    assert base.equals(parquet_tier)
