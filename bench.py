@@ -78,6 +78,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "dedup_embedding_pairs",
         "knn_bruteforce",
         "knn_lsh",
+        "knn_ivf",
         "text_stats",
         "lang_id",
         "doc_fingerprints",

@@ -113,6 +113,103 @@ def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return (bits @ (1 << np.arange(N_PLANES))).astype(np.int64)
 
 
+NLIST = 16  # IVF coarse-quantizer cells (scale: ~sqrt(corpus))
+NPROBE = 6  # cells scanned per query
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd k-means on unit vectors (seeded init, cosine
+    assignment). The coarse quantizer for IVF."""
+    rng = np.random.default_rng(23)
+    cent = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    cent = _normalize(cent)
+    for _ in range(iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        new = []
+        for c in range(len(cent)):
+            pts = sample[assign == c]
+            new.append(pts.mean(axis=0) if len(pts) else cent[c])
+        cent = _normalize(np.stack(new))
+    return cent
+
+
+def knn_ivf(sf_dir: str):
+    """IVF ANN: a k-means coarse quantizer (trained on a sample)
+    partitions vectors into NLIST inverted lists; each query scans only
+    its NPROBE nearest lists. Same output schema as knn_bruteforce.
+
+    Scale shape: train on a driver-side sample (fixed size), assignment
+    is one matmul per block against the broadcast centroids, the
+    inverted-list shuffle is a groupby(list_id), and per-query work is
+    corpus/NLIST x NPROBE."""
+    import ray
+    import ray.data as rd
+
+    qids, qmat = _load_queries(sf_dir)
+
+    # train the quantizer on a bounded sample (here: first 2048 rows)
+    import pyarrow.parquet as pq_mod
+
+    sample_t = pq_mod.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).slice(0, 2048)
+    sample = _normalize(np.array(sample_t.column("embedding").to_pylist(), dtype=np.float64))
+    cent = _kmeans(sample, NLIST)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _normalize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        lid = (m @ c.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("list_id", pa.array(lid, pa.int64()))
+
+    # query probe sets
+    probes: dict[int, list[int]] = {}
+    q_order = np.argsort(-(qmat @ cent.T), axis=1)[:, :NPROBE]
+    for qi, qid in enumerate(qids):
+        for c in q_order[qi]:
+            probes.setdefault(int(c), []).append(int(qid))
+    qref = ray.put((probes, {int(i): qmat[n] for n, i in enumerate(qids)}))
+
+    def list_scan(batch: pa.Table) -> pa.Table:
+        pr, qvecs = ray.get(qref)
+        lid = batch.column("list_id")[0].as_py()
+        hit = pr.get(lid, [])
+        if not hit:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = _normalize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        out_q, out_n, out_s = [], [], []
+        for qid in hit:
+            s = qvecs[qid] @ m.T
+            s[vids == qid] = -np.inf
+            k = min(K, len(vids))
+            top = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            top = top[np.isfinite(s[top])]
+            out_q.extend([qid] * len(top))
+            out_n.extend(vids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(assign, batch_format="pyarrow")
+    cand = ds.groupby("list_id").map_groups(list_scan, batch_format="pyarrow")
+    return cand.groupby("query_id").map_groups(_topk_reduce, batch_format="pyarrow")
+
+
 def knn_lsh(sf_dir: str):
     """LSH-bucketed ANN: same output schema as knn_bruteforce, but each
     query only scores vectors in its bucket (+hamming-1 multiprobe).

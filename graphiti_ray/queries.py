@@ -226,6 +226,12 @@ def knn_lsh(sf_dir: str):
     return knn(sf_dir)
 
 
+def knn_ivf(sf_dir: str):
+    from .ops.simsearch import knn_ivf as knn
+
+    return knn(sf_dir)
+
+
 def text_stats(sf_dir: str):
     from .ops.textstats import text_stats as ts
 
@@ -412,6 +418,7 @@ QUERIES = {
     # similarity search
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
+    "knn_ivf": knn_ivf,
     # text analysis
     "text_stats": text_stats,
     "lang_id": lang_id,

@@ -37,6 +37,37 @@ import pyarrow as pa
 from ..functions.hashing import sha1_hex
 
 MAX_LP_ITERS = 50  # monotone labels converge well before this
+SUMMARY_MAX_CHARS = 500  # reference summary budget (<=500 words; we cap chars)
+
+
+def tree_summarize(texts: list[str], max_chars: int = SUMMARY_MAX_CHARS) -> str:
+    """Hierarchical pairwise summary merge — the deterministic analog
+    of the reference's summarize_pair reduction tree
+    (community_operations.py:128-157): adjacent summaries merge
+    pairwise (log-depth) with deduplicated clauses and a length budget,
+    so the result is order-stable and bounded regardless of community
+    size. An LLM pair-summarizer drops in at the _merge_pair seam."""
+
+    def _merge_pair(a: str, b: str) -> str:
+        parts: list[str] = []
+        seen = set()
+        for p in (a + "; " + b).split("; "):
+            if p and p not in seen:
+                seen.add(p)
+                parts.append(p)
+        out = "; ".join(parts)
+        return out[:max_chars]
+
+    level = [t for t in texts if t]
+    if not level:
+        return ""
+    while len(level) > 1:
+        nxt = [
+            _merge_pair(level[i], level[i + 1]) if i + 1 < len(level) else level[i]
+            for i in range(0, len(level), 2)
+        ]
+        level = nxt
+    return level[0]
 
 
 def label_propagation(
@@ -100,7 +131,7 @@ def _group_lp(df: pd.DataFrame) -> pd.DataFrame:
         # deterministic naming: the highest-degree member leads
         top = sorted(members, key=lambda u: (-info[u][1], info[u][0]))
         name = f"{info[top[0]][0]} community"
-        summary = "; ".join(info[u][0] for u in top[:5])
+        summary = tree_summarize([info[u][0] for u in top])
         for u in members:
             rows.append(
                 {

@@ -169,3 +169,17 @@ def test_communities_partition_entities(kg):
     a = df.sort_values(["community_uuid", "entity_uuid"]).reset_index(drop=True)
     b = df2.sort_values(["community_uuid", "entity_uuid"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_tree_summarize_properties():
+    from graphiti_ray.stages.communities import SUMMARY_MAX_CHARS, tree_summarize
+
+    # dedupes repeated clauses, bounded length, deterministic
+    out = tree_summarize(["Ana Barton", "Ana Barton", "Zorex Corp"])
+    assert out == "Ana Barton; Zorex Corp"
+    big = tree_summarize([f"member {i}" for i in range(500)])
+    assert len(big) <= SUMMARY_MAX_CHARS
+    assert tree_summarize([]) == ""
+    a = tree_summarize([f"m{i}" for i in range(37)])
+    b = tree_summarize([f"m{i}" for i in range(37)])
+    assert a == b
