@@ -85,6 +85,41 @@ def events_hourly(sf_dir: str):
     )
 
 
+SESSION_GAP_S = 1800  # 30-minute inactivity gap
+
+
+def sessionize(sf_dir: str):
+    """(event_id, user_id, session_seq): gap-based sessions — a new
+    session starts when >30 min passes between a user's consecutive
+    events. session_seq = running count of gap-starts (0-based), the
+    batch analog of Graphiti's per-group sequential ingestion sessions
+    (server ingest queues, SURVEY.md §2.8 ordering note)."""
+    import ray.data as rd
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(group.column("ts"), pa.int64()))
+        ids = np.asarray(group.column("event_id"))
+        uid = group.column("user_id")[0].as_py()
+        order = np.lexsort((ids, ts))
+        ts, ids = ts[order], ids[order]
+        gaps = np.zeros(len(ids), dtype=np.int64)
+        if len(ids) > 1:
+            gaps[1:] = ((ts[1:] - ts[:-1]) > SESSION_GAP_S * 1_000_000).astype(np.int64)
+        seq = np.cumsum(gaps)
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "user_id": pa.array([uid] * len(ids), pa.int64()),
+                "session_seq": pa.array(seq, pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
 def events_json_extract(sf_dir: str):
     """(event_id, k_val): JSON scalar extraction from the props column —
     the engine's JSON-function surface (SURVEY.md §2.8)."""

@@ -135,6 +135,7 @@ def build_kg(
     skip_partitions: set[int] | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    embed: bool = False,
 ) -> KGResult:
     """Run the full construction over a pages Dataset.
 
@@ -188,6 +189,14 @@ def build_kg(
         edges = f_edges.result()
         mentions = f_mentions.result()
     triples = build_triples(edges, nodes, nodes_count=nodes.count())
+    if embed:
+        # A3: fill embedding columns via the actor-pool embed stage
+        # (name_embedding on nodes, fact_embedding on edges); the
+        # search cosine lane reads the stored columns when present
+        from ..stages.embed_stage import add_embeddings
+
+        nodes = add_embeddings(nodes, "name", "name_embedding")
+        edges = add_embeddings(edges, "fact", "fact_embedding")
     return KGResult(
         episodes=episodes,
         nodes=nodes,

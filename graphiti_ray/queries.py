@@ -268,6 +268,12 @@ def events_json(sf_dir: str):
     return events_json_extract(sf_dir)
 
 
+def events_sessionize(sf_dir: str):
+    from .ops.windows import sessionize
+
+    return sessionize(sf_dir)
+
+
 def multimodal_decode(sf_dir: str):
     from .ops.multimodal import decode_payloads
 
@@ -386,6 +392,20 @@ EVENTS_JSON_SQL = """
 SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k_val FROM events
 """
 
+EVENTS_SESSIONIZE_SQL = """
+SELECT event_id, user_id,
+  CAST(SUM(CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) <= 1800000000
+            THEN 0 ELSE 1 END)
+       OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+FROM (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+"""
+
 MULTIMODAL_SQL = """
 SELECT doc_id,
        strlen(text) AS n_bytes,
@@ -427,6 +447,7 @@ QUERIES = {
     "event_windows": event_windows,
     "events_hourly": events_hourly,
     "events_json": events_json,
+    "events_sessionize": events_sessionize,
     # multimodal plumbing
     "multimodal_decode": multimodal_decode,
 }
@@ -443,6 +464,7 @@ ORACLE_SQL = {
     "event_windows": EVENT_WINDOWS_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_json": EVENTS_JSON_SQL,
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "multimodal_decode": MULTIMODAL_SQL,
     # dedup_minhash_lsh / dedup_simhash / knn_lsh / doc_fingerprints and
     # the kg_* chain are non-SQL-expressible (sketch/probabilistic or

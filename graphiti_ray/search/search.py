@@ -176,11 +176,19 @@ def _fulltext_lane(ds, text_col: str, id_col: str, query: str, limit: int):
 
 def _cosine_lane(ds, text_col: str, id_col: str, query: str, limit: int,
                  min_score: float = MIN_SCORE):
+    """Cosine lane; reads a STORED ``{text_col}_embedding`` column when
+    the table carries one (build_kg(embed=True)), else embeds the text
+    on the fly with the same deterministic embedder."""
+    import numpy as np
+
     qv = hash_embed_texts([query])[0]
+    emb_col = f"{text_col}_embedding"
 
     def score(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        emb = hash_embed_texts(texts)
+        if emb_col in t.schema.names:
+            emb = np.array(t.column(emb_col).to_pylist(), dtype=np.float32)
+        else:
+            emb = hash_embed_texts(t.column(text_col).to_pylist())
         s = emb @ qv
         out = pa.table(
             {id_col: t.column(id_col), "score": pa.array(s, pa.float64())}

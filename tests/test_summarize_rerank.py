@@ -102,3 +102,26 @@ def test_embed_stage_and_clients(ray_session):
     assert c.cache.hits == 1
     with _pytest.raises(NotImplementedError):
         LLMExtractorClient()
+
+
+def test_build_kg_with_embeddings_and_stored_column_search(ray_session):
+    from datetime import datetime
+
+    import numpy as np
+
+    from graphiti_ray import EMBEDDING_DIM
+    from graphiti_ray.pipelines.kg import build_kg
+    from graphiti_ray.search import node_search
+    from graphiti_ray.synth import pages_dataset
+
+    kg = build_kg(pages_dataset(120), now=datetime(2026, 1, 1), concurrency=2,
+                  embed=True)
+    nodes = kg.nodes.materialize()
+    df = nodes.to_pandas()
+    assert "name_embedding" in df.columns
+    v = np.array(df["name_embedding"].iloc[0])
+    assert v.shape == (EMBEDDING_DIM,)
+    # stored-column lane produces the same ranking as on-the-fly
+    plain = build_kg(pages_dataset(120), now=datetime(2026, 1, 1), concurrency=2)
+    surname = next(n for n in df["name"] if " " in n).split()[-1]
+    assert node_search(nodes, surname) == node_search(plain.nodes.materialize(), surname)
