@@ -1,0 +1,133 @@
+"""GraphitiRay — the top-level facade mirroring the reference's
+``Graphiti`` class surface (graphiti_core/graphiti.py:92-787) on the
+batch engine, so a user of the reference maps their calls directly:
+
+| reference (Graphiti)            | GraphitiRay                         |
+|---------------------------------|-------------------------------------|
+| ``add_episode`` / ``add_episode_bulk`` | ``build(pages_ds)`` / ``build_from_episodes(eps_ds)`` (batch is the only mode) |
+| ``search`` (hybrid)             | ``search(query, config=...)``       |
+| ``get_nodes_by_query``          | ``search_nodes(query)``             |
+| ``retrieve_episodes``           | ``episode_windows()``               |
+| ``build_communities``           | ``build_communities()``             |
+| ``get_nodes_and_edges_by_episode`` | ``get_by_episode(uuid)``         |
+| ``remove_episode``              | ``remove_episode(uuid)``            |
+| constructor client injection    | ``extractor_factory`` / ``embedder_factory`` kwargs |
+
+Construction is lazy; ``build`` runs the full pipeline and caches the
+KG tables. The class owns NO Ray session (driver contract).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from .pipelines.kg import DEFAULT_NOW, KGResult, build_kg, run_kg_to_dir
+
+
+class GraphitiRay:
+    def __init__(
+        self,
+        *,
+        now: datetime = DEFAULT_NOW,
+        concurrency=4,
+        extractor_factory=None,
+        embed: bool = False,
+    ):
+        self.now = now
+        self.concurrency = concurrency
+        self.extractor_factory = extractor_factory
+        self.embed = embed
+        self.kg: KGResult | None = None
+
+    # ------------------------------------------------------- construction
+
+    def build(self, pages_ds) -> KGResult:
+        """pages (url, warc_ts, html, text, lang) -> full KG."""
+        self.kg = build_kg(
+            pages_ds, now=self.now, concurrency=self.concurrency, embed=self.embed
+        )
+        return self.kg
+
+    def build_from_episodes(self, episodes_ds) -> KGResult:
+        """Episodes from any source (pages / messages / json —
+        sources/episodes.py) -> full KG."""
+        from .stages import canonicalize, edges as edge_stage, extract
+        from .pipelines.kg import _dedupe_mentions, build_triples
+
+        extracted = extract.extract_all(
+            episodes_ds,
+            concurrency=self.concurrency,
+            client_factory=self.extractor_factory,
+        ).materialize()
+        nodes_raw, edges_raw, mentions_raw = extract.split_extracted(extracted)
+        nodes, uuid_map, alias = canonicalize.canonicalize_nodes(nodes_raw)
+        nodes = nodes.materialize()
+        edges = edge_stage.resolve_edges(
+            edges_raw, alias, self.now, uuid_map_ds=uuid_map
+        ).materialize()
+        mentions = _dedupe_mentions(mentions_raw, alias, uuid_map_ds=uuid_map).materialize()
+        triples = build_triples(edges, nodes, nodes_count=nodes.count())
+        self.kg = KGResult(
+            episodes=episodes_ds, nodes=nodes, edges=edges,
+            mentions=mentions, triples=triples, uuid_map=uuid_map,
+        )
+        return self.kg
+
+    def build_to_dir(self, pages_ds, out_dir: str, resume: bool = True) -> dict:
+        """Materialize with checkpoint-resume + lineage (S4/S5)."""
+        return run_kg_to_dir(
+            pages_ds, out_dir, now=self.now, resume=resume, concurrency=self.concurrency
+        )
+
+    # ------------------------------------------------------------ queries
+
+    def _require(self) -> KGResult:
+        if self.kg is None:
+            raise RuntimeError("call build() first")
+        return self.kg
+
+    def search(self, query: str, config=None, filters=None) -> dict[str, list[str]]:
+        """Hybrid 3-way search (Q1)."""
+        from .search.config import hybrid_search
+
+        kg = self._require()
+        return hybrid_search(
+            query, nodes_ds=kg.nodes, edges_ds=kg.edges, config=config, filters=filters
+        )
+
+    def search_nodes(self, query: str, limit: int = 10) -> list[str]:
+        from .search import node_search
+
+        return node_search(self._require().nodes, query, limit=limit)
+
+    def search_edges(self, query: str, limit: int = 10) -> list[str]:
+        from .search import edge_search
+
+        return edge_search(self._require().edges, query, limit=limit)
+
+    def episode_windows(self):
+        from .stages.summarize import episode_windows
+
+        return episode_windows(self._require().episodes)
+
+    def build_communities(self):
+        from .stages.communities import build_communities
+
+        kg = self._require()
+        return build_communities(kg.nodes, kg.edges)
+
+    def get_by_episode(self, episode_uuid: str) -> dict:
+        from .state.graph_ops import get_by_episode
+
+        return get_by_episode(self._require(), episode_uuid)
+
+    def remove_episode(self, episode_uuid: str) -> dict:
+        from .state.graph_ops import remove_episode
+
+        return remove_episode(self._require(), episode_uuid)
+
+    def summaries(self):
+        from .stages.summarize import summarize_nodes
+
+        kg = self._require()
+        return summarize_nodes(kg.nodes, kg.edges)

@@ -228,8 +228,25 @@ def build_uuid_map_and_nodes(nodes_exact_ds, comp: dict[str, str]):
     threshold — stages/edges.rewrite_pointers)."""
     import pandas as pd
     import ray
+    import ray.data as rd
 
     from ..functions.hashing import stable_int
+
+    if not comp:  # no duplicate candidates at all
+        empty_map = rd.from_arrow(
+            pa.table(
+                {
+                    "old_uuid": pa.array([], pa.string()),
+                    "canonical_uuid": pa.array([], pa.string()),
+                    "group_id": pa.array([], pa.string()),
+                }
+            )
+        )
+        nodes = nodes_exact_ds.map_batches(
+            lambda t: t.select(NODE_STAGE_SCHEMA.names).cast(NODE_STAGE_SCHEMA),
+            batch_format="pyarrow",
+        )
+        return nodes, empty_map, {}
 
     comp_ref = ray.put(comp)
 

@@ -183,13 +183,19 @@ class MentionRelationExtractor:
         return pa.Table.from_arrays(arrays, schema=EXTRACTED_SCHEMA)
 
 
-def extract_all(episodes_ds, concurrency=4, batch_size: int = 512):
-    """episodes -> union extracted table (kind in node|edge|mention)."""
+def extract_all(episodes_ds, concurrency=4, batch_size: int = 512,
+                client_factory=None):
+    """episodes -> union extracted table (kind in node|edge|mention).
+    ``client_factory``: ExtractorClient constructor injected per actor."""
+    kwargs = {}
+    if client_factory is not None:
+        kwargs["fn_constructor_kwargs"] = {"client_factory": client_factory}
     return episodes_ds.map_batches(
         MentionRelationExtractor,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        **kwargs,
     )
 
 
