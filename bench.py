@@ -72,6 +72,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "node_summaries",
         "search_hybrid_demo",
         "dedup_exact",
+        "corpus_prep",
         "dedup_minhash_lsh",
         "dedup_jaccard_pairs",
         "dedup_simhash",

@@ -274,6 +274,14 @@ def events_sessionize(sf_dir: str):
     return sessionize(sf_dir)
 
 
+def corpus_prep(sf_dir: str):
+    """Composed training-data prep: quality filter -> exact dedup ->
+    per-language accounting (ops/prep.py)."""
+    from .ops.prep import corpus_prep as cp
+
+    return cp(sf_dir)
+
+
 def multimodal_decode(sf_dir: str):
     from .ops.multimodal import decode_payloads
 
@@ -406,6 +414,26 @@ FROM (
 )
 """
 
+CORPUS_PREP_SQL = _with_docs_dups(r"""
+, stats AS (
+  SELECT doc_id, lang, text,
+    len(string_split(text, ' ')) AS n_words,
+    len(regexp_extract_all(text, '\b(the|a|of|and|in|on)\b')) AS n_stop,
+    strlen(text) AS n_bytes,
+    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens
+  FROM corpus
+), q AS (
+  SELECT * FROM stats
+  WHERE n_words >= 10 AND n_bytes <= 100000 AND 20*n_stop >= n_words
+), dedup AS (
+  SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(n_tokens) AS n_tokens
+  FROM q GROUP BY text
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM dedup GROUP BY lang
+""")
+
 MULTIMODAL_SQL = """
 SELECT doc_id,
        strlen(text) AS n_bytes,
@@ -448,6 +476,8 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_json": events_json,
     "events_sessionize": events_sessionize,
+    # composed training-data prep
+    "corpus_prep": corpus_prep,
     # multimodal plumbing
     "multimodal_decode": multimodal_decode,
 }
@@ -466,6 +496,7 @@ ORACLE_SQL = {
     "events_json": EVENTS_JSON_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "multimodal_decode": MULTIMODAL_SQL,
+    "corpus_prep": CORPUS_PREP_SQL,
     # dedup_minhash_lsh / dedup_simhash / knn_lsh / doc_fingerprints and
     # the kg_* chain are non-SQL-expressible (sketch/probabilistic or
     # hash-identity logic) -> rows-only driver check; pytest pins them.

@@ -260,3 +260,33 @@ def test_knn_ivf_recall(ray_session):
         hits += len(got & set(true_nbrs))
         total += len(true_nbrs)
     assert hits / total >= 0.5
+
+
+def test_corpus_prep_composition(ray_session):
+    """Quality filter -> exact dedup -> per-lang accounting: verify
+    against a brute-force single-process pass."""
+    import re
+
+    from graphiti_ray.ops.prep import corpus_prep
+    from graphiti_ray.ops.textstats import STOPWORD_RE, TOKEN_RE
+
+    got = corpus_prep(SF).to_pandas().set_index("lang").sort_index()
+    rows = _docs_with_dups_local()
+    best: dict[str, tuple[int, str, int]] = {}
+    for i, txt, lg in rows:
+        nw = len(txt.split(" "))
+        ns = len(re.findall(STOPWORD_RE, txt))
+        nb = len(txt.encode("utf-8"))
+        if not (nw >= 10 and nb <= 100000 and 20 * ns >= nw):
+            continue
+        nt = len(re.findall(TOKEN_RE, txt))
+        cur = best.get(txt)
+        if cur is None or i < cur[0]:
+            best[txt] = (i, lg, nt)
+    want: dict[str, list[int]] = {}
+    for _, lg, nt in best.values():
+        want.setdefault(lg, []).append(nt)
+    assert set(got.index) == set(want)
+    for lg, toks in want.items():
+        assert got.loc[lg, "n_docs"] == len(toks)
+        assert got.loc[lg, "total_tokens"] == sum(toks)
