@@ -73,6 +73,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "search_hybrid_demo",
         "dedup_exact",
         "corpus_prep",
+        "kg_pr_report",
         "dedup_minhash_lsh",
         "dedup_jaccard_pairs",
         "dedup_simhash",

@@ -274,6 +274,52 @@ def events_sessionize(sf_dir: str):
     return sessionize(sf_dir)
 
 
+def kg_pr_report(sf_dir: str):
+    """The north-rule headline, machine-readable: precision/recall of
+    the distributed pipeline's triples vs the independent
+    single-process reference-semantics oracle (pipelines/oracle.py) on
+    the same corpus. Target P/R >= 0.95; deterministic extractor gives
+    1.0. Reported in integer parts (matched/pipeline/oracle counts) so
+    the check is float-free."""
+    import pyarrow as pa
+
+    from .pipelines.oracle import oracle_triples
+    from .sources.pages import documents_count
+    from .synth import gen_pages_table
+
+    import pandas as pd
+    import ray.data as rd
+
+    from .pipelines.kg import build_kg
+
+    n = min(documents_count(sf_dir), 2000)  # bounded oracle (O(n^2) path)
+    pages = gen_pages_table(n)
+    pipe = build_kg(rd.from_arrow(pages), now=NOW, concurrency=4)
+
+    def _ts(v):
+        return None if pd.isna(v) else v.to_pydatetime()
+
+    got = {
+        (r["subj"], r["pred"], r["obj"], _ts(r["valid_at"]), _ts(r["invalid_at"]))
+        for r in pipe.triples.to_pandas().to_dict("records")
+    }
+    want = oracle_triples(pages, NOW)
+    matched = len(got & want)
+    return pa.table(
+        {
+            "matched": pa.array([matched], pa.int64()),
+            "pipeline_triples": pa.array([len(got)], pa.int64()),
+            "oracle_triples": pa.array([len(want)], pa.int64()),
+            "precision_pct": pa.array(
+                [round(100 * matched / max(1, len(got)))], pa.int64()
+            ),
+            "recall_pct": pa.array(
+                [round(100 * matched / max(1, len(want)))], pa.int64()
+            ),
+        }
+    )
+
+
 def corpus_prep(sf_dir: str):
     """Composed training-data prep: quality filter -> exact dedup ->
     per-language accounting (ops/prep.py)."""
@@ -478,6 +524,8 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     # composed training-data prep
     "corpus_prep": corpus_prep,
+    # north-rule headline: triples P/R vs reference-semantics oracle
+    "kg_pr_report": kg_pr_report,
     # multimodal plumbing
     "multimodal_decode": multimodal_decode,
 }
