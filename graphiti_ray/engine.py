@@ -31,11 +31,13 @@ class GraphitiRay:
         now: datetime = DEFAULT_NOW,
         concurrency=4,
         extractor_factory=None,
+        embedder_factory=None,
         embed: bool = False,
     ):
         self.now = now
         self.concurrency = concurrency
         self.extractor_factory = extractor_factory
+        self.embedder_factory = embedder_factory
         self.embed = embed
         self.kg: KGResult | None = None
 
@@ -44,7 +46,12 @@ class GraphitiRay:
     def build(self, pages_ds) -> KGResult:
         """pages (url, warc_ts, html, text, lang) -> full KG."""
         self.kg = build_kg(
-            pages_ds, now=self.now, concurrency=self.concurrency, embed=self.embed
+            pages_ds,
+            now=self.now,
+            concurrency=self.concurrency,
+            embed=self.embed,
+            client_factory=self.extractor_factory,
+            embedder_factory=self.embedder_factory,
         )
         return self.kg
 

@@ -242,20 +242,13 @@ def minhash_lsh_pairs(sf_dir: str, concurrency: int = 4):
     """Banding -> candidate pairs -> exact-Jaccard verification.
 
     Candidates come from a groupby(band_key) (the LSH bucket shuffle);
-    verification reads the shingle sets through a broadcast map (ray.put
-    once — at >broadcast scale this becomes two hash joins)."""
-    import ray
-
+    a second bucketed exchange makes candidates globally distinct; then
+    verification reads each side's shingle set through the TIERED lookup
+    (stages/joins.lookup_column: whole-map broadcast when small, sharded
+    object-store refs, then cluster-visible parquet shards) — the driver
+    never assembles a whole-corpus shingle map."""
     sh = _shingled_corpus(sf_dir)
-
-    # broadcast doc -> shingle set (small side at bench scale)
-    sh_map: dict[int, np.ndarray] = {}
-    for b in sh.select_columns(["doc_id", "sh"]).iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
-        for i, s in zip(b.column("doc_id").to_pylist(), b.column("sh").to_pylist()):
-            sh_map[i] = np.asarray(s, dtype=np.uint64)
-    sh_ref = ray.put(sh_map)
+    n_docs = sh.count()  # materialized -> metadata only
 
     bands = sh.map_batches(
         _SignatureStage, batch_format="pyarrow", concurrency=concurrency
@@ -295,23 +288,47 @@ def minhash_lsh_pairs(sf_dir: str, concurrency: int = 4):
         bucket_pairs_tagged, batch_format="pandas"
     )
 
-    def dedupe_and_verify(df) -> pa.Table:
+    def global_distinct(df) -> pa.Table:
         """Pairs repeat across band buckets; each pair lands in exactly
-        one pair_bucket, so in-bucket distinct is global distinct, and
-        verification runs in the same reducer (one exchange total)."""
-        m = ray.get(sh_ref)
+        one pair_bucket, so in-bucket distinct is global distinct."""
+        uniq = sorted(set(zip(df["a_id"], df["b_id"])))
+        return pa.table(
+            {
+                "a_id": pa.array([int(a) for a, _ in uniq], pa.int64()),
+                "b_id": pa.array([int(b) for _, b in uniq], pa.int64()),
+            }
+        )
+
+    dist = cand.groupby("pair_bucket").map_groups(
+        global_distinct, batch_format="pandas"
+    )
+
+    from ..stages.joins import lookup_column
+
+    dist = lookup_column(
+        dist, "a_id", sh, "doc_id", "sh", "sh_a", mapping_rows=n_docs
+    )
+    dist = lookup_column(
+        dist, "b_id", sh, "doc_id", "sh", "sh_b", mapping_rows=n_docs
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
         pairs = []
-        for a, b in sorted(set(zip(df["a_id"], df["b_id"]))):
-            sa, sb = m[a], m[b]
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            un = sa.size + sb.size - inter
+        for a, b, sa, sb in zip(
+            t.column("a_id").to_pylist(),
+            t.column("b_id").to_pylist(),
+            t.column("sh_a").to_pylist(),
+            t.column("sh_b").to_pylist(),
+        ):
+            xa = np.asarray(sa, dtype=np.int64)
+            xb = np.asarray(sb, dtype=np.int64)
+            inter = np.intersect1d(xa, xb, assume_unique=True).size
+            un = xa.size + xb.size - inter
             if JACCARD_DEN * inter >= JACCARD_NUM * un:
                 pairs.append((int(a), int(b), int(inter), int(un)))
         return _pairs_table(pairs)
 
-    return cand.groupby("pair_bucket").map_groups(
-        dedupe_and_verify, batch_format="pandas"
-    )
+    return dist.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- SimHash
@@ -372,44 +389,78 @@ def simhash_pairs(sf_dir: str):
 
 # ------------------------------------------------- embedding cosine pairs
 
+EMB_CHUNK_ROWS = 8192  # rows per object-store chunk (chunk^2 tile fits a task)
+
+
+def list_col_to_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Arrow list<float> / fixed_size_list column -> 2-D numpy matrix,
+    via a single flattened buffer copy (no per-row to_pylist)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+    return flat.reshape(n, flat.size // n)
+
+
 def embedding_cosine_pairs(sf_dir: str):
     """(a_id, b_id) with cosine >= 0.9 over the embedding column.
 
-    The full normalized matrix is ray.put ONCE and every task computes
-    its tile against it (a blocked brute-force matmul). Threshold 0.9 is
-    empirically > 0.29 above any non-planted pair, so float32-vs-float64
-    noise cannot flip membership."""
+    Exact all-pairs semantics at bounded memory: the corpus streams into
+    K object-store CHUNKS of <= EMB_CHUNK_ROWS normalized rows each
+    (ray.put per chunk — the driver never holds more than one chunk, and
+    no task ever holds more than two), then K*(K+1)/2 TILE tasks each
+    fetch two chunks and emit the qualifying pairs of their tile. Work is
+    the unavoidable O(n^2/p) of an exact threshold join; memory per task
+    is O(chunk^2) independent of corpus size. The sub-quadratic
+    candidate-bucketed variants (LSH/IVF) live in ops/simsearch.py.
+    Threshold 0.9 is empirically > 0.29 above any non-planted pair, so
+    float32-vs-float64 noise cannot flip membership."""
     import ray
+    import ray.data as rd
 
-    vecs = embeddings_with_dups(sf_dir).materialize()
-    ids_all, mats = [], []
-    for b in vecs.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        ids_all.extend(b.column("vec_id").to_pylist())
-        mats.append(np.array(b.column("embedding").to_pylist(), dtype=np.float64))
-    m = np.concatenate(mats, axis=0)
-    norms = np.linalg.norm(m, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    m = m / norms
-    ref = ray.put((np.asarray(ids_all, dtype=np.int64), m))
+    chunk_refs: list = []
+    for b in embeddings_with_dups(sf_dir).iter_batches(
+        batch_size=EMB_CHUNK_ROWS, batch_format="pyarrow"
+    ):
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = list_col_to_matrix(b.column("embedding"))
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        chunk_refs.append(ray.put((ids, m / norms)))
+
+    empty = pa.table(
+        {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}
+    )
+    if not chunk_refs:
+        return rd.from_arrow(empty)
+
+    k = len(chunk_refs)
+    tiles = [{"i": i, "j": j} for i in range(k) for j in range(i, k)]
 
     def tile(batch: pa.Table) -> pa.Table:
-        all_ids, full = ray.get(ref)
-        my_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mv = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        n = np.linalg.norm(mv, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        sims = (mv / n) @ full.T
-        rows, cols = np.nonzero(sims >= COSINE_THRESHOLD)
-        a = my_ids[rows]
-        b = all_ids[cols]
-        keep = a < b  # dedupe orientation + drop self
-        out = np.stack([a[keep], b[keep]], axis=1)
-        out = out[np.lexsort((out[:, 1], out[:, 0]))]
-        return pa.table(
-            {
-                "a_id": pa.array(out[:, 0], pa.int64()),
-                "b_id": pa.array(out[:, 1], pa.int64()),
-            }
-        )
+        outs = [empty]
+        for i, j in zip(batch.column("i").to_pylist(), batch.column("j").to_pylist()):
+            ids_a, ma = ray.get(chunk_refs[i])
+            ids_b, mb = ray.get(chunk_refs[j])
+            sims = ma @ mb.T
+            rows, cols = np.nonzero(sims >= COSINE_THRESHOLD)
+            if i == j:  # strict upper triangle: drop self + mirror
+                keep = rows < cols
+                rows, cols = rows[keep], cols[keep]
+            a, b = ids_a[rows], ids_b[cols]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            order = np.lexsort((hi, lo))
+            outs.append(
+                pa.table(
+                    {
+                        "a_id": pa.array(lo[order], pa.int64()),
+                        "b_id": pa.array(hi[order], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
 
-    return vecs.map_batches(tile, batch_format="pyarrow")
+    return rd.from_items(tiles, override_num_blocks=len(tiles)).map_batches(
+        tile, batch_format="pyarrow"
+    )

@@ -46,9 +46,10 @@ class KGResult:
     uuid_map: object
 
 
-def _dedupe_mentions(mentions_ds, alias: dict[str, str], uuid_map_ds=None):
+def _dedupe_mentions(mentions_ds, alias: dict[str, str] | None, uuid_map_ds=None):
     """Rewrite mention pointers through the alias map (broadcast dict,
-    or the uuid_map hash join past the broadcast threshold), then
+    or the uuid_map hash join past the broadcast threshold — mandatory
+    when alias is None because canonicalize skipped the dict), then
     collapse duplicate (episode, entity) rows (aliases of one entity
     mentioned in the same episode merge after canonicalization)."""
     import ray
@@ -57,7 +58,11 @@ def _dedupe_mentions(mentions_ds, alias: dict[str, str], uuid_map_ds=None):
     from ..stages.edges import rewrite_pointers_join
     from ..stages.joins import BROADCAST_MAX_ROWS
 
-    if uuid_map_ds is not None and len(alias) > BROADCAST_MAX_ROWS:
+    if alias is None and uuid_map_ds is None:
+        raise ValueError("alias=None requires uuid_map_ds for the join path")
+    if uuid_map_ds is not None and (
+        alias is None or len(alias) > BROADCAST_MAX_ROWS
+    ):
         mentions_ds = rewrite_pointers_join(mentions_ds, uuid_map_ds, ["entity_uuid"])
 
         def rewrite(t: pa.Table) -> pa.Table:
@@ -136,6 +141,8 @@ def build_kg(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     embed: bool = False,
+    client_factory=None,
+    embedder_factory=None,
 ) -> KGResult:
     """Run the full construction over a pages Dataset.
 
@@ -144,6 +151,10 @@ def build_kg(
     runs once even though three tables branch off it, and a rerun with
     resume=True skips completed stages). When None, the extraction union
     is materialized in the object store instead.
+
+    client_factory: ExtractorClient constructor injected into each
+    extraction actor (functions/clients.py seam); embedder_factory: the
+    EmbedderClient constructor used when embed=True.
     """
     episodes = extract.pages_to_episodes(pages_ds)
     if skip_partitions:
@@ -156,7 +167,9 @@ def build_kg(
         episodes = ckpt.stage_checkpoint(
             episodes, os.path.join(checkpoint_dir, "episodes"), resume
         )
-    extracted = extract.extract_all(episodes, concurrency=concurrency)
+    extracted = extract.extract_all(
+        episodes, concurrency=concurrency, client_factory=client_factory
+    )
     if checkpoint_dir:
         extracted = ckpt.stage_checkpoint(
             extracted, os.path.join(checkpoint_dir, "extracted"), resume
@@ -193,10 +206,11 @@ def build_kg(
         # A3: fill embedding columns via the actor-pool embed stage
         # (name_embedding on nodes, fact_embedding on edges); the
         # search cosine lane reads the stored columns when present
-        from ..stages.embed_stage import add_embeddings
+        from ..stages.embed_stage import HashEmbedder, add_embeddings
 
-        nodes = add_embeddings(nodes, "name", "name_embedding")
-        edges = add_embeddings(edges, "fact", "fact_embedding")
+        ef = embedder_factory or HashEmbedder
+        nodes = add_embeddings(nodes, "name", "name_embedding", embedder_factory=ef)
+        edges = add_embeddings(edges, "fact", "fact_embedding", embedder_factory=ef)
     return KGResult(
         episodes=episodes,
         nodes=nodes,

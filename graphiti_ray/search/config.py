@@ -145,7 +145,23 @@ def hybrid_search(
                              query, cfg.community_config.limit * 2)
         from .rank import rrf
 
+        def _dedup_keep_best(ids: list[str]) -> list[str]:
+            # the membership table has one row per MEMBER entity, so a
+            # lane surfaces the same community_uuid once per member;
+            # keep only its best (first) rank so rrf doesn't sum
+            # 1/(rank+1) per duplicate and bias toward large communities
+            seen: set[str] = set()
+            out_ids: list[str] = []
+            for u in ids:
+                if u not in seen:
+                    seen.add(u)
+                    out_ids.append(u)
+            return out_ids
+
         out["communities"] = rrf(
-            [S._lane_ids(ft, "community_uuid"), S._lane_ids(cos, "community_uuid")]
+            [
+                _dedup_keep_best(S._lane_ids(ft, "community_uuid")),
+                _dedup_keep_best(S._lane_ids(cos, "community_uuid")),
+            ]
         )[: cfg.community_config.limit]
     return out

@@ -250,11 +250,14 @@ def bfs_neighborhood(edges_ds, origin_uuids: list[str], depth: int = MAX_SEARCH_
         ref = ray.put(frontier)
 
         def touch(t: pa.Table) -> pa.Table:
-            fr = ray.get(ref)
-            src = t.column("source_node_uuid").to_pylist()
-            tgt = t.column("target_node_uuid").to_pylist()
-            keep = [i for i, (s, g) in enumerate(zip(src, tgt)) if s in fr or g in fr]
-            return t.take(keep).select(["source_node_uuid", "target_node_uuid"])
+            import pyarrow.compute as pc
+
+            fr = pa.array(sorted(ray.get(ref)), pa.string())
+            mask = pc.or_(
+                pc.is_in(t.column("source_node_uuid"), value_set=fr),
+                pc.is_in(t.column("target_node_uuid"), value_set=fr),
+            )
+            return t.filter(mask).select(["source_node_uuid", "target_node_uuid"])
 
         touched = edges_ds.map_batches(touch, batch_format="pyarrow").to_pandas()
         nxt: set[str] = set()

@@ -51,12 +51,22 @@ def episodes_from_messages(
     role_col: str | None = "role",
     content_col: str = "content",
     ts_col: str = "ts",
+    id_col: str | None = None,
     lang: str = "en",
 ):
     """message episodes: content = "actor(role): content" (or
-    "actor: content" without a role column)."""
+    "actor: content" without a role column).
+
+    ``id_col``: optional stable per-message id column used for the
+    episode name. Without one, the name is derived from the row's OWN
+    data — sha1(group|ts|actor|content) — never from a batch-local
+    index, so episode identity is invariant to block layout and two
+    same-timestamp messages in one conversation cannot collide (they
+    differ in actor/content)."""
 
     def f(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import sha1_hex
+
         actors = t.column(actor_col).to_pylist()
         roles = t.column(role_col).to_pylist() if role_col and role_col in t.schema.names else None
         bodies = t.column(content_col).to_pylist()
@@ -65,7 +75,15 @@ def episodes_from_messages(
             contents = [f"{a}({r}): {c}" for a, r, c in zip(actors, roles, bodies)]
         else:
             contents = [f"{a}: {c}" for a, c in zip(actors, bodies)]
-        names = [f"msg://{g}/{i}" for i, g in enumerate(groups)]
+        if id_col and id_col in t.schema.names:
+            mids = [str(m) for m in t.column(id_col).to_pylist()]
+        else:
+            ts_us = pc.cast(t.column(ts_col), pa.int64()).to_pylist()
+            mids = [
+                sha1_hex("msg", g, str(ts), a, c)[:16]
+                for g, ts, a, c in zip(groups, ts_us, actors, bodies)
+            ]
+        names = [f"msg://{g}/{m}" for g, m in zip(groups, mids)]
         return _episode_table(names, groups, contents, t.column(ts_col), "message", lang)
 
     return msgs_ds.map_batches(f, batch_format="pyarrow")

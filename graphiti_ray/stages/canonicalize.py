@@ -317,10 +317,19 @@ def build_uuid_map_and_nodes(nodes_exact_ds, comp: dict[str, str]):
         ),
         batch_format="pyarrow",
     )
-    # alias dict for the broadcast rewrite path (small by construction
-    # here; a Dataset-join rewrite takes over at scale)
-    adf = uuid_map.to_pandas()
-    alias = dict(zip(adf["old_uuid"], adf["canonical_uuid"]))
+    # alias dict for the broadcast rewrite path — built ONLY when the
+    # map is broadcastable; past the threshold alias=None and every
+    # consumer takes the uuid_map hash-join path (rewrite_pointers_join),
+    # so the driver never materializes an O(duplicates) dict it would
+    # not use (round-1 serial-section fix).
+    from .joins import BROADCAST_MAX_ROWS
+
+    n_map = uuid_map.count()  # merged is materialized -> cheap filter
+    if n_map <= BROADCAST_MAX_ROWS:
+        adf = uuid_map.to_pandas()
+        alias = dict(zip(adf["old_uuid"], adf["canonical_uuid"]))
+    else:
+        alias = None
     nodes = survivors.map_batches(
         lambda t: t.select(NODE_STAGE_SCHEMA.names).cast(NODE_STAGE_SCHEMA),
         batch_format="pyarrow",

@@ -162,21 +162,29 @@ def add_pair_key(edges_ds):
     uuid, so ONE src-bucketed exchange feeds the fused
     dedupe+invalidate reducer (two chained all-to-alls collapsed)."""
 
+    import pyarrow.compute as pc
+
     def f(t: pa.Table) -> pa.Table:
-        src = t.column("source_node_uuid").to_pylist()
-        tgt = t.column("target_node_uuid").to_pylist()
-        keep = [i for i, (s, g) in enumerate(zip(src, tgt)) if s != g]
-        t = t.take(keep)
-        src = t.column("source_node_uuid").to_pylist()
-        tgt = t.column("target_node_uuid").to_pylist()
-        pk = [min(s, g) + "|" + max(s, g) for s, g in zip(src, tgt)]
-        t = t.append_column("pair_key", pa.array(pk, pa.string()))
-        return t.append_column("pair_bucket", _bucket_of_col(src))
+        t = t.filter(
+            pc.not_equal(
+                t.column("source_node_uuid"), t.column("target_node_uuid")
+            )
+        )
+        src_a = t.column("source_node_uuid")
+        tgt_a = t.column("target_node_uuid")
+        lo = pc.min_element_wise(src_a, tgt_a)
+        hi = pc.max_element_wise(src_a, tgt_a)
+        t = t.append_column(
+            "pair_key", pc.binary_join_element_wise(lo, hi, "|")
+        )
+        return t.append_column(
+            "pair_bucket", _bucket_of_col(src_a.to_pylist())
+        )
 
     return edges_ds.map_batches(f, batch_format="pyarrow")
 
 
-def _merge_pair_group(g: pd.DataFrame) -> pd.DataFrame:
+def _merge_pair_group(g: pd.DataFrame) -> pa.Table:
     """D5/D6/D7 for one BUCKET of pair groups, vectorized pandas.
 
     Merge rule per (direction, predicate, fact_norm): episodes =
@@ -212,23 +220,22 @@ def _merge_pair_group(g: pd.DataFrame) -> pd.DataFrame:
     markers = res.index[res["valid_at"].isna() & res["invalid_at"].notna()]
     for i in markers:
         row = res.loc[i]
-        if True:
-            cand = res[
-                (res["source_node_uuid"] == row["source_node_uuid"])
-                & (res["target_node_uuid"] == row["target_node_uuid"])
-                & (res["name"] == row["name"])
-                & res["valid_at"].notna()
-                & (res["valid_at"] < row["invalid_at"])
-                & (res.index != i)
-            ]
-            if len(cand):
-                j = cand.sort_values(["valid_at", "fact_norm"]).index[-1]  # latest open fact
-                cur = res.at[j, "invalid_at"]
-                if pd.isna(cur) or row["invalid_at"] < cur:
-                    res.at[j, "invalid_at"] = row["invalid_at"]
-                eps = sorted(set(res.at[j, "episodes"]) | set(row["episodes"]))
-                res.at[j, "episodes"] = eps
-                drop.add(i)
+        cand = res[
+            (res["source_node_uuid"] == row["source_node_uuid"])
+            & (res["target_node_uuid"] == row["target_node_uuid"])
+            & (res["name"] == row["name"])
+            & res["valid_at"].notna()
+            & (res["valid_at"] < row["invalid_at"])
+            & (res.index != i)
+        ]
+        if len(cand):
+            j = cand.sort_values(["valid_at", "fact_norm"]).index[-1]  # latest open fact
+            cur = res.at[j, "invalid_at"]
+            if pd.isna(cur) or row["invalid_at"] < cur:
+                res.at[j, "invalid_at"] = row["invalid_at"]
+            eps = sorted(set(res.at[j, "episodes"]) | set(row["episodes"]))
+            res.at[j, "episodes"] = eps
+            drop.add(i)
     if drop:
         res = res.drop(index=list(drop))
     return _df_to_arrow(res, PAIR_STAGE_SCHEMA)
@@ -352,17 +359,23 @@ def temporal_sweep(deduped_ds, now: datetime):
     return swept.union(rest)
 
 
-def resolve_edges(edges_raw_ds, alias: dict[str, str], now: datetime,
+def resolve_edges(edges_raw_ds, alias: dict[str, str] | None, now: datetime,
                   uuid_map_ds=None):
     """Full edge resolution chain — ONE src-bucketed shuffle feeding
     the fused dedupe+temporal reducer. Returns canonical edges Dataset
     with expired_at populated.
 
     Pointer rewrite: broadcast dict below BROADCAST_MAX_ROWS, else the
-    uuid_map hash-join path (pass uuid_map_ds)."""
+    uuid_map hash-join path (pass uuid_map_ds). ``alias is None`` means
+    the map was too large to broadcast (canonicalize skipped building
+    the dict) — the join path is then mandatory."""
     from .joins import BROADCAST_MAX_ROWS
 
-    if uuid_map_ds is not None and len(alias) > BROADCAST_MAX_ROWS:
+    if alias is None and uuid_map_ds is None:
+        raise ValueError("alias=None requires uuid_map_ds for the join path")
+    if uuid_map_ds is not None and (
+        alias is None or len(alias) > BROADCAST_MAX_ROWS
+    ):
         e = rewrite_pointers_join(
             edges_raw_ds, uuid_map_ds, ["source_node_uuid", "target_node_uuid"]
         )

@@ -20,9 +20,18 @@ import pyarrow as pa
 BROADCAST_MAX_ROWS = 5_000_000
 SHARD_TARGET_ROWS = 2_000_000  # mapping rows per shard in the sharded path
 # Past this, shards are spilled to parquet instead of driver-built
-# object-store dicts (driver heap no longer holds the whole mapping)
+# object-store dicts (driver heap no longer holds the whole mapping).
+# The spill dir MUST be cluster-visible storage on a multi-node cluster
+# (shared fs / object store URI) — override via GRAPHITI_RAY_SHARD_DIR;
+# the single-node default is /tmp. _lookup_with_parquet_shards raises
+# when the shard ROOT is not visible from a worker rather than silently
+# resolving every key to None.
+import os as _os
+
 PARQUET_SHARD_MAX_ROWS = 200_000_000
-PARQUET_SHARD_DIR = "/tmp/graphiti_ray_lookup_shards"
+PARQUET_SHARD_DIR = _os.environ.get(
+    "GRAPHITI_RAY_SHARD_DIR", "/tmp/graphiti_ray_lookup_shards"
+)
 
 # per-worker shard cache: (mapping_id, shard_idx) -> dict
 _SHARD_CACHE: dict[tuple[str, int], dict] = {}
@@ -92,11 +101,23 @@ def lookup_column(
     val_col: str,
     out_col: str,
     mapping_rows: int | None = None,
+    val_type: pa.DataType | None = None,
 ):
     """Append ``out_col`` = mapping[on] to target_ds (None on miss).
 
-    Whole-map broadcast when small; sharded broadcast otherwise."""
+    Whole-map broadcast when small; sharded broadcast otherwise.
+    ``val_type``: Arrow type of the appended column (default: the
+    mapping's value-column type, so non-string payloads — e.g. shingle
+    lists — survive the lookup)."""
     import ray
+
+    if val_type is None:
+        sch = mapping_ds.schema()
+        base = getattr(sch, "base_schema", sch)  # ray Schema -> pa.Schema
+        if hasattr(base, "field"):
+            val_type = base.field(val_col).type
+        else:  # pandas-block schema: no Arrow types — historic default
+            val_type = pa.string()
 
     n = mapping_rows if mapping_rows is not None else mapping_ds.count()
     if n <= BROADCAST_MAX_ROWS:
@@ -106,7 +127,7 @@ def lookup_column(
         def f(t: pa.Table) -> pa.Table:
             mm = ray.get(ref)
             vals = [mm.get(k) for k in t.column(on).to_pylist()]
-            return t.append_column(out_col, pa.array(vals, pa.string()))
+            return t.append_column(out_col, pa.array(vals, val_type))
 
         return target_ds.map_batches(f, batch_format="pyarrow")
 
@@ -121,7 +142,7 @@ def lookup_column(
             vals = _lookup_with_shards(
                 mapping_id, refs, num_shards, t.column(on).to_pylist()
             )
-            return t.append_column(out_col, pa.array(vals, pa.string()))
+            return t.append_column(out_col, pa.array(vals, val_type))
 
         return target_ds.map_batches(g, batch_format="pyarrow")
 
@@ -135,7 +156,7 @@ def lookup_column(
         vals = _lookup_with_parquet_shards(
             shard_dir, num_shards, t.column(on).to_pylist()
         )
-        return t.append_column(out_col, pa.array(vals, pa.string()))
+        return t.append_column(out_col, pa.array(vals, val_type))
 
     return target_ds.map_batches(h, batch_format="pyarrow")
 
@@ -172,12 +193,22 @@ def _lookup_with_parquet_shards(shard_dir: str, num_shards: int, keys: list):
         ck = (shard_dir, si)
         shard = _SHARD_CACHE.get(ck)
         if shard is None:
+            if not os.path.isdir(shard_dir):
+                # the shard ROOT must be visible from every worker; a
+                # missing root means the spill landed on storage this
+                # node cannot see (e.g. another node's /tmp) — failing
+                # loudly beats silently resolving every key to None.
+                raise FileNotFoundError(
+                    f"lookup shard root {shard_dir!r} is not visible from this "
+                    "worker; set GRAPHITI_RAY_SHARD_DIR to cluster-visible "
+                    "storage (shared filesystem or object-store URI)"
+                )
             path = os.path.join(shard_dir, f"__shard={si}")
             if os.path.isdir(path):
                 t = pq.read_table(path, columns=["__k", "__v"])
                 shard = dict(zip(t.column("__k").to_pylist(), t.column("__v").to_pylist()))
             else:
-                shard = {}
+                shard = {}  # root visible, this shard genuinely empty
             if len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
                 _SHARD_CACHE.clear()
             _SHARD_CACHE[ck] = shard

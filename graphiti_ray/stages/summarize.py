@@ -23,14 +23,18 @@ import pyarrow.compute as pc
 WINDOW = 3  # EPISODE_WINDOW_LEN
 
 
+NUM_BUCKETS = 256  # uuid-hash exchange granularity for the histogram
+
+
 def summarize_nodes(nodes_ds, edges_ds):
     """(uuid, name, summary): summary = mentions + sorted predicate
     histogram over incident canonical edges.
 
-    Shuffle: one groupby(uuid) over exploded (node, predicate) rows with
-    in-batch partial counts; the node side joins via broadcast."""
-    import ray
-    from ray.data.aggregate import Sum
+    Shape: per-batch partial (uuid, pred) counts -> ONE bucketed
+    groupby(hash(uuid)) whose reducer renders each entity's top-5
+    relation string -> the node side reads it through the TIERED lookup
+    (stages/joins.lookup_column). The per-entity histogram never
+    assembles on the driver (it is O(nodes))."""
 
     def explode(t: pa.Table) -> pa.Table:
         rows_u, rows_p = [], []
@@ -50,35 +54,52 @@ def summarize_nodes(nodes_ds, edges_ds):
             }
         )
         g = out.group_by(["uuid", "pred"]).aggregate([("pred", "count")])
-        return g.rename_columns(["uuid", "pred", "cnt"])
+        g = g.rename_columns(["uuid", "pred", "cnt"])
+        from ..functions.hashing import stable_int
 
-    pred_counts = (
+        return g.append_column(
+            "bucket",
+            pa.array(
+                [
+                    stable_int(u, salt="sumbkt") % NUM_BUCKETS
+                    for u in g.column("uuid").to_pylist()
+                ],
+                pa.int32(),
+            ),
+        )
+
+    def render(df: pd.DataFrame) -> pa.Table:
+        """All uuids of one bucket -> rendered top-5 relation strings."""
+        uuids, rels = [], []
+        for u, g in df.groupby("uuid", sort=False):
+            agg = g.groupby("pred")["cnt"].sum()
+            top = sorted(agg.items(), key=lambda x: (-x[1], x[0]))[:5]
+            uuids.append(u)
+            rels.append(", ".join(f"{p} x{int(c)}" for p, c in top))
+        return pa.table(
+            {
+                "uuid": pa.array(uuids, pa.string()),
+                "rel": pa.array(rels, pa.string()),
+            }
+        )
+
+    rel_ds = (
         edges_ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["uuid", "pred"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("bucket")
+        .map_groups(render, batch_format="pandas")
     )
 
-    # small side: per-uuid predicate histogram -> broadcast dict
-    hist: dict[str, list[tuple[str, int]]] = {}
-    for b in pred_counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for u, p, c in zip(
-            b.column("uuid").to_pylist(),
-            b.column("pred").to_pylist(),
-            b.column("cnt").to_pylist(),
-        ):
-            hist.setdefault(u, []).append((p, int(c)))
-    ref = ray.put(hist)
+    from .joins import lookup_column
+
+    with_rel = lookup_column(nodes_ds, "uuid", rel_ds, "uuid", "rel", "rel")
 
     def build(t: pa.Table) -> pa.Table:
-        h = ray.get(ref)
         summaries = []
-        for u, name, nm in zip(
-            t.column("uuid").to_pylist(),
+        for name, nm, rel in zip(
             t.column("name").to_pylist(),
             t.column("n_mentions").to_pylist(),
+            t.column("rel").to_pylist(),
         ):
-            preds = sorted(h.get(u, []), key=lambda x: (-x[1], x[0]))
-            rel = ", ".join(f"{p} x{c}" for p, c in preds[:5])
             s = f"{name}: mentioned in {nm} episodes"
             if rel:
                 s += f"; relations: {rel}"
@@ -91,7 +112,7 @@ def summarize_nodes(nodes_ds, edges_ds):
             }
         )
 
-    return nodes_ds.map_batches(build, batch_format="pyarrow")
+    return with_rel.map_batches(build, batch_format="pyarrow")
 
 
 def episode_windows(episodes_ds):

@@ -125,11 +125,10 @@ def remove_episode(kg, episode_uuid: str):
     edges = kg.edges.map_batches(drop_provenance, batch_format="pyarrow")
 
     surviving = mentions.groupby("entity_uuid").count()
-    alive = set(surviving.to_pandas()["entity_uuid"])
+    alive = pa.array(sorted(set(surviving.to_pandas()["entity_uuid"])), pa.string())
 
     def keep_alive(t: pa.Table) -> pa.Table:
-        mask = pa.array([u in alive for u in t.column("uuid").to_pylist()])
-        return t.filter(mask)
+        return t.filter(pc.is_in(t.column("uuid"), value_set=alive))
 
     nodes = kg.nodes.map_batches(keep_alive, batch_format="pyarrow")
     return {"episodes": eps, "mentions": mentions, "edges": edges, "nodes": nodes}
