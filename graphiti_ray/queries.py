@@ -144,6 +144,143 @@ FROM documents
 """
 
 
+# ------------------------- KG chain over the SQL-mirrorable doc corpus
+#
+# Same full pipeline as kg_triples (extraction -> alias canonicalization
+# -> edge dedupe -> temporal sweep) but over pages derived arithmetically
+# from documents.doc_id (sources/pages_kg.py), so DuckDB can reproduce
+# the exact canonical tables: these five queries are the driver-visible
+# hash-checked gate for the KG chain (name-level projections — uuids are
+# sha1 and DuckDB has no sha1).
+
+@lru_cache(maxsize=2)
+def _kg_docs(sf_dir: str):
+    from .pipelines.kg import build_kg
+    from .sources.pages_kg import kg_pages_from_documents
+
+    return build_kg(
+        kg_pages_from_documents(sf_dir), now=NOW, concurrency=_extract_concurrency()
+    )
+
+
+def _kg_docs_edges_named(sf_dir: str):
+    """edges with subj/obj resolved to canonical names (broadcast/tiered
+    lookup, same machinery as build_triples)."""
+    from .stages.joins import lookup_column
+
+    kg = _kg_docs(sf_dir)
+    n = kg.nodes.count()
+    e = lookup_column(
+        kg.edges, "source_node_uuid", kg.nodes, "uuid", "name", "subj",
+        mapping_rows=n,
+    )
+    return lookup_column(
+        e, "target_node_uuid", kg.nodes, "uuid", "name", "obj", mapping_rows=n
+    )
+
+
+def kg_docs_triples(sf_dir: str):
+    """Flagship chain, hash-checked: (group, subj, pred, obj, fact,
+    valid_at, invalid_at) after full canonicalization + sweep."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "group_id": t.column("group_id"),
+                "subj": t.column("subj"),
+                "pred": t.column("name"),
+                "obj": t.column("obj"),
+                "fact": pc.cast(t.column("fact"), pa.string()),
+                "valid_at": t.column("valid_at"),
+                "invalid_at": t.column("invalid_at"),
+            }
+        )
+
+    return _kg_docs_edges_named(sf_dir).map_batches(proj, batch_format="pyarrow")
+
+
+def kg_docs_edges(sf_dir: str):
+    """Bi-temporal canonical edges incl. provenance size + expired_at."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "group_id": t.column("group_id"),
+                "subj": t.column("subj"),
+                "pred": t.column("name"),
+                "obj": t.column("obj"),
+                "fact": pc.cast(t.column("fact"), pa.string()),
+                "created_at": t.column("created_at"),
+                "valid_at": t.column("valid_at"),
+                "invalid_at": t.column("invalid_at"),
+                "expired_at": t.column("expired_at"),
+                "n_episodes": pc.list_value_length(t.column("episodes")).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    return _kg_docs_edges_named(sf_dir).map_batches(proj, batch_format="pyarrow")
+
+
+def kg_docs_nodes(sf_dir: str):
+    """Canonical entities after alias merge: (group, name, n_mentions)."""
+    import pyarrow as pa
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["group_id", "name", "n_mentions"])
+
+    return _kg_docs(sf_dir).nodes.map_batches(proj, batch_format="pyarrow")
+
+
+def kg_docs_mentions(sf_dir: str):
+    """Deduped MENTIONS provenance projected by (group, episode url,
+    canonical entity name)."""
+    import pyarrow as pa
+
+    from .stages.joins import lookup_column
+
+    kg = _kg_docs(sf_dir)
+    m = lookup_column(kg.mentions, "episode_uuid", kg.episodes, "episode_uuid", "url", "url")
+    m = lookup_column(
+        m, "entity_uuid", kg.nodes, "uuid", "name", "name",
+        mapping_rows=kg.nodes.count(),
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["group_id", "url", "name"])
+
+    return m.map_batches(proj, batch_format="pyarrow")
+
+
+def kg_docs_uuid_map(sf_dir: str):
+    """The alias map by NAME: merged-away surface form -> canonical."""
+    import pyarrow as pa
+
+    from .stages.joins import lookup_column
+
+    kg = _kg_docs(sf_dir)
+    m = lookup_column(
+        kg.uuid_map, "canonical_uuid", kg.nodes, "uuid", "name",
+        "canonical_name", mapping_rows=kg.nodes.count(),
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "group_id": t.column("group_id"),
+                "alias_name": t.column("old_name"),
+                "canonical_name": t.column("canonical_name"),
+            }
+        )
+
+    return m.map_batches(proj, batch_format="pyarrow")
+
+
 def communities(sf_dir: str):
     """D9 label propagation over the canonical entity graph."""
     from .stages.communities import build_communities
@@ -336,6 +473,56 @@ def multimodal_decode(sf_dir: str):
 
 # ----------------------------------------------------------- oracle SQL
 
+def _kg_docs_sql(body: str) -> str:
+    from .sources.pages_kg import KG_DOCS_CTE
+
+    return f"WITH {KG_DOCS_CTE} {body}"
+
+
+def _KG_DOCS_TRIPLES_SQL():
+    return _kg_docs_sql(
+        "SELECT grp AS group_id, subj, pred, obj, fact, valid_at, invalid_at "
+        "FROM swept"
+    )
+
+
+def _KG_DOCS_EDGES_SQL():
+    return _kg_docs_sql("""
+SELECT grp AS group_id, subj, pred, obj, fact, created_at, valid_at,
+  invalid_at,
+  CASE WHEN invalid_at IS NOT NULL THEN TIMESTAMP '2026-01-01 00:00:00'
+  END AS expired_at,
+  n_episodes
+FROM swept
+""")
+
+
+def _KG_DOCS_NODES_SQL():
+    return _kg_docs_sql("""
+SELECT e.grp AS group_id, c.cname AS name, count(*) AS n_mentions
+FROM ent_d e JOIN canon c ON c.grp = e.grp AND c.comp = e.comp
+GROUP BY e.grp, e.comp, c.cname
+""")
+
+
+def _KG_DOCS_MENTIONS_SQL():
+    return _kg_docs_sql("""
+SELECT DISTINCT e.grp AS group_id, e.url, c.cname AS name
+FROM ent_d e JOIN canon c ON c.grp = e.grp AND c.comp = e.comp
+""")
+
+
+def _KG_DOCS_UUID_MAP_SQL():
+    from .sources.pages_kg import KG_DOCS_CTE
+
+    return f"""WITH {KG_DOCS_CTE},
+person_forms AS (SELECT DISTINCT grp, 'p|' || last AS comp, form FROM pf)
+SELECT f.grp AS group_id, f.form AS alias_name, c.cname AS canonical_name
+FROM person_forms f JOIN canon c ON c.grp = f.grp AND c.comp = f.comp
+WHERE f.form <> c.cname
+"""
+
+
 def _with_docs_dups(body: str) -> str:
     from .ops.corpus import DOCS_WITH_DUPS_CTE
 
@@ -498,6 +685,12 @@ QUERIES = {
     "kg_mentions": kg_mentions,
     "kg_uuid_map": kg_uuid_map,
     "kg_episodes_docs": kg_episodes_docs,
+    # KG chain over the SQL-mirrorable doc corpus (hash-checked gate)
+    "kg_docs_triples": kg_docs_triples,
+    "kg_docs_edges": kg_docs_edges,
+    "kg_docs_nodes": kg_docs_nodes,
+    "kg_docs_mentions": kg_docs_mentions,
+    "kg_docs_uuid_map": kg_docs_uuid_map,
     "communities": communities,
     "mention_degrees": mention_degrees,
     "search_hybrid_demo": search_hybrid_demo,
@@ -532,6 +725,11 @@ QUERIES = {
 
 ORACLE_SQL = {
     "kg_episodes_docs": KG_EPISODES_DOCS_SQL,
+    "kg_docs_triples": _KG_DOCS_TRIPLES_SQL(),
+    "kg_docs_edges": _KG_DOCS_EDGES_SQL(),
+    "kg_docs_nodes": _KG_DOCS_NODES_SQL(),
+    "kg_docs_mentions": _KG_DOCS_MENTIONS_SQL(),
+    "kg_docs_uuid_map": _KG_DOCS_UUID_MAP_SQL(),
     "episode_windows": EPISODE_WINDOWS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,

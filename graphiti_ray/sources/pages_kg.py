@@ -1,0 +1,262 @@
+"""SQL-mirrorable KG corpus: pages derived arithmetically from doc_id.
+
+Purpose: give the FULL KG-construction chain (extraction ->
+canonicalization with alias merging -> edge dedupe -> temporal sweep ->
+triples) a driver-checkable DuckDB oracle. Every value in these pages is
+a pure integer-arithmetic function of ``documents.doc_id``, and every
+name comes from a fixed pool interpolated into both the Python generator
+and the SQL mirror (queries.KG_DOCS_* in queries.py) — so DuckDB can
+reproduce the exact canonical node/edge/mention/alias tables the
+distributed pipeline emits.
+
+Corpus semantics (chosen so each KG stage does non-trivial work AND
+stays exactly SQL-expressible):
+- person (g, j) per doc: g = doc_id % 10 (the group/domain),
+  j = (doc_id // 10) % 4; the person space is deliberately SMALL
+  (period 40) so at the driver's 500-doc scale every person recurs
+  across time buckets and the sweep finds real contradictions; full
+  name from KG_FIRSTS/KG_LASTS with surnames UNIQUE within a group
+  (7*j mod 40 is injective for j < 4).
+- alias surface forms: 80% full name, 20% bare surname, selected by
+  (doc_id // 9) % 10 — 9 does not divide the person period 40, so
+  the SAME person surfaces under BOTH forms across docs (a selector
+  aligned to a divisor of 400 would freeze each person into one form
+  and no alias merge would ever trigger) — exercises the
+  blocking + alias_match + connected-components merge; the component is
+  exactly (group, surname) and the canonical name is the
+  length-then-lexicographic max over observed forms (the same
+  name_sort_key rule canonicalize.py applies).
+- employer rotates with a ~6-month time bucket -> WORKS_FOR
+  contradictions across warc_ts -> the T2/T3 temporal sweep closes
+  older facts at the next contradicting valid_at (mirrored in SQL as a
+  correlated min() self-join, valid under this corpus because no
+  extraction-time invalid_at exists -> the disjointness skips are
+  vacuous).
+- LIVES_IN (constant city per person: dedupe only), BORN_IN
+  (dateless), HOLDS_ROLE (As-of date parsing + sweep).
+
+Name pools are mutually DISJOINT across kinds (a city equal to a
+surname would alias-merge a city node into a person component).
+
+Reference anchors: extraction patterns functions/extraction.py:36-45
+(= graphiti_core prompt semantics), canonical merge
+canonicalize.py:282-302 (node_operations.py:298-412), sweep
+edges.py:263-307 (edge_operations.py:234-305).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schemas import PAGES
+
+EPOCH_2023 = 1672531200  # 2023-01-01 UTC, seconds
+SPAN_S = 63072000  # two years
+BUCKET_S = SPAN_S // 4  # employer rotates per bucket -> contradictions
+# ts offset multiplier: large and coprime to SPAN_S so even a 500-doc
+# corpus wraps the full two-year span many times (with a small
+# multiplier every doc lands in bucket 0 and no contradiction exists)
+OFF_MULT = 6291469
+
+KG_FIRSTS = [
+    "Anera", "Belor", "Coril", "Darven", "Elsin", "Farow", "Gelith",
+    "Harnen", "Ilora", "Jasper", "Kelvin", "Lorets", "Mavin", "Norel",
+    "Odana", "Peralt", "Quimby", "Rosalind", "Selwin", "Tovira",
+    "Ulmer", "Vestra", "Welden", "Xanthe",
+]  # 24
+KG_LASTS = [
+    "Barwick", "Caldon", "Drenmore", "Farnley", "Gartham", "Holvert",
+    "Jensley", "Kirbell", "Lundell", "Mortvale", "Norsten", "Ostrem",
+    "Pellham", "Randor", "Stenwick", "Thornby", "Ulrich", "Vancett",
+    "Waltham", "Yorvin", "Ashford", "Bexley", "Cranmore", "Dunwell",
+    "Eastley", "Fenwick", "Grandon", "Hartwell", "Ironsley", "Jadewick",
+    "Kingsley", "Lakemore", "Millbrook", "Norwood", "Oakhurst",
+    "Pinewell", "Quarles", "Redfern", "Sablewood", "Tarnell",
+]  # 40
+KG_ORGS = [
+    "Zorvex Corp", "Apexon Labs", "Novexa Systems", "Quantis Group",
+    "Veldora Industries", "Hexlin Corp", "Lumara Labs",
+    "Cryonis Systems", "Synthera Group", "Orbitex Industries",
+    "Maxtral Corp", "Tessark Labs",
+]  # 12
+KG_CITIES = [
+    "Dorvale", "Elmsworth", "Fairhaven", "Granport", "Hartsburg",
+    "Ironvale", "Jadeport", "Kingsmere", "Lakewynd", "Millhaven",
+]  # 10
+KG_ROLES = ["president", "director", "chief executive", "manager", "treasurer"]
+
+
+def kg_doc_fields(doc_id: int) -> dict:
+    """All derived fields for one doc — the Python half of the mirror."""
+    g = doc_id % 10
+    j = (doc_id // 10) % 4
+    off = (doc_id * OFF_MULT) % SPAN_S
+    ts = datetime(2023, 1, 1) + timedelta(seconds=off)
+    bucket = off // BUCKET_S
+    first = KG_FIRSTS[(g * 7 + j) % len(KG_FIRSTS)]
+    last = KG_LASTS[(g * 3 + 7 * j) % len(KG_LASTS)]
+    org = KG_ORGS[(g + j + bucket) % len(KG_ORGS)]
+    city = KG_CITIES[(g * 5 + j) % len(KG_CITIES)]
+    bcity = KG_CITIES[(g * 2 + j) % len(KG_CITIES)]
+    role = KG_ROLES[(g + j + bucket) % len(KG_ROLES)]
+    form = f"{first} {last}" if (doc_id // 9) % 10 < 8 else last
+    return {
+        "g": g, "j": j, "ts": ts, "bucket": bucket, "first": first,
+        "last": last, "org": org, "city": city, "bcity": bcity,
+        "role": role, "form": form,
+        "grp": f"site{g}.example",
+        "url": f"https://site{g}.example/doc{doc_id}",
+    }
+
+
+def kg_doc_sentences(doc_id: int, f: dict) -> list[str]:
+    sents = [f"{f['form']} works for {f['org']}."]
+    if doc_id % 3 == 0:
+        sents.append(f"{f['form']} lives in {f['city']}.")
+    if doc_id % 4 == 1:
+        sents.append(f"{f['form']} was born in {f['bcity']}.")
+    if doc_id % 5 == 2:
+        sents.append(
+            f"As of {f['ts'].date().isoformat()}, {f['form']} is the "
+            f"{f['role']} of {f['org']}."
+        )
+    return sents
+
+
+def _kg_batch_to_pages(batch: pa.Table) -> pa.Table:
+    urls, ts_us, htmls, texts = [], [], [], []
+    for d in batch.column("doc_id").to_pylist():
+        f = kg_doc_fields(d)
+        sents = kg_doc_sentences(d, f)
+        text = "\n".join(sents)
+        urls.append(f["url"])
+        ts_us.append((EPOCH_2023 + (d * OFF_MULT) % SPAN_S) * 1_000_000)
+        texts.append(text)
+        if d % 10 == 0:
+            htmls.append(None)  # text-only page
+        else:
+            body = "".join(f"<p>{s}</p>" for s in sents)
+            htmls.append(
+                (
+                    f"<html><head><title>doc {d}</title></head>"
+                    f"<body>{body}</body></html>"
+                ).encode("utf-8")
+            )
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pc.cast(pa.array(ts_us, pa.int64()), pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(urls), pa.string()),
+        }
+    ).cast(PAGES)
+
+
+def kg_pages_from_documents(sf_dir: str):
+    """documents.doc_id -> SQL-mirrorable KG pages (1:1 per document)."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return docs.map_batches(_kg_batch_to_pages, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- SQL mirror
+
+def _sql_list(pool: list[str]) -> str:
+    inner = ",".join("'" + p + "'" for p in pool)
+    return f"[{inner}]"
+
+
+# Shared CTE prefix: per-doc derived fields + the raw extraction rows,
+# token-for-token the SQL image of kg_doc_fields/kg_doc_sentences and
+# functions/extraction.py's patterns on this corpus.
+KG_DOCS_CTE = f"""
+d AS (
+  SELECT doc_id,
+    doc_id % 10 AS g,
+    (doc_id // 10) % 4 AS j,
+    'site' || CAST(doc_id % 10 AS VARCHAR) || '.example' AS grp,
+    'https://site' || CAST(doc_id % 10 AS VARCHAR) || '.example/doc'
+      || CAST(doc_id AS VARCHAR) AS url,
+    make_timestamp(CAST((1672531200 + (doc_id*6291469) % 63072000) AS BIGINT)
+                   * 1000000) AS ts,
+    ((doc_id*6291469) % 63072000) // 15768000 AS bucket
+  FROM documents
+), p AS (
+  SELECT *,
+    {_sql_list(KG_FIRSTS)}[CAST((g*7+j) % 24 AS INT) + 1] AS first,
+    {_sql_list(KG_LASTS)}[CAST((g*3+7*j) % 40 AS INT) + 1] AS last,
+    {_sql_list(KG_ORGS)}[CAST((g+j+bucket) % 12 AS INT) + 1] AS org,
+    {_sql_list(KG_CITIES)}[CAST((g*5+j) % 10 AS INT) + 1] AS city,
+    {_sql_list(KG_CITIES)}[CAST((g*2+j) % 10 AS INT) + 1] AS bcity,
+    {_sql_list(KG_ROLES)}[CAST((g+j+bucket) % 5 AS INT) + 1] AS role
+  FROM d
+), pf AS (
+  SELECT *,
+    CASE WHEN (doc_id // 9) % 10 < 8 THEN first || ' ' || last ELSE last END AS form
+  FROM p
+),
+-- one row per (doc, entity surface, merge-component key)
+ent AS (
+  SELECT doc_id, grp, url, form AS name, 'p|' || last AS comp FROM pf
+  UNION ALL SELECT doc_id, grp, url, org, 'o|' || org FROM pf
+  UNION ALL SELECT doc_id, grp, url, city, 'c|' || city FROM pf WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id, grp, url, bcity, 'c|' || bcity FROM pf WHERE doc_id % 4 = 1
+  UNION ALL SELECT doc_id, grp, url, org, 'o|' || org FROM pf WHERE doc_id % 5 = 2
+), ent_d AS (SELECT DISTINCT doc_id, grp, url, name, comp FROM ent),
+-- canonical name per component: length-then-lexicographic max
+-- (name_sort_key of functions/extraction.py, string-encoded)
+canon AS (
+  SELECT grp, comp,
+    substr(max(lpad(CAST(length(name) AS VARCHAR),4,'0') || '|' || name), 6)
+      AS cname
+  FROM ent_d GROUP BY grp, comp
+),
+-- raw extracted edges (subject = the doc's person surface form)
+edges0 AS (
+  SELECT grp, last, 'WORKS_FOR' AS pred, org AS obj,
+    form || ' works for ' || org || '.' AS fact,
+    ts AS valid_at, ts AS created_at, doc_id
+  FROM pf
+  UNION ALL
+  SELECT grp, last, 'LIVES_IN', city,
+    form || ' lives in ' || city || '.', ts, ts, doc_id
+  FROM pf WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT grp, last, 'BORN_IN', bcity,
+    form || ' was born in ' || bcity || '.', NULL, ts, doc_id
+  FROM pf WHERE doc_id % 4 = 1
+  UNION ALL
+  SELECT grp, last, 'HOLDS_ROLE', org,
+    'As of ' || strftime(ts, '%Y-%m-%d') || ', ' || form || ' is the '
+      || role || ' of ' || org || '.',
+    date_trunc('day', ts), ts, doc_id
+  FROM pf WHERE doc_id % 5 = 2
+),
+-- D5/D6 pair-group merge: same (group, canonical subject, pred, obj,
+-- fact) rows collapse; provenance = distinct episodes; min timestamps
+merged AS (
+  SELECT e0.grp, c.cname AS subj, e0.pred, e0.obj, e0.fact,
+    min(e0.valid_at) AS valid_at, min(e0.created_at) AS created_at,
+    count(DISTINCT e0.doc_id) AS n_episodes
+  FROM edges0 e0 JOIN canon c ON c.grp = e0.grp AND c.comp = 'p|' || e0.last
+  GROUP BY e0.grp, c.cname, e0.pred, e0.obj, e0.fact
+),
+-- T2/T3 sweep for exclusive predicates: the earliest LATER
+-- different-object fact closes each edge (no extraction-time
+-- invalid_at in this corpus -> the disjointness skips are vacuous)
+swept AS (
+  SELECT m.grp, m.subj, m.pred, m.obj, m.fact, m.valid_at, m.created_at,
+    m.n_episodes,
+    CASE WHEN m.pred IN ('WORKS_FOR','LIVES_IN','HOLDS_ROLE') THEN (
+      SELECT min(n.valid_at) FROM merged n
+      WHERE n.grp = m.grp AND n.subj = m.subj AND n.pred = m.pred
+        AND n.obj <> m.obj AND n.valid_at > m.valid_at
+    ) END AS invalid_at
+  FROM merged m
+)
+"""

@@ -239,6 +239,7 @@ def build_uuid_map_and_nodes(nodes_exact_ds, comp: dict[str, str]):
                     "old_uuid": pa.array([], pa.string()),
                     "canonical_uuid": pa.array([], pa.string()),
                     "group_id": pa.array([], pa.string()),
+                    "old_name": pa.array([], pa.string()),
                 }
             )
         )
@@ -311,12 +312,20 @@ def build_uuid_map_and_nodes(nodes_exact_ds, comp: dict[str, str]):
         ),
         batch_format="pyarrow",
     )
-    uuid_map = merged.map_batches(
-        lambda t: t.filter(pc.equal(t.column("kind"), "map")).select(
-            ["old_uuid", "canonical_uuid", "group_id"]
-        ),
-        batch_format="pyarrow",
-    )
+    def _map_rows(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.equal(t.column("kind"), "map"))
+        # old_name (the merged-away member's surface form) rides along so
+        # the alias map is projectable by NAME for oracle checks / audits
+        return pa.table(
+            {
+                "old_uuid": m.column("old_uuid"),
+                "canonical_uuid": m.column("canonical_uuid"),
+                "group_id": m.column("group_id"),
+                "old_name": m.column("name"),
+            }
+        )
+
+    uuid_map = merged.map_batches(_map_rows, batch_format="pyarrow")
     # alias dict for the broadcast rewrite path — built ONLY when the
     # map is broadcastable; past the threshold alias=None and every
     # consumer takes the uuid_map hash-join path (rewrite_pointers_join),

@@ -1,0 +1,60 @@
+"""Driver-style DuckDB-oracle gate for the KG chain over the
+SQL-mirrorable doc corpus (sources/pages_kg.py): the full pipeline
+(extraction -> alias canonicalization -> edge dedupe -> temporal sweep)
+must hash-match the SQL mirror value-for-value, the same compare the
+driver's correctness gate runs (sorted columns, sorted rows)."""
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+KG_DOCS_QUERIES = [
+    "kg_docs_nodes",
+    "kg_docs_mentions",
+    "kg_docs_uuid_map",
+    "kg_docs_triples",
+    "kg_docs_edges",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", KG_DOCS_QUERIES)
+def test_kg_docs_query_matches_duckdb_oracle(ray_session, duck, name):
+    from graphiti_ray import queries as q
+
+    res = q.QUERIES[name](SF_DIR)
+    rdf = res.to_pandas() if hasattr(res, "to_pandas") else res
+    odf = duck.execute(q.ORACLE_SQL[name]).df()
+
+    cols = sorted(odf.columns)
+    assert sorted(rdf.columns) == cols
+    rdf = rdf[cols].sort_values(cols).reset_index(drop=True)
+    odf = odf[cols].sort_values(cols).reset_index(drop=True)
+    odf = odf.astype(rdf.dtypes.to_dict())
+    assert len(rdf) == len(odf) and len(rdf) > 0
+    assert rdf.equals(odf)
+
+
+def test_kg_docs_corpus_exercises_every_stage(ray_session):
+    """The oracle corpus must be non-trivial for each pipeline stage:
+    alias merges happened (uuid_map rows), the sweep closed edges
+    (non-null invalid_at), provenance merged (n_episodes > 1)."""
+    import pyarrow.compute as pc
+
+    from graphiti_ray import queries as q
+
+    assert q.QUERIES["kg_docs_uuid_map"](SF_DIR).count() > 0
+    edges = q.QUERIES["kg_docs_edges"](SF_DIR).to_pandas()
+    assert edges["invalid_at"].notna().sum() > 0
+    assert (edges["n_episodes"] > 1).sum() > 0
