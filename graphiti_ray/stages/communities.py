@@ -98,6 +98,35 @@ def label_propagation(
     return community
 
 
+OUT_COLUMNS = [
+    "community_uuid", "entity_uuid", "group_id",
+    "community_name", "summary", "n_members",
+]
+
+
+def _community_rows(grp: str, members: list[str], info: dict) -> list[dict]:
+    """One converged community -> output rows (shared by the in-worker
+    and distributed paths so both emit byte-identical results).
+    info: uuid -> (name, n_mentions)."""
+    members = sorted(members)
+    cuuid = sha1_hex("community", grp, *members)
+    # deterministic naming: the highest-degree member leads
+    top = sorted(members, key=lambda u: (-info[u][1], info[u][0]))
+    name = f"{info[top[0]][0]} community"
+    summary = tree_summarize([info[u][0] for u in top])
+    return [
+        {
+            "community_uuid": cuuid,
+            "entity_uuid": u,
+            "group_id": grp,
+            "community_name": name,
+            "summary": summary,
+            "n_members": len(members),
+        }
+        for u in members
+    ]
+
+
 def _group_lp(df: pd.DataFrame) -> pd.DataFrame:
     """One group's edges+nodes -> (entity_uuid, community_uuid, ...).
 
@@ -126,37 +155,238 @@ def _group_lp(df: pd.DataFrame) -> pd.DataFrame:
 
     rows = []
     for lbl in sorted(clusters):
-        members = sorted(clusters[lbl])
-        cuuid = sha1_hex("community", grp, *members)
-        # deterministic naming: the highest-degree member leads
-        top = sorted(members, key=lambda u: (-info[u][1], info[u][0]))
-        name = f"{info[top[0]][0]} community"
-        summary = tree_summarize([info[u][0] for u in top])
-        for u in members:
-            rows.append(
-                {
-                    "community_uuid": cuuid,
-                    "entity_uuid": u,
-                    "group_id": grp,
-                    "community_name": name,
-                    "summary": summary,
-                    "n_members": len(members),
-                }
-            )
-    return pd.DataFrame(
-        rows,
-        columns=[
-            "community_uuid", "entity_uuid", "group_id",
-            "community_name", "summary", "n_members",
-        ],
+        rows.extend(_community_rows(grp, clusters[lbl], info))
+    return pd.DataFrame(rows, columns=OUT_COLUMNS)
+
+
+NUM_BUCKETS = 256  # exchange granularity for the distributed-LP path
+# A group whose projection (nodes + edges) exceeds this row count takes
+# the distributed-LP path instead of one map_groups task — the hot-domain
+# guard (BASELINE.md records ~10% of rows in one domain; at 100x a single
+# worker cannot hold that group's projection).
+HOT_GROUP_ROWS = 500_000
+
+
+def _bkt(vals: list[str]) -> pa.Array:
+    from ..functions.hashing import stable_int
+
+    return pa.array(
+        [stable_int(v, salt="lpbkt") % NUM_BUCKETS for v in vals], pa.int32()
     )
 
 
-def build_communities(nodes_ds, edges_ds):
+def _lp_distributed(proj_ds, max_iters: int = MAX_LP_ITERS):
+    """Distributed label propagation for hot groups: the EXACT reference
+    iteration (weighted plurality, tie to larger label, monotone max)
+    expressed as two bucketed exchanges per sync round. Labels carry the
+    node uuid instead of the reference's insertion-order index — the
+    initial index assignment is a strictly order-preserving bijection of
+    sorted uuids, and every update uses only order comparisons, so the
+    two label domains converge to identical member partitions."""
+    import pyarrow.compute as pc
+
+    def node_label_rows(t: pa.Table) -> pa.Table:
+        n = t.filter(pc.equal(t.column("kind"), "node"))
+        return pa.table(
+            {
+                "group_id": n.column("group_id"),
+                "uuid": n.column("uuid"),
+                "name": n.column("name"),
+                "n_mentions": n.column("n_mentions"),
+                "label": n.column("uuid"),
+            }
+        )
+
+    def edge_both_rows(t: pa.Table) -> pa.Table:
+        e = t.filter(
+            pc.and_(
+                pc.equal(t.column("kind"), "edge"),
+                pc.not_equal(t.column("src"), t.column("tgt")),
+            )
+        )
+        fwd = pa.table(
+            {"group_id": e.column("group_id"), "u": e.column("src"), "v": e.column("tgt")}
+        )
+        rev = pa.table(
+            {"group_id": e.column("group_id"), "u": e.column("tgt"), "v": e.column("src")}
+        )
+        return pa.concat_tables([fwd, rev])
+
+    labels = proj_ds.map_batches(node_label_rows, batch_format="pyarrow").materialize()
+    edges2 = proj_ds.map_batches(edge_both_rows, batch_format="pyarrow").materialize()
+
+    def tag_edge_by_v(t: pa.Table) -> pa.Table:
+        gs = t.column("group_id").to_pylist()
+        vs = t.column("v").to_pylist()
+        return pa.table(
+            {
+                "tag": pa.array(["e"] * t.num_rows, pa.string()),
+                "group_id": t.column("group_id"),
+                "key": t.column("v"),
+                "u": t.column("u"),
+                "label": pa.array([None] * t.num_rows, pa.string()),
+                "kb": _bkt([g + "|" + v for g, v in zip(gs, vs)]),
+            }
+        )
+
+    def tag_label_by_uuid(t: pa.Table) -> pa.Table:
+        gs = t.column("group_id").to_pylist()
+        us = t.column("uuid").to_pylist()
+        return pa.table(
+            {
+                "tag": pa.array(["l"] * t.num_rows, pa.string()),
+                "group_id": t.column("group_id"),
+                "key": t.column("uuid"),
+                "u": pa.array([None] * t.num_rows, pa.string()),
+                "label": t.column("label"),
+                "kb": _bkt([g + "|" + u for g, u in zip(gs, us)]),
+            }
+        )
+
+    def attach(df: pd.DataFrame) -> pa.Table:
+        """One kb bucket: label(v) onto each (u, v) edge row. A v with
+        no label row (edge endpoint outside the node set) is skipped —
+        the same guard as the in-worker path."""
+        out_g, out_u, out_l = [], [], []
+        for (_, _), grp_df in df.groupby(["group_id", "key"], sort=False):
+            lrows = grp_df[grp_df["tag"] == "l"]
+            if not len(lrows):
+                continue
+            lbl = lrows["label"].iloc[0]
+            erows = grp_df[grp_df["tag"] == "e"]
+            out_g.extend(erows["group_id"])
+            out_u.extend(erows["u"])
+            out_l.extend([lbl] * len(erows))
+        return pa.table(
+            {
+                "group_id": pa.array(out_g, pa.string()),
+                "u": pa.array(out_u, pa.string()),
+                "nbr_label": pa.array(out_l, pa.string()),
+            }
+        )
+
+    def tag_msg_by_u(t: pa.Table) -> pa.Table:
+        gs = t.column("group_id").to_pylist()
+        us = t.column("u").to_pylist()
+        return pa.table(
+            {
+                "tag": pa.array(["m"] * t.num_rows, pa.string()),
+                "group_id": t.column("group_id"),
+                "uuid": t.column("u"),
+                "name": pa.array([None] * t.num_rows, pa.string()),
+                "n_mentions": pa.array([0] * t.num_rows, pa.int64()),
+                "label": t.column("nbr_label"),
+                "ub": _bkt([g + "|" + u for g, u in zip(gs, us)]),
+            }
+        )
+
+    def tag_self(t: pa.Table) -> pa.Table:
+        gs = t.column("group_id").to_pylist()
+        us = t.column("uuid").to_pylist()
+        return pa.table(
+            {
+                "tag": pa.array(["s"] * t.num_rows, pa.string()),
+                "group_id": t.column("group_id"),
+                "uuid": t.column("uuid"),
+                "name": t.column("name"),
+                "n_mentions": t.column("n_mentions"),
+                "label": t.column("label"),
+                "ub": _bkt([g + "|" + u for g, u in zip(gs, us)]),
+            }
+        )
+
+    def update(df: pd.DataFrame) -> pa.Table:
+        """One ub bucket: per node, weighted plurality of neighbor
+        labels (ties to the LARGER label), then new = max(best, cur)
+        — community_operations.py:110 semantics."""
+        rows: list[dict] = []
+        for (_, _), grp_df in df.groupby(["group_id", "uuid"], sort=False):
+            srow = grp_df[grp_df["tag"] == "s"]
+            if not len(srow):
+                continue  # message for a node outside this projection
+            s = srow.iloc[0]
+            cur = s["label"]
+            msgs = grp_df[grp_df["tag"] == "m"]
+            new = cur
+            if len(msgs):
+                cnt = msgs.groupby("label").size()
+                best = sorted(((c, l) for l, c in cnt.items()), reverse=True)[0][1]
+                new = max(best, cur)
+            rows.append(
+                {
+                    "group_id": s["group_id"],
+                    "uuid": s["uuid"],
+                    "name": s["name"],
+                    "n_mentions": int(s["n_mentions"]),
+                    "label": new,
+                    "changed": int(new != cur),
+                }
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("group_id", pa.string()),
+                    ("uuid", pa.string()),
+                    ("name", pa.string()),
+                    ("n_mentions", pa.int64()),
+                    ("label", pa.string()),
+                    ("changed", pa.int64()),
+                ]
+            ),
+        )
+
+    for _ in range(max_iters):
+        msgs = (
+            labels.map_batches(tag_label_by_uuid, batch_format="pyarrow")
+            .union(edges2.map_batches(tag_edge_by_v, batch_format="pyarrow"))
+            .groupby("kb")
+            .map_groups(attach, batch_format="pandas")
+        )
+        new_labels = (
+            labels.map_batches(tag_self, batch_format="pyarrow")
+            .union(msgs.map_batches(tag_msg_by_u, batch_format="pyarrow"))
+            .groupby("ub")
+            .map_groups(update, batch_format="pandas")
+            .materialize()
+        )
+        changed = new_labels.sum("changed")
+        labels = new_labels.drop_columns(["changed"]).materialize()
+        if not changed:
+            break
+
+    def tag_by_label(t: pa.Table) -> pa.Table:
+        gs = t.column("group_id").to_pylist()
+        ls = t.column("label").to_pylist()
+        return t.append_column(
+            "cb", _bkt([g + "|" + l for g, l in zip(gs, ls)])
+        )
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        rows: list[dict] = []
+        for (grp, _), c in df.groupby(["group_id", "label"], sort=True):
+            info = {
+                r.uuid: (r.name, int(r.n_mentions))
+                for r in c.itertuples(index=False)
+            }
+            rows.extend(_community_rows(grp, list(info.keys()), info))
+        return pd.DataFrame(rows, columns=OUT_COLUMNS)
+
+    return (
+        labels.map_batches(tag_by_label, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(emit, batch_format="pandas")
+    )
+
+
+def build_communities(nodes_ds, edges_ds, hot_group_rows: int = HOT_GROUP_ROWS):
     """(nodes, edges) -> community membership table (one row per
     entity: HAS_MEMBER edge M10 + community metadata).
 
-    Shuffle: one groupby(group_id) over the unioned projection rows."""
+    Shuffle: one groupby(group_id) over the unioned projection rows.
+    Groups whose projection exceeds ``hot_group_rows`` rows are split
+    off to the distributed-LP path (_lp_distributed) so one hot domain
+    cannot become the makespan bound / blow a worker's heap."""
     def node_rows(t: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -185,5 +415,26 @@ def build_communities(nodes_ds, edges_ds):
 
     proj = nodes_ds.map_batches(node_rows, batch_format="pyarrow").union(
         edges_ds.map_batches(edge_rows, batch_format="pyarrow")
+    ).materialize()
+    counts = proj.groupby("group_id").count().to_pandas()
+    hot = sorted(counts[counts["count()"] > hot_group_rows]["group_id"])
+    if not hot:
+        return proj.groupby("group_id").map_groups(_group_lp, batch_format="pandas")
+
+    import pyarrow.compute as pc
+
+    hot_arr = pa.array(hot, pa.string())
+    cold_ds = proj.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.is_in(t.column("group_id"), value_set=hot_arr))
+        ),
+        batch_format="pyarrow",
     )
-    return proj.groupby("group_id").map_groups(_group_lp, batch_format="pandas")
+    hot_ds = proj.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("group_id"), value_set=hot_arr)),
+        batch_format="pyarrow",
+    )
+    cold_out = cold_ds.groupby("group_id").map_groups(
+        _group_lp, batch_format="pandas"
+    )
+    return cold_out.union(_lp_distributed(hot_ds))

@@ -183,3 +183,26 @@ def test_tree_summarize_properties():
     a = tree_summarize([f"m{i}" for i in range(37)])
     b = tree_summarize([f"m{i}" for i in range(37)])
     assert a == b
+
+
+def test_communities_hot_group_distributed_path_matches(kg):
+    """Forcing every group down the distributed-LP fallback
+    (hot_group_rows=0) must reproduce the in-worker path exactly —
+    the uuid-label domain is order-isomorphic to the reference's
+    index labels, so member sets, names and summaries coincide."""
+    from graphiti_ray.stages.communities import build_communities
+
+    base = (
+        build_communities(kg.nodes, kg.edges)
+        .to_pandas()
+        .sort_values(["community_uuid", "entity_uuid"])
+        .reset_index(drop=True)
+    )
+    forced = (
+        build_communities(kg.nodes, kg.edges, hot_group_rows=0)
+        .to_pandas()
+        .sort_values(["community_uuid", "entity_uuid"])
+        .reset_index(drop=True)
+    )
+    assert len(forced) == len(base) > 0
+    assert forced.equals(base)
