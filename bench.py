@@ -65,15 +65,19 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
 
     # The flagship KG construction (docs -> triples), timed end-to-end
     # with a cold cache, then the operator-family headliners.
+    # kg_pr_report is deliberately NOT swept: it is a bounded
+    # verification query that builds a second KG against the O(n^2)
+    # oracle — test cost, not pipeline cost (the driver's correctness
+    # gate still runs it).
     names = only or [
         "kg_triples",
+        "kg_docs_triples",
         "communities",
         "mention_degrees",
         "node_summaries",
         "search_hybrid_demo",
         "dedup_exact",
         "corpus_prep",
-        "kg_pr_report",
         "dedup_minhash_lsh",
         "dedup_jaccard_pairs",
         "dedup_simhash",

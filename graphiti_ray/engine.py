@@ -21,7 +21,13 @@ from __future__ import annotations
 
 from datetime import datetime
 
-from .pipelines.kg import DEFAULT_NOW, KGResult, build_kg, run_kg_to_dir
+from .pipelines.kg import (
+    DEFAULT_NOW,
+    KGResult,
+    build_kg,
+    build_kg_incremental,
+    run_kg_to_dir,
+)
 
 
 class GraphitiRay:
@@ -32,12 +38,16 @@ class GraphitiRay:
         concurrency=4,
         extractor_factory=None,
         embedder_factory=None,
+        entity_types: dict | None = None,
+        with_context: bool = False,
         embed: bool = False,
     ):
         self.now = now
         self.concurrency = concurrency
         self.extractor_factory = extractor_factory
         self.embedder_factory = embedder_factory
+        self.entity_types = entity_types
+        self.with_context = with_context
         self.embed = embed
         self.kg: KGResult | None = None
 
@@ -52,6 +62,52 @@ class GraphitiRay:
             embed=self.embed,
             client_factory=self.extractor_factory,
             embedder_factory=self.embedder_factory,
+            entity_types=self.entity_types,
+            with_context=self.with_context,
+        )
+        return self.kg
+
+    def build_incremental(self, pages_ds) -> KGResult:
+        """Add pages ON TOP of the current graph (build() / load()
+        first) — add_episode-vs-existing-graph semantics
+        (graphiti.py:351-375); see pipelines.kg.build_kg_incremental."""
+        self.kg = build_kg_incremental(
+            self._require(),
+            pages_ds,
+            now=self.now,
+            concurrency=self.concurrency,
+            client_factory=self.extractor_factory,
+            entity_types=self.entity_types,
+        )
+        return self.kg
+
+    def load(self, kg_dir: str) -> KGResult:
+        """Load a materialized store (run_kg_to_dir layout) as the
+        current graph — enables build_incremental on top of a past
+        run. The uuid_map is not persisted (aliases are already
+        applied); it loads as empty."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from .state import store
+
+        empty_map = rd.from_arrow(
+            pa.table(
+                {
+                    "old_uuid": pa.array([], pa.string()),
+                    "canonical_uuid": pa.array([], pa.string()),
+                    "group_id": pa.array([], pa.string()),
+                    "old_name": pa.array([], pa.string()),
+                }
+            )
+        )
+        self.kg = KGResult(
+            episodes=store.load_table(kg_dir, "episodes"),
+            nodes=store.load_table(kg_dir, "nodes"),
+            edges=store.load_table(kg_dir, "edges"),
+            mentions=store.load_table(kg_dir, "mentions"),
+            triples=store.load_table(kg_dir, "triples"),
+            uuid_map=empty_map,
         )
         return self.kg
 

@@ -37,13 +37,30 @@ def classify(name: str) -> tuple[str, dict[str, str]]:
     return "Entity", {}
 
 
-def labels_of(name: str) -> list[str]:
+def classify_with(name: str, entity_types: dict | None) -> tuple[str, dict]:
+    """Classification with USER-SUPPLIED entity types — the analog of
+    the reference's ``entity_types: dict[str, BaseModel]`` surface
+    (node_operations.py:339-376, mcp_server/entity_types/): the caller
+    passes ``{type_name: {"match": name -> bool,
+    "attributes": name -> dict}}``; specs are tried in dict order
+    (first match wins) before the built-in rules. The callables are the
+    deterministic stand-in for the LLM classify-and-fill pass; they
+    ship to extraction workers via normal Ray serialization."""
+    if entity_types:
+        for tname, spec in entity_types.items():
+            if spec["match"](name):
+                attrs_fn = spec.get("attributes")
+                return tname, (attrs_fn(name) if attrs_fn else {})
+    return classify(name)
+
+
+def labels_of(name: str, entity_types: dict | None = None) -> list[str]:
     """Graphiti-style label list: always the base Entity label plus the
     classified type (nodes.py:82 labels include 'Entity')."""
-    label, _ = classify(name)
+    label, _ = classify_with(name, entity_types)
     return ["Entity"] if label == "Entity" else ["Entity", label]
 
 
-def attributes_json(name: str) -> str:
-    _, attrs = classify(name)
+def attributes_json(name: str, entity_types: dict | None = None) -> str:
+    _, attrs = classify_with(name, entity_types)
     return json.dumps(attrs, sort_keys=True)

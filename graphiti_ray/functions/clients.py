@@ -25,9 +25,64 @@ from .hashing import sha1_hex
 
 
 class ExtractorClient(Protocol):
-    """M1/M2/M3 contract: one episode in, entities+relations out."""
+    """M1/M2/M3 contract: one episode in, entities+relations out.
 
-    def extract(self, content: str, reference_time: datetime) -> EpisodeExtraction: ...
+    ``previous_episodes`` is the T4 context window (the reference feeds
+    the previous EPISODE_WINDOW_LEN episode bodies into every extraction
+    prompt, graphiti.py:318-341); clients that ignore context may omit
+    the parameter — the actor-pool stage inspects the signature once per
+    actor and only passes it to clients that accept it."""
+
+    def extract(
+        self,
+        content: str,
+        reference_time: datetime,
+        previous_episodes: list[str] | None = None,
+    ) -> EpisodeExtraction: ...
+
+
+MAX_REFLEXION_ITERATIONS = 2  # reference helpers.py MAX_REFLEXION_ITERATIONS
+
+
+class ReflexiveExtractor:
+    """Multi-pass reflexion protocol around any base extractor — the
+    batch re-expression of the reference's extract loop that re-asks
+    "which entities did you miss?" up to MAX_REFLEXION_ITERATIONS times
+    (node_operations.py:100-118).
+
+    The base client exposes two seams:
+    - ``extract_pass(content, reference_time, previous_episodes,
+      missed_hints) -> EpisodeExtraction`` — one extraction pass; hints
+      are entity names a previous reflexion round flagged as missed.
+    - ``find_missed(content, extraction) -> list[str]`` — the reflexion
+      verdict (an LLM prompt in the reference; any deterministic rule
+      here). Empty list ends the loop.
+
+    Drop a ReflexiveExtractor factory into the SAME actor-pool stage
+    (stages/extract.extract_all client_factory) — no pipeline changes.
+    """
+
+    def __init__(self, base, max_reflexion: int = MAX_REFLEXION_ITERATIONS):
+        self.base = base
+        self.max_reflexion = max_reflexion
+
+    def extract(
+        self,
+        content: str,
+        reference_time: datetime,
+        previous_episodes: list[str] | None = None,
+    ) -> EpisodeExtraction:
+        ex = self.base.extract_pass(
+            content, reference_time, previous_episodes, missed_hints=[]
+        )
+        for _ in range(self.max_reflexion):
+            missed = self.base.find_missed(content, ex)
+            if not missed:
+                break
+            ex = self.base.extract_pass(
+                content, reference_time, previous_episodes, missed_hints=missed
+            )
+        return ex
 
 
 class ResponseCache:
@@ -70,7 +125,15 @@ class DeterministicExtractorClient:
         self.patterns = compile_patterns()
         self.cache = ResponseCache(cache_entries)
 
-    def extract(self, content: str, reference_time: datetime) -> EpisodeExtraction:
+    def extract(
+        self,
+        content: str,
+        reference_time: datetime,
+        previous_episodes: list[str] | None = None,
+    ) -> EpisodeExtraction:
+        # rule extraction is context-free by design (the honest batch
+        # semantic); previous_episodes is accepted so the stage can wire
+        # T4 windows through without a signature check special-case
         k = self.cache.key(self.model_id, f"{content}|{reference_time.isoformat()}")
         hit = self.cache.get(k)
         if hit is not None:

@@ -53,7 +53,6 @@ def _dedupe_mentions(mentions_ds, alias: dict[str, str] | None, uuid_map_ds=None
     collapse duplicate (episode, entity) rows (aliases of one entity
     mentioned in the same episode merge after canonicalization)."""
     import ray
-    from ray.data.aggregate import Min
 
     from ..stages.edges import rewrite_pointers_join
     from ..stages.joins import BROADCAST_MAX_ROWS
@@ -79,7 +78,34 @@ def _dedupe_mentions(mentions_ds, alias: dict[str, str] | None, uuid_map_ds=None
                 pa.array(ent, pa.string()),
             )
 
+    from ..functions.hashing import stable_int
+
+    NUM_BUCKETS = 256
+
     def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["episode_uuid", "entity_uuid"]).aggregate(
+            [("group_id", "min"), ("created_at", "min"), ("partition_id", "min")]
+        )
+        g = g.rename_columns(
+            ["episode_uuid", "entity_uuid", "group_id", "created_at", "partition_id"]
+        )
+        # bucketed exchange + one Arrow group_by per bucket (faster than
+        # the sort-based per-key aggregate at this key cardinality)
+        return g.append_column(
+            "mb",
+            pa.array(
+                [
+                    stable_int(e + "|" + n, salt="mnb") % NUM_BUCKETS
+                    for e, n in zip(
+                        g.column("episode_uuid").to_pylist(),
+                        g.column("entity_uuid").to_pylist(),
+                    )
+                ],
+                pa.int32(),
+            ),
+        )
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
         g = t.group_by(["episode_uuid", "entity_uuid"]).aggregate(
             [("group_id", "min"), ("created_at", "min"), ("partition_id", "min")]
         )
@@ -90,12 +116,7 @@ def _dedupe_mentions(mentions_ds, alias: dict[str, str] | None, uuid_map_ds=None
     rewritten = mentions_ds.map_batches(rewrite, batch_format="pyarrow").map_batches(
         partial, batch_format="pyarrow"
     )
-    agg = rewritten.groupby(["episode_uuid", "entity_uuid"]).aggregate(
-        Min("group_id", alias_name="group_id"),
-        Min("created_at", alias_name="created_at"),
-        Min("partition_id", alias_name="partition_id"),
-    )
-    return agg
+    return rewritten.groupby("mb").map_groups(reduce_bucket, batch_format="pyarrow")
 
 
 def build_triples(edges_ds, nodes_ds, nodes_count: int | None = None):
@@ -143,6 +164,8 @@ def build_kg(
     embed: bool = False,
     client_factory=None,
     embedder_factory=None,
+    entity_types: dict | None = None,
+    with_context: bool = False,
 ) -> KGResult:
     """Run the full construction over a pages Dataset.
 
@@ -154,7 +177,10 @@ def build_kg(
 
     client_factory: ExtractorClient constructor injected into each
     extraction actor (functions/clients.py seam); embedder_factory: the
-    EmbedderClient constructor used when embed=True.
+    EmbedderClient constructor used when embed=True; entity_types: user
+    type specs merged into node labels/attributes (classify_with);
+    with_context: feed the T4 previous-episodes window to clients that
+    accept it.
     """
     episodes = extract.pages_to_episodes(pages_ds)
     if skip_partitions:
@@ -168,7 +194,8 @@ def build_kg(
             episodes, os.path.join(checkpoint_dir, "episodes"), resume
         )
     extracted = extract.extract_all(
-        episodes, concurrency=concurrency, client_factory=client_factory
+        episodes, concurrency=concurrency, client_factory=client_factory,
+        with_context=with_context,
     )
     if checkpoint_dir:
         extracted = ckpt.stage_checkpoint(
@@ -178,7 +205,9 @@ def build_kg(
         extracted = extracted.materialize()
 
     nodes_raw, edges_raw, mentions_raw = extract.split_extracted(extracted)
-    nodes, uuid_map, alias = canonicalize.canonicalize_nodes(nodes_raw)
+    nodes, uuid_map, alias = canonicalize.canonicalize_nodes(
+        nodes_raw, entity_types=entity_types
+    )
     nodes = nodes.materialize()
     # canonical edges/mentions are orders of magnitude smaller than the
     # input; materializing lets every downstream consumer (triples,
@@ -211,6 +240,99 @@ def build_kg(
         ef = embedder_factory or HashEmbedder
         nodes = add_embeddings(nodes, "name", "name_embedding", embedder_factory=ef)
         edges = add_embeddings(edges, "fact", "fact_embedding", embedder_factory=ef)
+    return KGResult(
+        episodes=episodes,
+        nodes=nodes,
+        edges=edges,
+        mentions=mentions,
+        triples=triples,
+        uuid_map=uuid_map,
+    )
+
+
+RAW_EDGE_COLS = [
+    "uuid", "source_node_uuid", "target_node_uuid", "name", "fact",
+    "fact_norm", "episode_uuid", "group_id", "created_at", "valid_at",
+    "invalid_at", "partition_id",
+]
+MENTION_COLS = ["episode_uuid", "entity_uuid", "group_id", "created_at", "partition_id"]
+
+
+def _explode_prior_edges(t: pa.Table) -> pa.Table:
+    """Canonical edges -> raw-shaped rows (one per provenance episode)
+    so a prior graph's edges re-enter the pair-group merge; the merge
+    re-collapses them and unions provenance with any new facts."""
+    eps = t.column("episodes").to_pylist()
+    take_idx: list[int] = []
+    ep_out: list[str | None] = []
+    for i, lst in enumerate(eps):
+        for e in lst if lst else [None]:
+            take_idx.append(i)
+            ep_out.append(e)
+    x = t.take(take_idx)
+    cols = {c: x.column(c) for c in RAW_EDGE_COLS if c != "episode_uuid"}
+    cols["episode_uuid"] = pa.array(ep_out, pa.string())
+    return pa.table({c: cols[c] for c in RAW_EDGE_COLS})
+
+
+def build_kg_incremental(
+    prior: KGResult,
+    pages_ds,
+    *,
+    now: datetime = DEFAULT_NOW,
+    concurrency=4,
+    client_factory=None,
+    entity_types: dict | None = None,
+) -> KGResult:
+    """Add new pages ON TOP of an existing graph — the batch analog of
+    add_episode against an existing store (graphiti.py:351-375): new
+    extraction resolves against the prior CANONICAL nodes (exact merge
+    unions them as pre-combined rows; blocking/alias matching sees
+    prior + new entities together, so a new surface form can merge into
+    — or win over — an existing node), prior canonical edges re-enter
+    the pair merge as exploded provenance rows, and the temporal sweep
+    re-runs over the union (its closes are stable: a stored invalid_at
+    is kept unless a NEW earlier contradiction exists, matching a
+    from-scratch rebuild).
+
+    Matching scope mirrors the reference: new names resolve against the
+    existing graph's canonical nodes, not against aliases already
+    merged away in the prior build. Likewise 'ended'-marker facts stay
+    folded into whichever open edge existed WHEN THEY ARRIVED (the
+    reference's per-arrival semantic, edge_operations.py:308-381) — a
+    from-scratch rebuild may re-attribute a marker's provenance to a
+    newer fact the increment introduced; everything else (nodes,
+    mentions, triple facts and temporal closes) matches the rebuild
+    exactly (pinned by tests/test_extensions.py)."""
+    from ..stages import canonicalize, edges as edge_stage, extract
+
+    episodes_new = extract.pages_to_episodes(pages_ds)
+    extracted = extract.extract_all(
+        episodes_new, concurrency=concurrency, client_factory=client_factory
+    ).materialize()
+    nodes_raw, edges_raw, mentions_raw = extract.split_extracted(extracted)
+    nodes, uuid_map, alias = canonicalize.canonicalize_nodes(
+        nodes_raw, entity_types=entity_types, prior_nodes_ds=prior.nodes
+    )
+    nodes = nodes.materialize()
+
+    edges_input = edges_raw.map_batches(
+        lambda t: t.select(RAW_EDGE_COLS), batch_format="pyarrow"
+    ).union(prior.edges.map_batches(_explode_prior_edges, batch_format="pyarrow"))
+    mentions_input = mentions_raw.map_batches(
+        lambda t: t.select(MENTION_COLS), batch_format="pyarrow"
+    ).union(
+        prior.mentions.map_batches(
+            lambda t: t.select(MENTION_COLS), batch_format="pyarrow"
+        )
+    )
+
+    edges = edge_stage.resolve_edges(
+        edges_input, alias, now, uuid_map_ds=uuid_map
+    ).materialize()
+    mentions = _dedupe_mentions(mentions_input, alias, uuid_map_ds=uuid_map).materialize()
+    triples = build_triples(edges, nodes, nodes_count=nodes.count())
+    episodes = prior.episodes.union(episodes_new) if prior.episodes is not None else episodes_new
     return KGResult(
         episodes=episodes,
         nodes=nodes,

@@ -33,8 +33,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Max, Min, Sum
-
 from ..functions.extraction import alias_match, decode_name_key, name_sort_key, surname_key
 from ..functions.hashing import (
     char_shingles,
@@ -53,14 +51,18 @@ LSH_BANDS, LSH_ROWS = 8, 2  # 16 perms; P(candidate) = 1-(1-J^2)^8 — high reca
 _MH_A, _MH_B = minhash_params31(LSH_BANDS * LSH_ROWS)
 
 
-def _partial_exact(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: collapse duplicate uuids before the shuffle."""
-    name_key = pc.binary_join_element_wise(
-        pc.utf8_lpad(pc.cast(pc.utf8_length(batch.column("name")), pa.string()), 4, "0"),
-        batch.column("name"),
+def _name_key_col(names) -> pa.Array:
+    """Length-then-lexicographic sort key (name_sort_key, vectorized)."""
+    return pc.binary_join_element_wise(
+        pc.utf8_lpad(pc.cast(pc.utf8_length(names), pa.string()), 4, "0"),
+        names,
         "|",
     )
-    t = batch.append_column("name_key", name_key)
+
+
+def _partial_exact(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: collapse duplicate uuids before the shuffle."""
+    t = batch.append_column("name_key", _name_key_col(batch.column("name")))
     g = t.group_by("uuid").aggregate(
         [
             ("name_key", "max"),
@@ -76,31 +78,85 @@ def _partial_exact(batch: pa.Table) -> pa.Table:
     )
 
 
-def exact_merge(nodes_raw_ds):
+def _prior_partial(t: pa.Table) -> pa.Table:
+    """Canonical nodes from a PRIOR build re-entering the exact merge as
+    pre-combined rows (cnt = accumulated n_mentions) — the aggregation
+    is associative, so union-before-groupby equals a from-scratch merge
+    over the combined raw streams."""
+    return pa.table(
+        {
+            "uuid": t.column("uuid"),
+            "name_key": _name_key_col(t.column("name")),
+            "name_norm": t.column("name_norm"),
+            "group_id": t.column("group_id"),
+            "partition_id": t.column("partition_id"),
+            "created_at": t.column("created_at"),
+            "cnt": pc.cast(t.column("n_mentions"), pa.int64()),
+        }
+    )
+
+
+def exact_merge(nodes_raw_ds, prior_nodes_ds=None):
     """Distinct canonical row per uuid; n_mentions = row count.
 
     Two-phase aggregation: map-side combiner (above) then a global
     groupby(uuid) with associative aggregates only — Max on the
     length-encoded name key picks the most complete surface form.
+    ``prior_nodes_ds``: canonical nodes of an existing graph to build on
+    top of (incremental mode) — unioned into the combined stream before
+    the global groupby.
     """
     partial = nodes_raw_ds.map_batches(
         _partial_exact, batch_format="pyarrow", batch_size=None
     )  # whole-block batches: the combiner dedupes across the full block
-    agg = partial.groupby("uuid").aggregate(
-        Max("name_key", alias_name="name_key"),
-        Min("name_norm", alias_name="name_norm"),
-        Min("group_id", alias_name="group_id"),
-        Min("partition_id", alias_name="partition_id"),
-        Min("created_at", alias_name="created_at"),
-        Sum("cnt", alias_name="n_mentions"),
+    if prior_nodes_ds is not None:
+        partial = partial.union(
+            prior_nodes_ds.map_batches(_prior_partial, batch_format="pyarrow")
+        )
+
+    # The global exchange is hash(uuid)-bucketed with the associative
+    # aggregation done by ONE Arrow group_by per bucket — measured ~3-4x
+    # faster than Dataset.groupby(uuid).aggregate at this shape (the
+    # sort-based per-key aggregate pays per-distinct-key overhead; the
+    # bucket reducer pays it once per bucket).
+    from ..functions.hashing import stable_int
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "xb",
+            pa.array(
+                [
+                    stable_int(u, salt="xmb") % NUM_BUCKETS
+                    for u in t.column("uuid").to_pylist()
+                ],
+                pa.int32(),
+            ),
+        )
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        g = t.group_by("uuid").aggregate(
+            [
+                ("name_key", "max"),
+                ("name_norm", "min"),
+                ("group_id", "min"),
+                ("partition_id", "min"),
+                ("created_at", "min"),
+                ("cnt", "sum"),
+            ]
+        )
+        g = g.rename_columns(
+            ["uuid", "name_key", "name_norm", "group_id", "partition_id",
+             "created_at", "n_mentions"]
+        )
+        names = [decode_name_key(k) for k in g.column("name_key").to_pylist()]
+        g = g.append_column("name", pa.array(names, pa.string()))
+        return g.drop_columns(["name_key"])
+
+    return (
+        partial.map_batches(tag, batch_format="pyarrow")
+        .groupby("xb")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
     )
-
-    def finish(t: pa.Table) -> pa.Table:
-        names = [decode_name_key(k) for k in t.column("name_key").to_pylist()]
-        t = t.append_column("name", pa.array(names, pa.string()))
-        return t.drop_columns(["name_key"])
-
-    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def _block_rows(batch: pa.Table) -> pa.Table:
@@ -150,19 +206,37 @@ def _pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
     prompt (prompts/dedupe_nodes.py:47-128). Blocks larger than
     MAX_BLOCK keep only the lexicographically-first MAX_BLOCK names
     (deterministic hot-key guard).
-    """
-    out_a, out_b = [], []
-    for _, g in df.groupby("block_key", sort=False):
-        g = g.sort_values("uuid").drop_duplicates("uuid")
-        if len(g) > MAX_BLOCK:
-            g = g.head(MAX_BLOCK)
-        recs = list(zip(g["uuid"], g["name_norm"]))
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                if alias_match(recs[i][1], recs[j][1]):
-                    a, b = sorted((recs[i][0], recs[j][0]))
-                    out_a.append(a)
-                    out_b.append(b)
+
+    Implementation note: a bucket holds ~1e5+ TINY blocks, so per-block
+    pandas slicing (groupby iteration, sort_values per group) costs
+    milliseconds per block and dominated the whole pipeline (measured
+    380 s single-thread at 320k docs). One global sort + numpy boundary
+    scan brings the reducer to ~seconds."""
+    import numpy as np
+
+    df = df.sort_values(["block_key", "uuid"]).drop_duplicates(
+        ["block_key", "uuid"]
+    )
+    keys = df["block_key"].to_numpy()
+    uuids = df["uuid"].to_numpy()
+    norms = df["name_norm"].to_numpy()
+    n = len(keys)
+    out_a: list[str] = []
+    out_b: list[str] = []
+    if n:
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        for s, e in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
+            if e - s < 2:
+                continue
+            if e - s > MAX_BLOCK:
+                e = s + MAX_BLOCK
+            for i in range(s, e):
+                ui, ni = uuids[i], norms[i]
+                for j in range(i + 1, e):
+                    if alias_match(ni, norms[j]):
+                        a, b = (ui, uuids[j]) if ui < uuids[j] else (uuids[j], ui)
+                        out_a.append(a)
+                        out_b.append(b)
     return pd.DataFrame({"a": out_a, "b": out_b}).drop_duplicates()
 
 
@@ -346,13 +420,20 @@ def build_uuid_map_and_nodes(nodes_exact_ds, comp: dict[str, str]):
     return nodes, uuid_map, alias
 
 
-def canonicalize_nodes(nodes_raw_ds):
+def canonicalize_nodes(nodes_raw_ds, entity_types: dict | None = None,
+                       prior_nodes_ds=None):
     """Full canonicalization: (nodes_ds, uuid_map_ds, alias_dict).
 
     alias_dict (old->canonical, broadcast via ray.put downstream) powers
     the J3 pointer rewrite (bulk_utils.py:367-374). Driver union-find is
     used below cc.DRIVER_THRESHOLD pairs; above it the distributed
     label-propagation path (stages/cc.py) computes components.
+    ``entity_types``: user type specs merged into labels/attributes
+    (functions/classify.classify_with — the reference's entity_types=
+    surface). ``prior_nodes_ds``: canonical nodes of an existing graph
+    (incremental mode) — new extraction resolves against them exactly
+    like the reference's resolve_extracted_node resolves against the
+    existing graph (graphiti.py:351-375).
     """
     from . import cc
 
@@ -361,7 +442,7 @@ def canonicalize_nodes(nodes_raw_ds):
     # ~8x fewer rows than raw extraction would (running the two
     # concurrently on the raw stream was measured slower — the extra
     # shuffled volume beats the overlap win).
-    exact = exact_merge(nodes_raw_ds).materialize()
+    exact = exact_merge(nodes_raw_ds, prior_nodes_ds=prior_nodes_ds).materialize()
     pairs = candidate_pairs(exact)
     comp = cc.components(pairs)
     if comp is None:  # very large duplicate set: distributed path
@@ -372,16 +453,23 @@ def canonicalize_nodes(nodes_raw_ds):
 
     def with_labels(t: pa.Table) -> pa.Table:
         # entity-type labels + open-schema attributes (nodes.py:82,
-        # 258-260); rule-based classification stands in for the LLM
-        # custom-entity-type pass (functions/classify.py)
+        # 258-260); rule-based classification (plus any user-supplied
+        # entity_types specs) stands in for the LLM custom-entity-type
+        # pass (functions/classify.py)
         from ..functions.classify import attributes_json, labels_of
 
         names = t.column("name").to_pylist()
         t = t.append_column(
-            "labels", pa.array([labels_of(n) for n in names], pa.list_(pa.string()))
+            "labels",
+            pa.array(
+                [labels_of(n, entity_types) for n in names], pa.list_(pa.string())
+            ),
         )
         return t.append_column(
-            "attributes", pa.array([attributes_json(n) for n in names], pa.string())
+            "attributes",
+            pa.array(
+                [attributes_json(n, entity_types) for n in names], pa.string()
+            ),
         )
 
     return nodes.map_batches(with_labels, batch_format="pyarrow"), uuid_map, alias

@@ -193,10 +193,11 @@ def _merge_pair_group(g: pd.DataFrame) -> pa.Table:
     fact = the earliest (created_at, uuid) surface form.
     Then fold 'ended' markers into the open positive edge.
     """
+    import numpy as np
+
+    keys = ["source_node_uuid", "target_node_uuid", "name", "fact_norm"]
     g = g.sort_values(["created_at", "uuid"])
-    gb = g.groupby(
-        ["source_node_uuid", "target_node_uuid", "name", "fact_norm"], sort=True
-    )
+    gb = g.groupby(keys, sort=True)
     res = gb.agg(
         fact=("fact", "first"),
         group_id=("group_id", "first"),
@@ -205,8 +206,31 @@ def _merge_pair_group(g: pd.DataFrame) -> pa.Table:
         invalid_at=("invalid_at", "min"),
         partition_id=("partition_id", "first"),
         pair_key=("pair_key", "first"),
-        episodes=("episode_uuid", lambda s: sorted(set(s))),
     ).reset_index()
+    # provenance union (sorted distinct episodes) via ONE global sort +
+    # numpy boundary scan — a per-group lambda here paid ~1 ms per
+    # group and dominated edge resolution at scale
+    ep = (
+        g[keys + ["episode_uuid"]]
+        .drop_duplicates()
+        .sort_values(keys + ["episode_uuid"], kind="mergesort")
+    )
+    ep_vals = ep["episode_uuid"].to_numpy()
+    if len(ep):
+        kcols = [ep[k].to_numpy() for k in keys]
+        diff = np.zeros(len(ep) - 1, dtype=bool)
+        for kc in kcols:
+            diff |= kc[1:] != kc[:-1]
+        bounds = np.flatnonzero(np.r_[True, diff, True])
+        eps_lists = [
+            ep_vals[s:e].tolist()
+            for s, e in zip(bounds[:-1].tolist(), bounds[1:].tolist())
+        ]
+    else:
+        eps_lists = []
+    # ep group order == res group order: both are the lexicographic
+    # sort of the same key tuple
+    res["episodes"] = eps_lists
     res["uuid"] = [
         sha1_hex("cedge", r.group_id, r.source_node_uuid, r.target_node_uuid,
                  r.name, r.fact_norm)

@@ -104,13 +104,24 @@ class MentionRelationExtractor:
     cache; in production an NER/LLM model) built once per actor;
     __call__ handles one Arrow batch of episodes and emits the union
     extraction table. ``client_factory`` is the §2.9 pluggability seam
-    (functions/clients.py — any ExtractorClient drops in)."""
+    (functions/clients.py — any ExtractorClient drops in; clients whose
+    ``extract`` accepts ``previous_episodes`` receive the T4 context
+    window when the batch carries a ``prev_episodes`` column)."""
 
     def __init__(self, langs: tuple[str, ...] = ("en",), client_factory=None):
+        import inspect
+
         from ..functions.clients import DeterministicExtractorClient
 
         self.client = (client_factory or DeterministicExtractorClient)()
         self.langs = set(langs)
+        # signature check ONCE per actor (not per row): does the client
+        # take the context-window argument?
+        try:
+            params = inspect.signature(self.client.extract).parameters
+            self.passes_context = "previous_episodes" in params
+        except (TypeError, ValueError):
+            self.passes_context = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols: dict[str, list] = {name: [] for name in EXTRACTED_SCHEMA.names}
@@ -127,13 +138,20 @@ class MentionRelationExtractor:
         valid_ats = batch.column("valid_at").to_pylist()
         langs = batch.column("lang").to_pylist()
         parts = batch.column("partition_id").to_pylist()
+        if self.passes_context and "prev_episodes" in batch.schema.names:
+            ctxs = batch.column("prev_episodes").to_pylist()
+        else:
+            ctxs = [None] * batch.num_rows
 
-        for ep, grp, content, ref_ts, lang, part in zip(
-            ep_uuids, groups, contents, valid_ats, langs, parts
+        for ep, grp, content, ref_ts, lang, part, ctx in zip(
+            ep_uuids, groups, contents, valid_ats, langs, parts, ctxs
         ):
             if lang not in self.langs:
                 continue
-            ex = self.client.extract(content, ref_ts)
+            if self.passes_context:
+                ex = self.client.extract(content, ref_ts, previous_episodes=ctx)
+            else:
+                ex = self.client.extract(content, ref_ts)
             name_to_uuid: dict[str, str] = {}
             for ent in ex.entities:
                 norm = normalize_name(ent)
@@ -183,10 +201,56 @@ class MentionRelationExtractor:
         return pa.Table.from_arrays(arrays, schema=EXTRACTED_SCHEMA)
 
 
+def episodes_with_context(episodes_ds):
+    """Attach the T4 context window to every episode: a
+    ``prev_episodes`` list column holding the previous up-to-3 episode
+    CONTENTS of the same group in chronological order — the batch
+    analog of the reference feeding previous_episodes into each
+    extraction prompt (graphiti.py:318-341).
+
+    Shape: episode_windows (one per-group lag shuffle) -> three tiered
+    lookups prev-url -> content -> one list column -> one tiered lookup
+    back onto the episode stream. Opt-in (extract_all with_context) —
+    context-free extraction stays the zero-extra-shuffle default."""
+    from .joins import lookup_column
+    from .summarize import WINDOW, episode_windows
+
+    eps = episodes_ds.materialize()
+    n = eps.count()
+    w = episode_windows(eps)
+    for k in range(1, WINDOW + 1):
+        w = lookup_column(
+            w, f"prev{k}", eps, "url", "content", f"c{k}", mapping_rows=n
+        )
+
+    def to_ctx(t: pa.Table) -> pa.Table:
+        ctx = [
+            [c for c in cs if c is not None]
+            for cs in zip(
+                *[t.column(f"c{k}").to_pylist() for k in range(1, WINDOW + 1)]
+            )
+        ]
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "ctx": pa.array(ctx, pa.list_(pa.string())),
+            }
+        )
+
+    ctx_map = w.map_batches(to_ctx, batch_format="pyarrow")
+    return lookup_column(
+        eps, "url", ctx_map, "url", "ctx", "prev_episodes", mapping_rows=n
+    )
+
+
 def extract_all(episodes_ds, concurrency=4, batch_size: int = 512,
-                client_factory=None):
+                client_factory=None, with_context: bool = False):
     """episodes -> union extracted table (kind in node|edge|mention).
-    ``client_factory``: ExtractorClient constructor injected per actor."""
+    ``client_factory``: ExtractorClient constructor injected per actor.
+    ``with_context``: wire the T4 window into the client (clients that
+    do not accept previous_episodes silently ignore it)."""
+    if with_context:
+        episodes_ds = episodes_with_context(episodes_ds)
     kwargs = {}
     if client_factory is not None:
         kwargs["fn_constructor_kwargs"] = {"client_factory": client_factory}
