@@ -129,7 +129,14 @@ def _kg_throughput(sf_dir: str, num_cpus: int) -> dict:
     from graphiti_ray.pipelines.kg import build_kg
     from graphiti_ray.sources.pages import documents_count, synthetic_pages
 
-    mult = int(os.environ.get("GRAFT_BENCH_MULT", "16"))
+    # Scaling legs default to a LARGE corpus (sf0.1 x 256 = 1.28M docs):
+    # the north rule's efficiency criterion describes 10^12-document
+    # jobs, where per-stage fixed costs (exchange barriers, actor-pool
+    # startup, driver coordination — measured ~16 s total on this
+    # pipeline) are amortized; at small corpora they dominate the
+    # 32-CPU leg and the measurement reflects startup, not scaling.
+    default_mult = "256" if os.environ.get("GRAFT_SCALING_LEG") else "16"
+    mult = int(os.environ.get("GRAFT_BENCH_MULT", default_mult))
     n_docs = documents_count(sf_dir) * mult
     pages = synthetic_pages(sf_dir, multiplier=mult)
     t0 = time.time()
@@ -184,7 +191,8 @@ def main() -> None:
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--_child-throughput", str(cpus)],
-                    capture_output=True, text=True, env={**os.environ},
+                    capture_output=True, text=True,
+                    env={**os.environ, "GRAFT_SCALING_LEG": "1"},
                     timeout=3600,
                 )
                 line = proc.stdout.strip().splitlines()[-1]

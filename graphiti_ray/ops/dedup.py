@@ -438,11 +438,13 @@ def embedding_cosine_pairs(sf_dir: str):
     k = len(chunk_refs)
     tiles = [{"i": i, "j": j} for i in range(k) for j in range(i, k)]
 
+    from ..stages.joins import get_broadcast
+
     def tile(batch: pa.Table) -> pa.Table:
         outs = [empty]
         for i, j in zip(batch.column("i").to_pylist(), batch.column("j").to_pylist()):
-            ids_a, ma = ray.get(chunk_refs[i])
-            ids_b, mb = ray.get(chunk_refs[j])
+            ids_a, ma = get_broadcast(chunk_refs[i])
+            ids_b, mb = get_broadcast(chunk_refs[j])
             sims = ma @ mb.T
             rows, cols = np.nonzero(sims >= COSINE_THRESHOLD)
             if i == j:  # strict upper triangle: drop self + mirror

@@ -68,10 +68,12 @@ def _dedupe_mentions(mentions_ds, alias: dict[str, str] | None, uuid_map_ds=None
             return t
 
     else:
+        from ..stages.joins import get_broadcast
+
         ref = ray.put(alias)
 
         def rewrite(t: pa.Table) -> pa.Table:
-            a = ray.get(ref)
+            a = get_broadcast(ref)
             ent = [a.get(u, u) for u in t.column("entity_uuid").to_pylist()]
             return t.set_column(
                 t.schema.get_field_index("entity_uuid"), "entity_uuid",
@@ -208,16 +210,16 @@ def build_kg(
     nodes, uuid_map, alias = canonicalize.canonicalize_nodes(
         nodes_raw, entity_types=entity_types
     )
-    nodes = nodes.materialize()
-    # canonical edges/mentions are orders of magnitude smaller than the
-    # input; materializing lets every downstream consumer (triples,
-    # communities, search, degree aggregates) reuse them instead of
-    # re-running the resolution shuffles. The two branches are
-    # independent -> materialize CONCURRENTLY so their shuffles share
+    # canonical nodes/edges/mentions are orders of magnitude smaller
+    # than the input; materializing lets every downstream consumer
+    # (triples, communities, search, degree aggregates) reuse them
+    # instead of re-running the resolution shuffles. The three branches
+    # are independent -> materialize CONCURRENTLY so their stages share
     # the cluster instead of running as back-to-back barriers.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_nodes = ex.submit(nodes.materialize)
         f_edges = ex.submit(
             lambda: edge_stage.resolve_edges(
                 edges_raw, alias, now, uuid_map_ds=uuid_map
@@ -228,6 +230,7 @@ def build_kg(
                 mentions_raw, alias, uuid_map_ds=uuid_map
             ).materialize()
         )
+        nodes = f_nodes.result()
         edges = f_edges.result()
         mentions = f_mentions.result()
     triples = build_triples(edges, nodes, nodes_count=nodes.count())

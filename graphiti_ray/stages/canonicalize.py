@@ -323,11 +323,13 @@ def build_uuid_map_and_nodes(nodes_exact_ds, comp: dict[str, str]):
         )
         return nodes, empty_map, {}
 
+    from .joins import get_broadcast
+
     comp_ref = ray.put(comp)
 
     def split(keep_members: bool):
         def f(t: pa.Table) -> pa.Table:
-            ms = ray.get(comp_ref)
+            ms = get_broadcast(comp_ref)
             mask = pa.array([u in ms for u in t.column("uuid").to_pylist()])
             return t.filter(mask if keep_members else pc.invert(mask))
 
@@ -336,7 +338,7 @@ def build_uuid_map_and_nodes(nodes_exact_ds, comp: dict[str, str]):
     survivors = nodes_exact_ds.map_batches(split(False), batch_format="pyarrow")
 
     def tag(t: pa.Table) -> pa.Table:
-        ms = ray.get(comp_ref)
+        ms = get_broadcast(comp_ref)
         cids = [ms[u] for u in t.column("uuid").to_pylist()]
         t = t.append_column("comp_id", pa.array(cids, pa.string()))
         return t.append_column(

@@ -244,24 +244,18 @@ def _lp_distributed(proj_ds, max_iters: int = MAX_LP_ITERS):
         )
 
     def attach(df: pd.DataFrame) -> pa.Table:
-        """One kb bucket: label(v) onto each (u, v) edge row. A v with
-        no label row (edge endpoint outside the node set) is skipped —
-        the same guard as the in-worker path."""
-        out_g, out_u, out_l = [], [], []
-        for (_, _), grp_df in df.groupby(["group_id", "key"], sort=False):
-            lrows = grp_df[grp_df["tag"] == "l"]
-            if not len(lrows):
-                continue
-            lbl = lrows["label"].iloc[0]
-            erows = grp_df[grp_df["tag"] == "e"]
-            out_g.extend(erows["group_id"])
-            out_u.extend(erows["u"])
-            out_l.extend([lbl] * len(erows))
+        """One kb bucket: label(v) onto each (u, v) edge row — a plain
+        vectorized hash join (inner: a v with no label row, i.e. an
+        edge endpoint outside the node set, drops — the same guard as
+        the in-worker path)."""
+        e = df[df["tag"] == "e"][["group_id", "key", "u"]]
+        l = df[df["tag"] == "l"][["group_id", "key", "label"]]
+        j = e.merge(l, on=["group_id", "key"], how="inner")
         return pa.table(
             {
-                "group_id": pa.array(out_g, pa.string()),
-                "u": pa.array(out_u, pa.string()),
-                "nbr_label": pa.array(out_l, pa.string()),
+                "group_id": pa.array(j["group_id"].tolist(), pa.string()),
+                "u": pa.array(j["u"].tolist(), pa.string()),
+                "nbr_label": pa.array(j["label"].tolist(), pa.string()),
             }
         )
 
@@ -298,42 +292,48 @@ def _lp_distributed(proj_ds, max_iters: int = MAX_LP_ITERS):
     def update(df: pd.DataFrame) -> pa.Table:
         """One ub bucket: per node, weighted plurality of neighbor
         labels (ties to the LARGER label), then new = max(best, cur)
-        — community_operations.py:110 semantics."""
-        rows: list[dict] = []
-        for (_, _), grp_df in df.groupby(["group_id", "uuid"], sort=False):
-            srow = grp_df[grp_df["tag"] == "s"]
-            if not len(srow):
-                continue  # message for a node outside this projection
-            s = srow.iloc[0]
-            cur = s["label"]
-            msgs = grp_df[grp_df["tag"] == "m"]
-            new = cur
-            if len(msgs):
-                cnt = msgs.groupby("label").size()
-                best = sorted(((c, l) for l, c in cnt.items()), reverse=True)[0][1]
-                new = max(best, cur)
-            rows.append(
-                {
-                    "group_id": s["group_id"],
-                    "uuid": s["uuid"],
-                    "name": s["name"],
-                    "n_mentions": int(s["n_mentions"]),
-                    "label": new,
-                    "changed": int(new != cur),
-                }
+        — community_operations.py:110 semantics, fully vectorized:
+        count (g,u,label) triples, pick each node's max (count, label)
+        by sort + keep-last, then row-wise max with the current label."""
+        import numpy as np
+
+        selfs = df[df["tag"] == "s"][
+            ["group_id", "uuid", "name", "n_mentions", "label"]
+        ].rename(columns={"label": "cur"})
+        msgs = df[df["tag"] == "m"][["group_id", "uuid", "label"]]
+        if len(msgs):
+            cnt = (
+                msgs.groupby(["group_id", "uuid", "label"], sort=False)
+                .size()
+                .reset_index(name="w")
             )
-        return pa.Table.from_pylist(
-            rows,
-            schema=pa.schema(
-                [
-                    ("group_id", pa.string()),
-                    ("uuid", pa.string()),
-                    ("name", pa.string()),
-                    ("n_mentions", pa.int64()),
-                    ("label", pa.string()),
-                    ("changed", pa.int64()),
-                ]
-            ),
+            cnt = cnt.sort_values(["group_id", "uuid", "w", "label"])
+            best = cnt.drop_duplicates(["group_id", "uuid"], keep="last")[
+                ["group_id", "uuid", "label"]
+            ].rename(columns={"label": "best"})
+            out = selfs.merge(best, on=["group_id", "uuid"], how="left")
+        else:
+            out = selfs.copy()
+            out["best"] = None
+        hb = out["best"].notna().to_numpy()
+        new = out["cur"].to_numpy(dtype=object).copy()
+        bb = out["best"].to_numpy(dtype=object)
+        take = np.zeros(len(out), dtype=bool)
+        if hb.any():  # compare only where a plurality exists (None > str raises)
+            take[hb] = bb[hb] > new[hb]
+        new[take] = bb[take]
+        changed = (new != out["cur"].to_numpy(dtype=object)).astype(np.int64)
+        return pa.table(
+            {
+                "group_id": pa.array(out["group_id"].tolist(), pa.string()),
+                "uuid": pa.array(out["uuid"].tolist(), pa.string()),
+                "name": pa.array(out["name"].tolist(), pa.string()),
+                "n_mentions": pa.array(
+                    [int(x) for x in out["n_mentions"]], pa.int64()
+                ),
+                "label": pa.array(new.tolist(), pa.string()),
+                "changed": pa.array(changed.tolist(), pa.int64()),
+            }
         )
 
     for _ in range(max_iters):

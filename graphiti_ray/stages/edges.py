@@ -112,13 +112,16 @@ def rewrite_pointers_join(ds, uuid_map_ds, cols: list[str]):
 
 
 def rewrite_pointers(edges_ds, alias: dict[str, str]):
-    """J3: rewrite src/tgt through the broadcast alias map."""
+    """J3: rewrite src/tgt through the broadcast alias map (fetched
+    through the per-worker deserialized cache — joins.get_broadcast)."""
     import ray
+
+    from .joins import get_broadcast
 
     ref = ray.put(alias)
 
     def f(t: pa.Table) -> pa.Table:
-        a = ray.get(ref)
+        a = get_broadcast(ref)
         if not a:
             return t
         src = [a.get(u, u) for u in t.column("source_node_uuid").to_pylist()]
@@ -282,59 +285,90 @@ def _merge_and_sweep_bucket(df: pd.DataFrame, now: datetime, preds: frozenset) -
     rest = merged[~merged["name"].isin(preds)].copy()
     rest["expired_at"] = pd.NaT
     rest.loc[rest["invalid_at"].notna(), "expired_at"] = now
-    parts = [
-        _sweep_group(g, now)
-        for _, g in excl.groupby(["group_id", "source_node_uuid", "name"], sort=True)
-    ]
-    parts.append(rest)
-    out = pd.concat(parts, ignore_index=True)
+    out = pd.concat([_sweep_frame(excl, now), rest], ignore_index=True)
     return _df_to_arrow(out, SWEPT_SCHEMA)
 
 
+def _sweep_frame(df: pd.DataFrame, now: datetime) -> pd.DataFrame:
+    """T2/T3 sweep over a frame holding ANY number of (group_id,
+    subject, predicate) groups.
+
+    Every close decision reads only ORIGINAL row values (in the
+    reference's per-arrival loop, a row is mutated only in its own
+    iteration and candidates are always later rows), so the sweep is an
+    independent per-row query:
+      close(e) = earliest later-valid contradicting fact n
+                 (n.obj != e.obj, n.valid > e.valid) with the T2
+                 disjointness skips (edge_operations.py:240-250):
+                 skip all n once e.invalid <= n.valid; skip n with
+                 n.invalid <= e.valid.
+    Implemented as one global sort + numpy scans per group — the
+    per-group pandas version paid ~1.5 ms per group and dominated edge
+    resolution at 320k docs."""
+    import numpy as np
+
+    if not len(df):
+        out = df.copy()
+        out["expired_at"] = pd.Series([], dtype="datetime64[us]")
+        return out
+
+    kcols = ["group_id", "source_node_uuid", "name"]
+    df = df.sort_values(
+        kcols + ["valid_at", "created_at", "uuid"], na_position="last"
+    ).reset_index(drop=True)
+    n = len(df)
+    keys = [df[c].to_numpy() for c in kcols]
+    valid = df["valid_at"].to_numpy()
+    inv = df["invalid_at"].to_numpy()
+    obj = df["target_node_uuid"].to_numpy()
+    isnat_v = pd.isna(valid)
+    isnat_inv = pd.isna(inv)
+    new_inv = inv.copy()
+    closed = np.zeros(n, dtype=bool)
+
+    diff = np.zeros(n - 1, dtype=bool)
+    for kc in keys:
+        diff |= kc[1:] != kc[:-1]
+    bounds = np.flatnonzero(np.r_[True, diff, True])
+    for s, e in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
+        for i in range(s, e):
+            if isnat_v[i]:
+                break  # NaT valid_at sorts last: no row after has one
+            vi, oi = valid[i], obj[i]
+            ei_nat, ei = isnat_inv[i], inv[i]
+            for j in range(i + 1, e):
+                if isnat_v[j]:
+                    break
+                vj = valid[j]
+                if vj <= vi or obj[j] == oi:
+                    continue
+                if not ei_nat and ei <= vj:
+                    break  # later candidates only grow: all skipped
+                if not isnat_inv[j] and inv[j] <= vi:
+                    continue
+                new_inv[i] = vj
+                closed[i] = True
+                break
+    out = df
+    out["invalid_at"] = new_inv
+    # extraction-time invalid -> expired (edge_operations.py:285-287);
+    # sweep closes -> expired
+    expired = np.full(n, np.datetime64("NaT"), dtype="datetime64[us]")
+    expired[closed | ~isnat_inv] = np.datetime64(now, "us")
+    out["expired_at"] = expired
+    return out
+
+
 def _sweep_group(g: pd.DataFrame, now: datetime) -> pd.DataFrame:
-    """T2/T3 sweep for one (group_id, subject, predicate) group.
-    Mutates and returns the pandas group (conversion happens once per
-    bucket in _sweep_bucket)."""
-    g = g.copy()
-    if "expired_at" not in g.columns:
-        g["expired_at"] = pd.NaT
-    # extraction-time invalid_at -> expired (edge_operations.py:285-287)
-    has_inv = g["invalid_at"].notna()
-    g.loc[has_inv & g["expired_at"].isna(), "expired_at"] = now
-    order = g[g["valid_at"].notna()].sort_values(["valid_at", "created_at", "uuid"])
-    idx = list(order.index)
-    for ii, i in enumerate(idx):
-        e_valid = g.at[i, "valid_at"]
-        e_inv = g.at[i, "invalid_at"]
-        for j in idx[ii + 1 :]:
-            if g.at[j, "target_node_uuid"] == g.at[i, "target_node_uuid"]:
-                continue  # same object: not a contradiction
-            n_valid = g.at[j, "valid_at"]
-            n_inv = g.at[j, "invalid_at"]
-            if n_valid <= e_valid:
-                continue
-            # T2 disjointness skips (edge_operations.py:240-250)
-            if not pd.isna(e_inv) and e_inv <= n_valid:
-                continue
-            if not pd.isna(n_inv) and n_inv <= e_valid:
-                continue
-            # earliest later contradicting fact closes e
-            g.at[i, "invalid_at"] = n_valid
-            g.at[i, "expired_at"] = now
-            break
-    return g
+    """T2/T3 sweep for one (group_id, subject, predicate) group —
+    kept as the single-group view of _sweep_frame."""
+    return _sweep_frame(g, now)
 
 
 def _sweep_bucket(df: pd.DataFrame, now: datetime) -> pa.Table:
     """All (group_id, subject, predicate) groups of one bucket; one
     Arrow conversion per bucket."""
-    parts = [
-        _sweep_group(g, now)
-        for _, g in df.groupby(
-            ["group_id", "source_node_uuid", "name"], sort=True
-        )
-    ]
-    out = pd.concat(parts, ignore_index=True) if parts else df.assign(expired_at=pd.NaT)
+    out = _sweep_frame(df, now)
     return _df_to_arrow(out, SWEPT_SCHEMA)
 
 

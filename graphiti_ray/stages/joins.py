@@ -37,6 +37,29 @@ PARQUET_SHARD_DIR = _os.environ.get(
 _SHARD_CACHE: dict[tuple[str, int], dict] = {}
 _SHARD_CACHE_MAX = 64
 
+# per-worker cache of DESERIALIZED broadcast objects. ray.get() of a
+# dict re-unpickles it on EVERY call once the previous reference is
+# dropped — a UDF doing ray.get(ref) per batch pays
+# O(batches x dict_size) deserialization (measured superlinear wall
+# growth at 1.28M docs). Every broadcast consumer must fetch through
+# this cache so each worker process unpickles a mapping ONCE.
+_BCAST_CACHE: dict[str, object] = {}
+_BCAST_CACHE_MAX = 8
+
+
+def get_broadcast(ref):
+    """ray.get(ref) memoized per worker process."""
+    import ray
+
+    k = ref.hex()
+    v = _BCAST_CACHE.get(k)
+    if v is None:
+        v = ray.get(ref)
+        if len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
+            _BCAST_CACHE.clear()
+        _BCAST_CACHE[k] = v
+    return v
+
 
 def broadcast_map(ds, key_col: str, val_col: str) -> dict:
     """Materialize a two-column mapping to a driver dict for ray.put.
@@ -125,7 +148,7 @@ def lookup_column(
         ref = ray.put(m)
 
         def f(t: pa.Table) -> pa.Table:
-            mm = ray.get(ref)
+            mm = get_broadcast(ref)
             vals = [mm.get(k) for k in t.column(on).to_pylist()]
             return t.append_column(out_col, pa.array(vals, val_type))
 
