@@ -15,6 +15,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pyarrow as pa
 
 _MERSENNE = (1 << 61) - 1
 
@@ -49,6 +50,28 @@ def stable_int(s: str, *, salt: str = "") -> int:
 
 def partition_of(group_id: str, num_partitions: int) -> int:
     return stable_int(group_id, salt="part") % num_partitions
+
+
+def bucket_array(values, num_buckets: int, *, salt: str = "") -> np.ndarray:
+    """Vectorized deterministic bucket ids (int32) for a string column.
+
+    Replaces the per-row ``stable_int(v) % N`` loops that tagged every
+    exchange (~1-2 µs/row in Python) with pandas' C siphash kernel.
+    Bucket ids only key INTERNAL exchanges — the reducers are
+    key-complete per bucket, so any fixed deterministic hash yields
+    identical results — but the hash_key is pinned so reruns bucket
+    identically. Accepts a list, numpy array, or Arrow (Chunked)Array.
+    """
+    import pandas as pd
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_numpy(zero_copy_only=False)
+    arr = np.asarray(values, dtype=object)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.int32)
+    key = (salt + "graphiti_ray_bkt")[:16].ljust(16, "0")
+    h = pd.util.hash_array(arr, hash_key=key, categorize=False)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
 # ---------------------------------------------------------------- MinHash

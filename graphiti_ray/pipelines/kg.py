@@ -46,12 +46,13 @@ class KGResult:
     uuid_map: object
 
 
-def _dedupe_mentions(mentions_ds, alias: dict[str, str] | None, uuid_map_ds=None):
-    """Rewrite mention pointers through the alias map (broadcast dict,
-    or the uuid_map hash join past the broadcast threshold — mandatory
-    when alias is None because canonicalize skipped the dict), then
-    collapse duplicate (episode, entity) rows (aliases of one entity
-    mentioned in the same episode merge after canonicalization)."""
+def _dedupe_mentions(mentions_ds, alias, uuid_map_ds=None):
+    """Rewrite mention pointers through the alias map (broadcast
+    SortedKV, or the uuid_map hash join past the broadcast threshold —
+    mandatory when alias is None because canonicalize skipped building
+    it), then collapse duplicate (episode, entity) rows (aliases of one
+    entity mentioned in the same episode merge after
+    canonicalization)."""
     import ray
 
     from ..stages.edges import rewrite_pointers_join
@@ -74,13 +75,14 @@ def _dedupe_mentions(mentions_ds, alias: dict[str, str] | None, uuid_map_ds=None
 
         def rewrite(t: pa.Table) -> pa.Table:
             a = get_broadcast(ref)
-            ent = [a.get(u, u) for u in t.column("entity_uuid").to_pylist()]
+            if not len(a):
+                return t
             return t.set_column(
                 t.schema.get_field_index("entity_uuid"), "entity_uuid",
-                pa.array(ent, pa.string()),
+                a.rewrite_pa(t.column("entity_uuid")),
             )
 
-    from ..functions.hashing import stable_int
+    from ..functions.hashing import bucket_array
 
     NUM_BUCKETS = 256
 
@@ -93,18 +95,12 @@ def _dedupe_mentions(mentions_ds, alias: dict[str, str] | None, uuid_map_ds=None
         )
         # bucketed exchange + one Arrow group_by per bucket (faster than
         # the sort-based per-key aggregate at this key cardinality)
+        key_col = pc.binary_join_element_wise(
+            g.column("episode_uuid"), g.column("entity_uuid"), "|"
+        )
         return g.append_column(
             "mb",
-            pa.array(
-                [
-                    stable_int(e + "|" + n, salt="mnb") % NUM_BUCKETS
-                    for e, n in zip(
-                        g.column("episode_uuid").to_pylist(),
-                        g.column("entity_uuid").to_pylist(),
-                    )
-                ],
-                pa.int32(),
-            ),
+            pa.array(bucket_array(key_col, NUM_BUCKETS, salt="mnb"), pa.int32()),
         )
 
     def reduce_bucket(t: pa.Table) -> pa.Table:

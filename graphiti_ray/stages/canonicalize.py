@@ -119,18 +119,12 @@ def exact_merge(nodes_raw_ds, prior_nodes_ds=None):
     # faster than Dataset.groupby(uuid).aggregate at this shape (the
     # sort-based per-key aggregate pays per-distinct-key overhead; the
     # bucket reducer pays it once per bucket).
-    from ..functions.hashing import stable_int
+    from ..functions.hashing import bucket_array
 
     def tag(t: pa.Table) -> pa.Table:
         return t.append_column(
             "xb",
-            pa.array(
-                [
-                    stable_int(u, salt="xmb") % NUM_BUCKETS
-                    for u in t.column("uuid").to_pylist()
-                ],
-                pa.int32(),
-            ),
+            pa.array(bucket_array(t.column("uuid"), NUM_BUCKETS, salt="xmb"), pa.int32()),
         )
 
     def reduce_bucket(t: pa.Table) -> pa.Table:
@@ -183,13 +177,13 @@ def _block_rows(batch: pa.Table) -> pa.Table:
             norms.append(norm)
             names.append(name)
             groups.append(grp)
-    from ..functions.hashing import stable_int
+    from ..functions.hashing import bucket_array
 
     return pa.table(
         {
             "block_key": pa.array(keys, pa.string()),
             "block_bucket": pa.array(
-                [stable_int(k, salt="bbkt") % NUM_BUCKETS for k in keys], pa.int32()
+                bucket_array(keys, NUM_BUCKETS, salt="bbkt"), pa.int32()
             ),
             "uuid": pa.array(uuids, pa.string()),
             "name_norm": pa.array(norms, pa.string()),
@@ -282,31 +276,33 @@ NODE_STAGE_SCHEMA = pa.schema(
 )
 
 
-def build_uuid_map_and_nodes(nodes_exact_ds, comp: dict[str, str]):
+def build_uuid_map_and_nodes(nodes_exact_ds, comp):
     """Apply components: merge member nodes, emit canonical nodes + the
     alias map (old_uuid -> canonical_uuid, flat = already path-compressed
     per compress_uuid_map, bulk_utils.py:352-361).
 
-    comp maps member uuid -> component representative. The canonical
-    NODE of a component is the member with the most complete name
-    (name_sort_key max; ties by uuid), matching the reference's
-    keep-the-more-complete-node merge (node_operations.py:298-412) —
-    its uuid survives, the others remap to it.
+    comp (a joins.SortedKV) maps member uuid -> component
+    representative. The canonical NODE of a component is the member
+    with the most complete name (name_sort_key max; ties by uuid),
+    matching the reference's keep-the-more-complete-node merge
+    (node_operations.py:298-412) — its uuid survives, the others remap
+    to it.
 
     Component MERGING is distributed: member rows (duplicate candidates
     only — a small fraction of all entities) are tagged with their
     component id and reduced in a bucketed groupby; the non-member
     survivor stream never shuffles at all. Only the membership set and
-    the resulting alias map touch the driver (both O(duplicates), and
-    the alias consumer falls back to a hash join past the broadcast
-    threshold — stages/edges.rewrite_pointers)."""
+    the resulting alias map touch the driver (both O(duplicates), held
+    as SortedKV numpy arrays — zero-copy broadcast, no driver pickle /
+    per-worker unpickle — and the alias consumer falls back to a hash
+    join past the broadcast threshold — stages/edges.rewrite_pointers)."""
     import pandas as pd
     import ray
     import ray.data as rd
 
-    from ..functions.hashing import stable_int
+    from ..functions.hashing import bucket_array
 
-    if not comp:  # no duplicate candidates at all
+    if comp is None or len(comp) == 0:  # no duplicate candidates at all
         empty_map = rd.from_arrow(
             pa.table(
                 {
@@ -321,7 +317,9 @@ def build_uuid_map_and_nodes(nodes_exact_ds, comp: dict[str, str]):
             lambda t: t.select(NODE_STAGE_SCHEMA.names).cast(NODE_STAGE_SCHEMA),
             batch_format="pyarrow",
         )
-        return nodes, empty_map, {}
+        from .joins import SortedKV
+
+        return nodes, empty_map, SortedKV.from_pairs([], [])
 
     from .joins import get_broadcast
 
@@ -330,7 +328,7 @@ def build_uuid_map_and_nodes(nodes_exact_ds, comp: dict[str, str]):
     def split(keep_members: bool):
         def f(t: pa.Table) -> pa.Table:
             ms = get_broadcast(comp_ref)
-            mask = pa.array([u in ms for u in t.column("uuid").to_pylist()])
+            mask = pa.array(ms.contains_mask(t.column("uuid").to_pylist()))
             return t.filter(mask if keep_members else pc.invert(mask))
 
         return f
@@ -339,11 +337,11 @@ def build_uuid_map_and_nodes(nodes_exact_ds, comp: dict[str, str]):
 
     def tag(t: pa.Table) -> pa.Table:
         ms = get_broadcast(comp_ref)
-        cids = [ms[u] for u in t.column("uuid").to_pylist()]
-        t = t.append_column("comp_id", pa.array(cids, pa.string()))
+        cids = ms.lookup_pa(t.column("uuid"))
+        t = t.append_column("comp_id", cids)
         return t.append_column(
             "comp_bucket",
-            pa.array([stable_int(c, salt="cbkt") % NUM_BUCKETS for c in cids], pa.int32()),
+            pa.array(bucket_array(cids, NUM_BUCKETS, salt="cbkt"), pa.int32()),
         )
 
     members = nodes_exact_ds.map_batches(split(True), batch_format="pyarrow").map_batches(
@@ -402,17 +400,20 @@ def build_uuid_map_and_nodes(nodes_exact_ds, comp: dict[str, str]):
         )
 
     uuid_map = merged.map_batches(_map_rows, batch_format="pyarrow")
-    # alias dict for the broadcast rewrite path — built ONLY when the
-    # map is broadcastable; past the threshold alias=None and every
-    # consumer takes the uuid_map hash-join path (rewrite_pointers_join),
-    # so the driver never materializes an O(duplicates) dict it would
-    # not use (round-1 serial-section fix).
-    from .joins import BROADCAST_MAX_ROWS
+    # alias map for the broadcast rewrite path — a SortedKV (numpy byte
+    # arrays: zero-copy broadcast, vectorized searchsorted lookups),
+    # built ONLY when the map is broadcastable; past the threshold
+    # alias=None and every consumer takes the uuid_map hash-join path
+    # (rewrite_pointers_join), so the driver never materializes an
+    # O(duplicates) structure it would not use.
+    from .joins import BROADCAST_MAX_ROWS, SortedKV
 
     n_map = uuid_map.count()  # merged is materialized -> cheap filter
     if n_map <= BROADCAST_MAX_ROWS:
-        adf = uuid_map.to_pandas()
-        alias = dict(zip(adf["old_uuid"], adf["canonical_uuid"]))
+        adf = uuid_map.select_columns(["old_uuid", "canonical_uuid"]).to_pandas()
+        alias = SortedKV.from_pairs(
+            adf["old_uuid"].tolist(), adf["canonical_uuid"].tolist()
+        )
     else:
         alias = None
     nodes = survivors.map_batches(
@@ -444,14 +445,18 @@ def canonicalize_nodes(nodes_raw_ds, entity_types: dict | None = None,
     # ~8x fewer rows than raw extraction would (running the two
     # concurrently on the raw stream was measured slower — the extra
     # shuffled volume beats the overlap win).
+    from .joins import SortedKV
+
     exact = exact_merge(nodes_raw_ds, prior_nodes_ds=prior_nodes_ds).materialize()
     pairs = candidate_pairs(exact)
     comp = cc.components(pairs)
     if comp is None:  # very large duplicate set: distributed path
         labels = cc.connected_components_ds(pairs)
         ldf = labels.to_pandas()
-        comp = dict(zip(ldf["uuid"], ldf["label"]))
-    nodes, uuid_map, alias = build_uuid_map_and_nodes(exact, comp)
+        comp_kv = SortedKV.from_pairs(ldf["uuid"].tolist(), ldf["label"].tolist())
+    else:
+        comp_kv = SortedKV.from_dict(comp)
+    nodes, uuid_map, alias = build_uuid_map_and_nodes(exact, comp_kv)
 
     def with_labels(t: pa.Table) -> pa.Table:
         # entity-type labels + open-schema attributes (nodes.py:82,

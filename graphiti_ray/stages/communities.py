@@ -167,12 +167,10 @@ NUM_BUCKETS = 256  # exchange granularity for the distributed-LP path
 HOT_GROUP_ROWS = 500_000
 
 
-def _bkt(vals: list[str]) -> pa.Array:
-    from ..functions.hashing import stable_int
+def _bkt(vals) -> pa.Array:
+    from ..functions.hashing import bucket_array
 
-    return pa.array(
-        [stable_int(v, salt="lpbkt") % NUM_BUCKETS for v in vals], pa.int32()
-    )
+    return pa.array(bucket_array(vals, NUM_BUCKETS, salt="lpbkt"), pa.int32())
 
 
 def _lp_distributed(proj_ds, max_iters: int = MAX_LP_ITERS):

@@ -111,9 +111,10 @@ def rewrite_pointers_join(ds, uuid_map_ds, cols: list[str]):
     return ds
 
 
-def rewrite_pointers(edges_ds, alias: dict[str, str]):
-    """J3: rewrite src/tgt through the broadcast alias map (fetched
-    through the per-worker deserialized cache — joins.get_broadcast)."""
+def rewrite_pointers(edges_ds, alias):
+    """J3: rewrite src/tgt through the broadcast alias map (a
+    joins.SortedKV — zero-copy from plasma, vectorized searchsorted
+    rewrite; no per-worker dict deserialization)."""
     import ray
 
     from .joins import get_broadcast
@@ -122,17 +123,15 @@ def rewrite_pointers(edges_ds, alias: dict[str, str]):
 
     def f(t: pa.Table) -> pa.Table:
         a = get_broadcast(ref)
-        if not a:
+        if not len(a):
             return t
-        src = [a.get(u, u) for u in t.column("source_node_uuid").to_pylist()]
-        tgt = [a.get(u, u) for u in t.column("target_node_uuid").to_pylist()]
         t = t.set_column(
             t.schema.get_field_index("source_node_uuid"), "source_node_uuid",
-            pa.array(src, pa.string()),
+            a.rewrite_pa(t.column("source_node_uuid")),
         )
         return t.set_column(
             t.schema.get_field_index("target_node_uuid"), "target_node_uuid",
-            pa.array(tgt, pa.string()),
+            a.rewrite_pa(t.column("target_node_uuid")),
         )
 
     return edges_ds.map_batches(f, batch_format="pyarrow")
@@ -148,12 +147,10 @@ def rewrite_pointers(edges_ds, alias: dict[str, str]):
 NUM_BUCKETS = 256
 
 
-def _bucket_of_col(values: list[str]) -> pa.Array:
-    from ..functions.hashing import stable_int
+def _bucket_of_col(values) -> pa.Array:
+    from ..functions.hashing import bucket_array
 
-    return pa.array(
-        [stable_int(v, salt="ebkt") % NUM_BUCKETS for v in values], pa.int32()
-    )
+    return pa.array(bucket_array(values, NUM_BUCKETS, salt="ebkt"), pa.int32())
 
 
 def add_pair_key(edges_ds):
@@ -181,7 +178,7 @@ def add_pair_key(edges_ds):
             "pair_key", pc.binary_join_element_wise(lo, hi, "|")
         )
         return t.append_column(
-            "pair_bucket", _bucket_of_col(src_a.to_pylist())
+            "pair_bucket", _bucket_of_col(src_a)
         )
 
     return edges_ds.map_batches(f, batch_format="pyarrow")
@@ -390,19 +387,17 @@ def temporal_sweep(deduped_ds, now: datetime):
         )
         return t.append_column("expired_at", exp)
 
-    from ..functions.hashing import stable_int
+    from ..functions.hashing import bucket_array
 
     def tag_bucket(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_in(t.column("name"), value_set=pa.array(preds)))
-        keys = [
-            stable_int(f"{g}|{s}|{n}", salt="sbkt") % NUM_BUCKETS
-            for g, s, n in zip(
-                t.column("group_id").to_pylist(),
-                t.column("source_node_uuid").to_pylist(),
-                t.column("name").to_pylist(),
-            )
-        ]
-        return t.append_column("sweep_bucket", pa.array(keys, pa.int32()))
+        key_col = pc.binary_join_element_wise(
+            t.column("group_id"), t.column("source_node_uuid"), t.column("name"), "|"
+        )
+        return t.append_column(
+            "sweep_bucket",
+            pa.array(bucket_array(key_col, NUM_BUCKETS, salt="sbkt"), pa.int32()),
+        )
 
     exclusive = deduped_ds.map_batches(tag_bucket, batch_format="pyarrow")
     rest = deduped_ds.map_batches(
@@ -417,16 +412,16 @@ def temporal_sweep(deduped_ds, now: datetime):
     return swept.union(rest)
 
 
-def resolve_edges(edges_raw_ds, alias: dict[str, str] | None, now: datetime,
+def resolve_edges(edges_raw_ds, alias, now: datetime,
                   uuid_map_ds=None):
     """Full edge resolution chain — ONE src-bucketed shuffle feeding
     the fused dedupe+temporal reducer. Returns canonical edges Dataset
     with expired_at populated.
 
-    Pointer rewrite: broadcast dict below BROADCAST_MAX_ROWS, else the
-    uuid_map hash-join path (pass uuid_map_ds). ``alias is None`` means
-    the map was too large to broadcast (canonicalize skipped building
-    the dict) — the join path is then mandatory."""
+    Pointer rewrite: broadcast SortedKV below BROADCAST_MAX_ROWS, else
+    the uuid_map hash-join path (pass uuid_map_ds). ``alias is None``
+    means the map was too large to broadcast (canonicalize skipped
+    building it) — the join path is then mandatory."""
     from .joins import BROADCAST_MAX_ROWS
 
     if alias is None and uuid_map_ds is None:

@@ -55,17 +55,11 @@ def summarize_nodes(nodes_ds, edges_ds):
         )
         g = out.group_by(["uuid", "pred"]).aggregate([("pred", "count")])
         g = g.rename_columns(["uuid", "pred", "cnt"])
-        from ..functions.hashing import stable_int
+        from ..functions.hashing import bucket_array
 
         return g.append_column(
             "bucket",
-            pa.array(
-                [
-                    stable_int(u, salt="sumbkt") % NUM_BUCKETS
-                    for u in g.column("uuid").to_pylist()
-                ],
-                pa.int32(),
-            ),
+            pa.array(bucket_array(g.column("uuid"), NUM_BUCKETS, salt="sumbkt"), pa.int32()),
         )
 
     def render(df: pd.DataFrame) -> pa.Table:
