@@ -281,6 +281,57 @@ def kg_docs_uuid_map(sf_dir: str):
     return m.map_batches(proj, batch_format="pyarrow")
 
 
+def kg_docs_mention_degrees(sf_dir: str):
+    """D11 mention-degree aggregate over the SQL-mirrorable KG: one row
+    per canonical entity with its distinct-episode mention count —
+    the driver-checkable twin of ``mention_degrees``."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    from .stages.joins import lookup_column
+
+    kg = _kg_docs(sf_dir)
+    deg = kg.mentions.groupby("entity_uuid").aggregate(
+        Count(alias_name="n_mentions")
+    )
+    n = kg.nodes.count()
+    deg = lookup_column(
+        deg, "entity_uuid", kg.nodes, "uuid", "name", "name", mapping_rows=n
+    )
+    deg = lookup_column(
+        deg, "entity_uuid", kg.nodes, "uuid", "group_id", "group_id",
+        mapping_rows=n,
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["group_id", "name", "n_mentions"])
+
+    return deg.map_batches(proj, batch_format="pyarrow")
+
+
+def kg_docs_node_summaries(sf_dir: str):
+    """M4 deterministic summaries over the SQL-mirrorable KG, projected
+    by (group, canonical name) so DuckDB can rebuild the exact summary
+    strings (mention count + top-5 predicate histogram)."""
+    import pyarrow as pa
+
+    from .stages.joins import lookup_column
+    from .stages.summarize import summarize_nodes
+
+    kg = _kg_docs(sf_dir)
+    s = summarize_nodes(kg.nodes, kg.edges)
+    s = lookup_column(
+        s, "uuid", kg.nodes, "uuid", "group_id", "group_id",
+        mapping_rows=kg.nodes.count(),
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["group_id", "name", "summary"])
+
+    return s.map_batches(proj, batch_format="pyarrow")
+
+
 def communities(sf_dir: str):
     """D9 label propagation over the canonical entity graph."""
     from .stages.communities import build_communities
@@ -523,6 +574,47 @@ WHERE f.form <> c.cname
 """
 
 
+def _KG_DOCS_MENTION_DEGREES_SQL():
+    return _kg_docs_sql("""
+SELECT e.grp AS group_id, c.cname AS name,
+       count(DISTINCT e.url) AS n_mentions
+FROM ent_d e JOIN canon c ON c.grp = e.grp AND c.comp = e.comp
+GROUP BY 1, 2
+""")
+
+
+def _KG_DOCS_NODE_SUMMARIES_SQL():
+    # Mirrors stages/summarize.py:summarize_nodes exactly: each
+    # canonical edge contributes its predicate to BOTH endpoints; the
+    # summary is "{name}: mentioned in {n} episodes; relations:
+    # {pred} x{cnt}, ..." over the top-5 (count desc, pred asc).
+    return _kg_docs_sql("""
+, inc AS (
+  SELECT grp, subj AS name, pred FROM swept
+  UNION ALL SELECT grp, obj AS name, pred FROM swept
+), hist AS (
+  SELECT grp, name, pred, count(*) AS cnt FROM inc GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY grp, name ORDER BY cnt DESC, pred ASC) AS rk
+  FROM hist
+), rel AS (
+  SELECT grp, name,
+    string_agg(pred || ' x' || CAST(cnt AS VARCHAR), ', '
+               ORDER BY cnt DESC, pred ASC) AS rel
+  FROM ranked WHERE rk <= 5 GROUP BY grp, name
+), nd AS (
+  SELECT e.grp, c.cname AS name, count(*) AS n_mentions
+  FROM ent_d e JOIN canon c ON c.grp = e.grp AND c.comp = e.comp
+  GROUP BY e.grp, e.comp, c.cname
+)
+SELECT nd.grp AS group_id, nd.name,
+  nd.name || ': mentioned in ' || CAST(nd.n_mentions AS VARCHAR)
+    || ' episodes' || COALESCE('; relations: ' || r.rel, '') AS summary
+FROM nd LEFT JOIN rel r ON r.grp = nd.grp AND r.name = nd.name
+""")
+
+
 def _with_docs_dups(body: str) -> str:
     from .ops.corpus import DOCS_WITH_DUPS_CTE
 
@@ -691,6 +783,8 @@ QUERIES = {
     "kg_docs_nodes": kg_docs_nodes,
     "kg_docs_mentions": kg_docs_mentions,
     "kg_docs_uuid_map": kg_docs_uuid_map,
+    "kg_docs_mention_degrees": kg_docs_mention_degrees,
+    "kg_docs_node_summaries": kg_docs_node_summaries,
     "communities": communities,
     "mention_degrees": mention_degrees,
     "search_hybrid_demo": search_hybrid_demo,
@@ -730,6 +824,8 @@ ORACLE_SQL = {
     "kg_docs_nodes": _KG_DOCS_NODES_SQL(),
     "kg_docs_mentions": _KG_DOCS_MENTIONS_SQL(),
     "kg_docs_uuid_map": _KG_DOCS_UUID_MAP_SQL(),
+    "kg_docs_mention_degrees": _KG_DOCS_MENTION_DEGREES_SQL(),
+    "kg_docs_node_summaries": _KG_DOCS_NODE_SUMMARIES_SQL(),
     "episode_windows": EPISODE_WINDOWS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,

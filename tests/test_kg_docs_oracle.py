@@ -15,6 +15,8 @@ KG_DOCS_QUERIES = [
     "kg_docs_uuid_map",
     "kg_docs_triples",
     "kg_docs_edges",
+    "kg_docs_mention_degrees",
+    "kg_docs_node_summaries",
 ]
 
 
