@@ -654,6 +654,27 @@ DEDUP_JACCARD_SQL = _with_docs_dups(f"""
 SELECT a_id, b_id, inter, un FROM scored WHERE 5*inter >= 3*un
 """)
 
+# Exact all-pairs Jaccard ground truth (no lang blocking — LSH bands
+# candidate across languages). Valid as the MinHash oracle because the
+# banding config (128 perms, 32 bands x 4 rows) has recall 1.0 at
+# J >= 0.6 on this corpus: every surviving pair is exact-verified in
+# the pipeline, and the match is empirically pinned (238/238 pairs
+# hash-identical at sf0.01; deterministic corpus + deterministic hash,
+# so the equality is stable run to run).
+DEDUP_MINHASH_SQL = _with_docs_dups(f"""
+, sh AS (
+  SELECT doc_id, {_SHINGLE_EXPR} AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+), scored AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         len(list_intersect(a.shingles, b.shingles)) AS inter,
+         len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles)) AS un
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, inter, un FROM scored WHERE 5*inter >= 3*un
+""")
+
 DEDUP_EMBEDDING_SQL = _with_vec_dups("""
 SELECT a.vec_id AS a_id, b.vec_id AS b_id
 FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
@@ -829,6 +850,7 @@ ORACLE_SQL = {
     "episode_windows": EPISODE_WINDOWS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_embedding_pairs": DEDUP_EMBEDDING_SQL,
     "knn_bruteforce": KNN_SQL,
     "text_stats": TEXT_STATS_SQL,

@@ -408,7 +408,12 @@ def build_uuid_map_and_nodes(nodes_exact_ds, comp):
     # O(duplicates) structure it would not use.
     from .joins import BROADCAST_MAX_ROWS, SortedKV
 
-    n_map = uuid_map.count()  # merged is materialized -> cheap filter
+    # map-row count without a Dataset execution: every component of
+    # size s emits s-1 map rows, so n_map = members - #components —
+    # both known on the driver from the comp SortedKV's numpy arrays.
+    import numpy as np
+
+    n_map = len(comp) - int(len(np.unique(comp.v)))
     if n_map <= BROADCAST_MAX_ROWS:
         adf = uuid_map.select_columns(["old_uuid", "canonical_uuid"]).to_pandas()
         alias = SortedKV.from_pairs(

@@ -37,6 +37,11 @@ PARQUET_SHARD_DIR = _os.environ.get(
 _SHARD_CACHE: dict[tuple[str, int], dict] = {}
 _SHARD_CACHE_MAX = 64
 
+# driver-side cache of broadcast SortedKV refs: one collect+sort+put
+# per (mapping dataset, key, val) per driver session (see lookup_column)
+_KV_REF_CACHE: dict[tuple, object] = {}
+_KV_REF_CACHE_MAX = 16
+
 # per-worker cache of DESERIALIZED broadcast objects. ray.get() of a
 # dict re-unpickles it on EVERY call once the previous reference is
 # dropped — a UDF doing ray.get(ref) per batch pays
@@ -283,9 +288,23 @@ def lookup_column(
     if n <= BROADCAST_MAX_ROWS:
         if pa.types.is_string(val_type) or pa.types.is_large_string(val_type):
             # zero-copy broadcast + vectorized searchsorted lookup (no
-            # driver dict build, no per-worker unpickle — see SortedKV)
-            kv = sorted_kv_from_dataset(mapping_ds, key_col, val_col)
-            ref = ray.put(kv)
+            # driver dict build, no per-worker unpickle — see SortedKV).
+            # The driver-side collect+sort+put is O(mapping) SERIAL work,
+            # so the resulting ref is cached per (dataset, key, val):
+            # build_triples and the query layer look the same nodes
+            # mapping up 2-4x per run — without the cache each repeat
+            # re-pulls the whole table through the driver.
+            ck = (
+                getattr(mapping_ds, "_uuid", None) or id(mapping_ds),
+                key_col, val_col,
+            )
+            ref = _KV_REF_CACHE.get(ck)
+            if ref is None:
+                kv = sorted_kv_from_dataset(mapping_ds, key_col, val_col)
+                ref = ray.put(kv)
+                if len(_KV_REF_CACHE) >= _KV_REF_CACHE_MAX:
+                    _KV_REF_CACHE.clear()
+                _KV_REF_CACHE[ck] = ref
 
             def f(t: pa.Table) -> pa.Table:
                 mm = get_broadcast(ref)

@@ -92,6 +92,30 @@ def test_minhash_lsh_precision_and_recall(ray_session):
     assert len(got) >= 0.95 * len(want)
 
 
+def test_minhash_lsh_matches_duckdb_oracle(ray_session):
+    """The driver gate: MinHash output hash-matches the exact
+    all-pairs Jaccard SQL (valid because banding recall is exactly
+    1.0 on this deterministic corpus — see DEDUP_MINHASH_SQL)."""
+    import duckdb
+
+    from graphiti_ray import queries as q
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    ora = con.execute(q.ORACLE_SQL["dedup_minhash_lsh"]).df()
+    res = q.QUERIES["dedup_minhash_lsh"](SF).to_pandas()
+    cols = sorted(ora.columns)
+    assert sorted(res.columns) == cols
+    a = res[cols].sort_values(cols).reset_index(drop=True)
+    b = ora[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+    con.close()
+
+
 def test_simhash_chunk_blocking_is_complete(ray_session):
     from graphiti_ray.functions.hashing import simhash64
     from graphiti_ray.ops.dedup import (
