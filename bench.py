@@ -163,7 +163,14 @@ def main() -> None:
                          "processes; report throughputs + efficiency")
     ap.add_argument("--_child-throughput", type=int, default=None,
                     help=argparse.SUPPRESS)  # internal: one scaling leg
-    ap.add_argument("--cpus", type=int, nargs=2, default=[8, 32],
+    # Default pair 4/16 (N vs 4N): the host has 32 cores TOTAL, so a
+    # 32-CPU leg shares its cores with Ray's own system processes
+    # (driver, raylet, object store) and the hypervisor's co-tenants —
+    # the measured ladder (BASELINE.md) doubles near-linearly 4->8->16
+    # (1.86x, 1.85x) then collapses on the machine-saturating last
+    # doubling (1.25x). 4 vs 16 measures scaling; 8 vs 32 measures
+    # saturation. Both pairs are recorded in BASELINE.md.
+    ap.add_argument("--cpus", type=int, nargs=2, default=[4, 16],
                     metavar=("SMALL", "LARGE"), help="scaling CPU levels")
     ap.add_argument("--repeats", type=int, default=2,
                     help="runs per scaling leg; best (min wall) is kept "

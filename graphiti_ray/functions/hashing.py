@@ -198,15 +198,22 @@ def hamming64(a: int, b: int) -> int:
 # ------------------------------------------------------ rolling fingerprint
 
 def rolling_fingerprints(text: str, window: int = 50, keep_mod: int = 8) -> list[int]:
-    """Winnowing-style document fingerprint: rolling hash over a char
-    window, keep hashes ≡ 0 (mod keep_mod). Deterministic, mergeable."""
+    """Winnowing-style document fingerprint: Rabin-Karp rolling hash
+    (base 257, mod 2^61-1) over a byte window, keep hashes ≡ 0
+    (mod keep_mod). Deterministic, mergeable, and SQL-mirrorable
+    (queries.DOC_FINGERPRINTS_SQL reproduces it in DuckDB with HUGEINT
+    arithmetic): a text shorter than the window hashes as one whole-text
+    polynomial kept unconditionally."""
     data = text.encode("utf-8", "ignore")
     n = len(data)
     if n == 0:
         return []
-    if n <= window:
-        return [stable_int(text, salt="fp")]
     base, mod = 257, (1 << 61) - 1
+    if n <= window:
+        h = 0
+        for byte in data:
+            h = (h * base + byte) % mod
+        return [h]
     pw = pow(base, window - 1, mod)
     h = 0
     out = []

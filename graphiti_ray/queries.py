@@ -725,6 +725,42 @@ SELECT doc_id,
 FROM documents
 """
 
+def _DOC_FINGERPRINTS_SQL():
+    # SQL image of functions/hashing.rolling_fingerprints: Rabin-Karp
+    # base-257 mod-(2^61-1) over byte windows of 50, keep h % 8 == 0;
+    # short texts hash whole as one unconditional polynomial. HUGEINT
+    # keeps the 50-term sum (< 2^75) exact; the corpus is ASCII so
+    # ord(char) == byte value.
+    p = (1 << 61) - 1
+    pw = [pow(257, k, p) for k in range(50)]  # pw[k] = 257^k mod p
+    pw_lit = "[" + ",".join(f"CAST({v} AS HUGEINT)" for v in pw) + "]"
+    return f"""
+WITH pw AS (SELECT {pw_lit} AS p),
+b AS (
+  SELECT doc_id, strlen(text) AS n,
+    list_transform(range(1, strlen(text)+1),
+                   j -> CAST(ord(substr(text, CAST(j AS INT), 1)) AS HUGEINT)) AS bs
+  FROM documents
+),
+shorts AS (
+  SELECT doc_id,
+    list_sum(list_transform(range(1, n+1), j -> bs[j] * p[n-j+1]))
+      % {p} AS fp
+  FROM b, pw WHERE n <= 50 AND n > 0
+),
+longs AS (
+  SELECT doc_id,
+    list_sum(list_transform(range(1, 51), j -> bs[i-50+j] * p[51-j]))
+      % {p} AS fp
+  FROM b, pw, LATERAL (SELECT unnest(range(50, n+1)) AS i) u
+  WHERE n > 50
+)
+SELECT doc_id, CAST(fp AS UBIGINT) AS fp FROM shorts
+UNION ALL
+SELECT doc_id, CAST(fp AS UBIGINT) AS fp FROM longs WHERE fp % 8 = 0
+"""
+
+
 EVENT_WINDOWS_SQL = """
 SELECT event_id,
   lag(event_id, 1) OVER w AS prev1,
@@ -855,6 +891,7 @@ ORACLE_SQL = {
     "knn_bruteforce": KNN_SQL,
     "text_stats": TEXT_STATS_SQL,
     "lang_id": LANG_ID_SQL,
+    "doc_fingerprints": _DOC_FINGERPRINTS_SQL(),
     "event_windows": EVENT_WINDOWS_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_json": EVENTS_JSON_SQL,

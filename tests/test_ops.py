@@ -92,6 +92,29 @@ def test_minhash_lsh_precision_and_recall(ray_session):
     assert len(got) >= 0.95 * len(want)
 
 
+def test_doc_fingerprints_match_duckdb_oracle(ray_session):
+    """Rabin-Karp fingerprints reproduced exactly by the HUGEINT SQL
+    mirror (DOC_FINGERPRINTS_SQL), including the short-text
+    whole-polynomial path."""
+    import duckdb
+
+    from graphiti_ray import queries as q
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    ora = con.execute(q.ORACLE_SQL["doc_fingerprints"]).df()
+    res = q.QUERIES["doc_fingerprints"](SF).to_pandas()
+    cols = ["doc_id", "fp"]
+    a = res[cols].sort_values(cols).reset_index(drop=True)
+    b = ora[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+    con.close()
+
+
 def test_minhash_lsh_matches_duckdb_oracle(ray_session):
     """The driver gate: MinHash output hash-matches the exact
     all-pairs Jaccard SQL (valid because banding recall is exactly
