@@ -169,13 +169,22 @@ def minhash_signature_fast(
 
 # ---------------------------------------------------------------- SimHash
 
+def md5_hash64(s: str, *, salt: str = "") -> int:
+    """64-bit hash matching DuckDB's ``md5_number_lower(salt || s)``
+    (upper md5 half, little-endian) so SimHash is SQL-mirrorable."""
+    d = hashlib.md5((salt + s).encode("utf-8", "surrogatepass")).digest()
+    return int.from_bytes(d[8:16], "little")
+
+
 def simhash64(tokens: list[str]) -> int:
     """64-bit SimHash over a token multiset (Charikar 2002). Vectorized:
-    (n, 64) bit matrix via shifts, column sums, sign -> bits."""
+    (n, 64) bit matrix via shifts, column sums, sign -> bits. Token hash
+    is md5-derived (md5_hash64) so queries.DEDUP_SIMHASH_SQL can
+    reproduce the full sketch in DuckDB."""
     if not tokens:
         return 0
     hs = np.fromiter(
-        (stable_int(t, salt="sh") for t in tokens), dtype=np.uint64, count=len(tokens)
+        (md5_hash64(t, salt="sh|") for t in tokens), dtype=np.uint64, count=len(tokens)
     )
     bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
     acc = np.where(bits.astype(bool), 1, -1).sum(axis=0)

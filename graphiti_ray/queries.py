@@ -675,6 +675,41 @@ DEDUP_MINHASH_SQL = _with_docs_dups(f"""
 SELECT a_id, b_id, inter, un FROM scored WHERE 5*inter >= 3*un
 """)
 
+# Exact SQL image of ops.dedup.simhash_pairs: the 4x16-bit chunk
+# blocking is pigeonhole-COMPLETE at hamming radius 3 (simhash_chunks),
+# and every candidate is exact-verified, so the op's output is exactly
+# "all pairs with hamming(simhash) <= 3". The sketch itself is
+# reproduced bit for bit: md5_number_lower('sh|' || token) matches
+# hashing.md5_hash64(token, salt='sh|'), and the non-distinct word
+# 3-gram multiset matches hashing-side word_3gram_shingles.
+DEDUP_SIMHASH_SQL = _with_docs_dups("""
+, sh AS (
+  SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+    ELSE list_transform(range(1, len(w)-1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS toks
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+), tok AS (
+  SELECT doc_id, md5_number_lower('sh|' || t.tk) AS h
+  FROM sh, unnest(sh.toks) AS t(tk)
+), bits AS (
+  SELECT doc_id, j.j,
+    CASE WHEN sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+         THEN 1 ELSE 0 END AS b
+  FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+  GROUP BY doc_id, j.j
+), hv AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN b = 1
+             THEN CAST(CAST(1 AS UBIGINT) << j AS HUGEINT)
+             ELSE 0 END) AS UBIGINT) AS h
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+FROM hv a JOIN hv b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 3
+""")
+
 DEDUP_EMBEDDING_SQL = _with_vec_dups("""
 SELECT a.vec_id AS a_id, b.vec_id AS b_id
 FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
@@ -887,6 +922,7 @@ ORACLE_SQL = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding_pairs": DEDUP_EMBEDDING_SQL,
     "knn_bruteforce": KNN_SQL,
     "text_stats": TEXT_STATS_SQL,

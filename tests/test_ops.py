@@ -139,6 +139,30 @@ def test_minhash_lsh_matches_duckdb_oracle(ray_session):
     con.close()
 
 
+def test_simhash_matches_duckdb_oracle(ray_session):
+    """The driver gate: simhash pairs hash-match the exact SQL image
+    (md5-derived token hashes + all-pairs hamming <= 3 — valid because
+    4x16-bit chunk blocking is pigeonhole-complete at radius 3)."""
+    import duckdb
+
+    from graphiti_ray import queries as q
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    ora = con.execute(q.ORACLE_SQL["dedup_simhash"]).df()
+    res = q.QUERIES["dedup_simhash"](SF).to_pandas()
+    cols = sorted(ora.columns)
+    assert sorted(res.columns) == cols
+    a = res[cols].sort_values(cols).reset_index(drop=True)
+    b = ora[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+    con.close()
+
+
 def test_simhash_chunk_blocking_is_complete(ray_session):
     from graphiti_ray.functions.hashing import simhash64
     from graphiti_ray.ops.dedup import (
