@@ -85,12 +85,22 @@ def docs_with_dups(sf_dir: str):
 
 
 def _plant_vec_dups(batch: pa.Table) -> pa.Table:
-    keep = [i for i, v in enumerate(batch.column("vec_id").to_pylist()) if v % VEC_MOD == 0]
-    dup = batch.take(keep)
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    keep = np.flatnonzero(ids % VEC_MOD == 0)
+    if keep.size == 0:
+        # NB: batch.take([]) would crash — an empty Python list infers a
+        # null-typed indices array ("array_take has no kernel matching
+        # (int64, null)"); small blocks legitimately contain no planted
+        # ids, so this early-out is required, not just an optimization.
+        return batch
+    dup = batch.take(pa.array(keep, pa.int64()))
     dup = dup.set_column(
         dup.schema.get_field_index("vec_id"),
         "vec_id",
-        pa.array([v + VEC_OFF for v in dup.column("vec_id").to_pylist()], pa.int64()),
+        pc.add(dup.column("vec_id"), VEC_OFF),
     )
     return pa.concat_tables([batch, dup])
 

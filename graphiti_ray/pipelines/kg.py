@@ -268,7 +268,7 @@ def _explode_prior_edges(t: pa.Table) -> pa.Table:
         for e in lst if lst else [None]:
             take_idx.append(i)
             ep_out.append(e)
-    x = t.take(take_idx)
+    x = t.take(pa.array(take_idx, pa.int64()))  # typed: [] infers null otherwise
     cols = {c: x.column(c) for c in RAW_EDGE_COLS if c != "episode_uuid"}
     cols["episode_uuid"] = pa.array(ep_out, pa.string())
     return pa.table({c: cols[c] for c in RAW_EDGE_COLS})

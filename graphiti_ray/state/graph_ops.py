@@ -67,7 +67,7 @@ def get_by_episode(kg, episode_uuid: str):
             for i, lst in enumerate(t.column("episodes").to_pylist())
             if episode_uuid in (lst or [])
         ]
-        return t.take(keep)
+        return t.take(pa.array(keep, pa.int64()))  # typed: [] infers null
 
     edges = kg.edges.map_batches(edge_filter, batch_format="pyarrow")
     ment = kg.mentions.map_batches(
@@ -120,7 +120,7 @@ def remove_episode(kg, episode_uuid: str):
             t.schema.get_field_index("episodes"), "episodes",
             pa.array(new_eps, pa.list_(pa.string())),
         )
-        return t.take(keep)
+        return t.take(pa.array(keep, pa.int64()))  # typed: [] infers null
 
     edges = kg.edges.map_batches(drop_provenance, batch_format="pyarrow")
 
