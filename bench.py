@@ -76,6 +76,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "mention_degrees",
         "node_summaries",
         "search_hybrid_demo",
+        "search_docs_hybrid",
         "dedup_exact",
         "corpus_prep",
         "dedup_minhash_lsh",
@@ -91,6 +92,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "event_windows",
         "events_hourly",
         "events_json",
+        "events_sessionize",
         "episode_windows",
         "multimodal_decode",
     ]

@@ -370,6 +370,81 @@ def search_hybrid_demo(sf_dir: str):
     )
 
 
+def search_docs_hybrid(sf_dir: str):
+    """Driver-checkable hybrid search: BM25 + stored-vector cosine,
+    RRF-fused, over documents/embeddings (search/docsearch.py)."""
+    from .search.docsearch import docs_hybrid_search
+
+    return docs_hybrid_search(sf_dir)
+
+
+def _SEARCH_DOCS_HYBRID_SQL() -> str:
+    # Exact SQL image of search/docsearch.py (see its module docstring
+    # for the float-safety argument). Term lists and constants are
+    # generated from the same source constants so they cannot drift.
+    from .search.docsearch import DOC_SEARCH_QUERIES, FUSE_K, LANE_K
+    from .search.search import _query_terms
+
+    term_rows = ",".join(
+        f"('{q}', '{t}')" for q, _ in DOC_SEARCH_QUERIES for t in _query_terms(q)
+    )
+    qv_rows = ",".join(f"('{q}', {vid})" for q, vid in DOC_SEARCH_QUERIES)
+    return f"""
+WITH t(q, term) AS (VALUES {term_rows}),
+qv(q, qid) AS (VALUES {qv_rows}),
+st AS (
+  SELECT count(*) AS n,
+         CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
+  FROM documents
+),
+df AS (
+  SELECT t.q, t.term,
+         count(*) FILTER (WHERE contains(lower(d.text), t.term)) AS dfreq
+  FROM t CROSS JOIN documents d GROUP BY t.q, t.term
+),
+tf AS (
+  SELECT t.q, t.term, d.doc_id,
+         (strlen(lower(d.text)) - strlen(replace(lower(d.text), t.term, '')))
+           / strlen(t.term) AS tf,
+         CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dl
+  FROM t CROSS JOIN documents d
+),
+ft_sc AS (
+  SELECT tf.q, tf.doc_id,
+    sum(ln(1 + (st.n - df.dfreq + 0.5) / (df.dfreq + 0.5)) * tf.tf * 2.5
+        / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * tf.dl / st.avgdl))) AS s
+  FROM tf JOIN df ON df.q = tf.q AND df.term = tf.term CROSS JOIN st
+  GROUP BY tf.q, tf.doc_id
+),
+ft AS (
+  SELECT q, doc_id,
+         row_number() OVER (PARTITION BY q ORDER BY s DESC, doc_id ASC) - 1 AS r
+  FROM ft_sc WHERE s > 0 QUALIFY r < {LANE_K}
+),
+cs AS (
+  SELECT qv.q, e.vec_id AS doc_id,
+         list_cosine_similarity(qe.embedding, e.embedding) AS c
+  FROM qv JOIN embeddings qe ON qe.vec_id = qv.qid
+  CROSS JOIN embeddings e WHERE e.vec_id != qv.qid
+),
+cl AS (
+  SELECT q, doc_id,
+         row_number() OVER (PARTITION BY q ORDER BY c DESC, doc_id ASC) - 1 AS r
+  FROM cs QUALIFY r < {LANE_K}
+),
+fused AS (
+  SELECT q, doc_id, sum(1.0 / (r + 1)) AS s
+  FROM (SELECT q, doc_id, r FROM ft UNION ALL SELECT q, doc_id, r FROM cl)
+  GROUP BY q, doc_id
+)
+SELECT q AS query, doc_id, rank FROM (
+  SELECT q, doc_id,
+         row_number() OVER (PARTITION BY q ORDER BY s DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {FUSE_K}
+"""
+
+
 # ------------------------------------------------ training-data operators
 
 def dedup_exact(sf_dir: str):
@@ -880,6 +955,7 @@ QUERIES = {
     "communities": communities,
     "mention_degrees": mention_degrees,
     "search_hybrid_demo": search_hybrid_demo,
+    "search_docs_hybrid": search_docs_hybrid,
     "episode_windows": episode_windows,
     "node_summaries": node_summaries,
     # dedup family
@@ -923,6 +999,7 @@ ORACLE_SQL = {
     "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "search_docs_hybrid": _SEARCH_DOCS_HYBRID_SQL(),
     "dedup_embedding_pairs": DEDUP_EMBEDDING_SQL,
     "knn_bruteforce": KNN_SQL,
     "text_stats": TEXT_STATS_SQL,

@@ -163,6 +163,30 @@ def test_simhash_matches_duckdb_oracle(ray_session):
     con.close()
 
 
+def test_search_docs_hybrid_matches_duckdb_oracle(ray_session):
+    """The driver gate for the hybrid-search stack (Q1/Q4/Q5/Q7): BM25 +
+    stored-vector cosine + RRF over documents/embeddings hash-matches
+    the full SQL image (see search/docsearch.py for float-safety)."""
+    import duckdb
+
+    from graphiti_ray import queries as q
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    ora = con.execute(q.ORACLE_SQL["search_docs_hybrid"]).df()
+    res = q.QUERIES["search_docs_hybrid"](SF).to_pandas()
+    cols = sorted(ora.columns)
+    assert sorted(res.columns) == cols
+    a = res[cols].sort_values(cols).reset_index(drop=True)
+    b = ora[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+    con.close()
+
+
 def test_simhash_chunk_blocking_is_complete(ray_session):
     from graphiti_ray.functions.hashing import simhash64
     from graphiti_ray.ops.dedup import (
