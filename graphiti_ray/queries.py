@@ -332,6 +332,32 @@ def kg_docs_node_summaries(sf_dir: str):
     return s.map_batches(proj, batch_format="pyarrow")
 
 
+def kg_docs_communities(sf_dir: str):
+    """D9 label propagation over the SQL-mirrorable docs KG — the
+    driver-checkable twin of ``communities``. Labels are ordered by
+    canonical NAME (order_key knob) so a DuckDB recursive CTE can run
+    the byte-identical iteration with name-valued labels: every LP
+    comparison is order-only, and names are unique per group, so the
+    two label domains converge to identical member partitions
+    (reference algorithm: community_operations.py:83-127)."""
+    import pyarrow as pa
+
+    from .stages.communities import build_communities
+    from .stages.joins import lookup_column
+
+    kg = _kg_docs(sf_dir)
+    cm = build_communities(kg.nodes, kg.edges, order_key="name")
+    cm = lookup_column(
+        cm, "entity_uuid", kg.nodes, "uuid", "name", "name",
+        mapping_rows=kg.nodes.count(),
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["group_id", "name", "community_name", "n_members"])
+
+    return cm.map_batches(proj, batch_format="pyarrow")
+
+
 def communities(sf_dir: str):
     """D9 label propagation over the canonical entity graph."""
     from .stages.communities import build_communities
@@ -690,6 +716,73 @@ FROM nd LEFT JOIN rel r ON r.grp = nd.grp AND r.name = nd.name
 """)
 
 
+def _KG_DOCS_COMMUNITIES_SQL():
+    # SQL image of stages/communities.label_propagation with
+    # name-valued labels (order-isomorphic to the stage's index labels
+    # when order_key='name'): each iteration a node adopts the
+    # edge-count-weighted plurality of its neighbors' labels (ties to
+    # the LARGER label — the lpad(weight)|label string max), never
+    # decreasing (greatest(best, cur)); self rows with weight 0 carry
+    # the current label. Runs the stage's full MAX_LP_ITERS budget —
+    # labels are monotone, so extra iterations past convergence are
+    # identity. Community naming mirrors _community_rows: the
+    # (n_mentions DESC, name ASC)-top member leads.
+    from .sources.pages_kg import KG_DOCS_CTE
+    from .stages.communities import MAX_LP_ITERS
+
+    return f"""WITH RECURSIVE {KG_DOCS_CTE},
+nd AS (
+  SELECT e.grp, c.cname AS name, count(*) AS n_mentions
+  FROM ent_d e JOIN canon c ON c.grp = e.grp AND c.comp = e.comp
+  GROUP BY e.grp, e.comp, c.cname
+),
+ew AS (  -- weighted undirected edges + zero-weight self rows
+  SELECT grp, u, v, CAST(count(*) AS BIGINT) AS w, false AS self
+  FROM (
+    SELECT grp, subj AS u, obj AS v FROM swept WHERE subj <> obj
+    UNION ALL SELECT grp, obj, subj FROM swept WHERE subj <> obj
+  ) GROUP BY grp, u, v
+  UNION ALL SELECT grp, name, name, 0, true FROM nd
+),
+lp(iter, grp, node, label) AS (
+  SELECT 0, grp, name, name FROM nd
+  UNION ALL
+  SELECT iter + 1, grp, node,
+    CASE WHEN best IS NULL THEN cur ELSE greatest(best, cur) END AS label
+  FROM (
+    SELECT s.iter, s.grp, s.node,
+      max(CASE WHEN s.self THEN s.label END) AS cur,
+      substr(max(CASE WHEN NOT s.self
+                 THEN lpad(CAST(s.sw AS VARCHAR), 12, '0') || '|' || s.label
+                 END), 14) AS best
+    FROM (
+      SELECT l.iter, e.grp, e.u AS node, l.label, e.self, sum(e.w) AS sw
+      FROM lp l JOIN ew e ON e.grp = l.grp AND e.v = l.node
+      GROUP BY l.iter, e.grp, e.u, l.label, e.self
+    ) s
+    GROUP BY s.iter, s.grp, s.node
+  ) WHERE iter < {MAX_LP_ITERS}
+),
+mem AS (
+  SELECT l.grp, l.label, l.node AS name, nd.n_mentions
+  FROM lp l JOIN nd ON nd.grp = l.grp AND nd.name = l.node
+  WHERE l.iter = {MAX_LP_ITERS}
+),
+tops AS (
+  SELECT grp, label, name AS top_name,
+    count(*) OVER (PARTITION BY grp, label) AS n_members,
+    row_number() OVER (PARTITION BY grp, label
+                       ORDER BY n_mentions DESC, name ASC) AS rk
+  FROM mem
+)
+SELECT m.grp AS group_id, m.name,
+  t.top_name || ' community' AS community_name,
+  t.n_members
+FROM mem m
+JOIN tops t ON t.grp = m.grp AND t.label = m.label AND t.rk = 1
+"""
+
+
 def _with_docs_dups(body: str) -> str:
     from .ops.corpus import DOCS_WITH_DUPS_CTE
 
@@ -952,6 +1045,7 @@ QUERIES = {
     "kg_docs_uuid_map": kg_docs_uuid_map,
     "kg_docs_mention_degrees": kg_docs_mention_degrees,
     "kg_docs_node_summaries": kg_docs_node_summaries,
+    "kg_docs_communities": kg_docs_communities,
     "communities": communities,
     "mention_degrees": mention_degrees,
     "search_hybrid_demo": search_hybrid_demo,
@@ -994,6 +1088,7 @@ ORACLE_SQL = {
     "kg_docs_uuid_map": _KG_DOCS_UUID_MAP_SQL(),
     "kg_docs_mention_degrees": _KG_DOCS_MENTION_DEGREES_SQL(),
     "kg_docs_node_summaries": _KG_DOCS_NODE_SUMMARIES_SQL(),
+    "kg_docs_communities": _KG_DOCS_COMMUNITIES_SQL(),
     "episode_windows": EPISODE_WINDOWS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,

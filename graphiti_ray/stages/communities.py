@@ -127,15 +127,26 @@ def _community_rows(grp: str, members: list[str], info: dict) -> list[dict]:
     ]
 
 
-def _group_lp(df: pd.DataFrame) -> pd.DataFrame:
+def _group_lp(df: pd.DataFrame, order_key: str = "uuid") -> pd.DataFrame:
     """One group's edges+nodes -> (entity_uuid, community_uuid, ...).
 
     Input rows: kind='node' (uuid, name, n_mentions) plus kind='edge'
-    (src, tgt) — unioned so one shuffle ships both."""
+    (src, tgt) — unioned so one shuffle ships both.
+
+    order_key picks the column whose sorted order numbers the initial
+    labels (reference: dict insertion order; default: uuid). Every LP
+    comparison is order-only, so any strictly-ordered key yields the
+    same algorithm over a relabeled domain — order_key='name' makes
+    the iteration mirrorable by a SQL engine that cannot compute the
+    sha1 uuids (labels become names, unique per group by construction:
+    uuid = sha1(group, name_norm))."""
     grp = df["group_id"].iloc[0]
     nodes = df[df["kind"] == "node"]
     edges = df[df["kind"] == "edge"]
-    order = sorted(nodes["uuid"])
+    if order_key == "uuid":
+        order = sorted(nodes["uuid"])
+    else:
+        order = list(nodes.sort_values([order_key, "uuid"])["uuid"])
     info = {
         r.uuid: (r.name, int(r.n_mentions))
         for r in nodes.itertuples(index=False)
@@ -173,14 +184,17 @@ def _bkt(vals) -> pa.Array:
     return pa.array(bucket_array(vals, NUM_BUCKETS, salt="lpbkt"), pa.int32())
 
 
-def _lp_distributed(proj_ds, max_iters: int = MAX_LP_ITERS):
+def _lp_distributed(
+    proj_ds, max_iters: int = MAX_LP_ITERS, order_key: str = "uuid"
+):
     """Distributed label propagation for hot groups: the EXACT reference
     iteration (weighted plurality, tie to larger label, monotone max)
     expressed as two bucketed exchanges per sync round. Labels carry the
-    node uuid instead of the reference's insertion-order index — the
-    initial index assignment is a strictly order-preserving bijection of
-    sorted uuids, and every update uses only order comparisons, so the
-    two label domains converge to identical member partitions."""
+    node's ``order_key`` value (uuid by default) instead of the
+    reference's insertion-order index — the initial index assignment is
+    a strictly order-preserving bijection of the sorted key, and every
+    update uses only order comparisons, so the two label domains
+    converge to identical member partitions."""
     import pyarrow.compute as pc
 
     def node_label_rows(t: pa.Table) -> pa.Table:
@@ -191,7 +205,7 @@ def _lp_distributed(proj_ds, max_iters: int = MAX_LP_ITERS):
                 "uuid": n.column("uuid"),
                 "name": n.column("name"),
                 "n_mentions": n.column("n_mentions"),
-                "label": n.column("uuid"),
+                "label": n.column(order_key),
             }
         )
 
@@ -377,7 +391,12 @@ def _lp_distributed(proj_ds, max_iters: int = MAX_LP_ITERS):
     )
 
 
-def build_communities(nodes_ds, edges_ds, hot_group_rows: int = HOT_GROUP_ROWS):
+def build_communities(
+    nodes_ds,
+    edges_ds,
+    hot_group_rows: int = HOT_GROUP_ROWS,
+    order_key: str = "uuid",
+):
     """(nodes, edges) -> community membership table (one row per
     entity: HAS_MEMBER edge M10 + community metadata).
 
@@ -411,13 +430,16 @@ def build_communities(nodes_ds, edges_ds, hot_group_rows: int = HOT_GROUP_ROWS):
             }
         )
 
+    from functools import partial
+
+    group_lp = partial(_group_lp, order_key=order_key)
     proj = nodes_ds.map_batches(node_rows, batch_format="pyarrow").union(
         edges_ds.map_batches(edge_rows, batch_format="pyarrow")
     ).materialize()
     counts = proj.groupby("group_id").count().to_pandas()
     hot = sorted(counts[counts["count()"] > hot_group_rows]["group_id"])
     if not hot:
-        return proj.groupby("group_id").map_groups(_group_lp, batch_format="pandas")
+        return proj.groupby("group_id").map_groups(group_lp, batch_format="pandas")
 
     import pyarrow.compute as pc
 
@@ -433,6 +455,6 @@ def build_communities(nodes_ds, edges_ds, hot_group_rows: int = HOT_GROUP_ROWS):
         batch_format="pyarrow",
     )
     cold_out = cold_ds.groupby("group_id").map_groups(
-        _group_lp, batch_format="pandas"
+        group_lp, batch_format="pandas"
     )
-    return cold_out.union(_lp_distributed(hot_ds))
+    return cold_out.union(_lp_distributed(hot_ds, order_key=order_key))

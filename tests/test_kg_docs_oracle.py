@@ -17,6 +17,7 @@ KG_DOCS_QUERIES = [
     "kg_docs_edges",
     "kg_docs_mention_degrees",
     "kg_docs_node_summaries",
+    "kg_docs_communities",
 ]
 
 
@@ -46,6 +47,28 @@ def test_kg_docs_query_matches_duckdb_oracle(ray_session, duck, name):
     odf = odf.astype(rdf.dtypes.to_dict())
     assert len(rdf) == len(odf) and len(rdf) > 0
     assert rdf.equals(odf)
+
+
+def test_kg_docs_communities_name_order_distributed_path(ray_session):
+    """The distributed-LP fallback must coincide with the in-worker
+    path under order_key='name' too (the knob the SQL mirror relies
+    on) — same invariant as the uuid-order forced-path test, on the
+    relabeled domain."""
+    from graphiti_ray import queries as q
+    from graphiti_ray.stages.communities import build_communities
+
+    kg = q._kg_docs(SF_DIR)
+    cols = ["community_uuid", "entity_uuid"]
+    base = (
+        build_communities(kg.nodes, kg.edges, order_key="name")
+        .to_pandas().sort_values(cols).reset_index(drop=True)
+    )
+    forced = (
+        build_communities(kg.nodes, kg.edges, hot_group_rows=0, order_key="name")
+        .to_pandas().sort_values(cols).reset_index(drop=True)
+    )
+    assert len(forced) == len(base) > 0
+    assert forced.equals(base)
 
 
 def test_kg_docs_corpus_exercises_every_stage(ray_session):
