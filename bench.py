@@ -89,6 +89,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "text_stats",
         "lang_id",
         "doc_fingerprints",
+        "repetition_stats",
+        "top_ngrams",
+        "sample_stratified",
         "event_windows",
         "events_hourly",
         "events_json",

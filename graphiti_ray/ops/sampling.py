@@ -1,0 +1,52 @@
+"""Deterministic stratified sampling over the documents table.
+
+A training-data pipeline rebalances its corpus by language / domain /
+quality stratum with per-stratum keep rates. Doing it with RNG makes
+runs irreproducible and resume-unsafe; doing it with a content hash
+(md5 of the stable doc key) makes the decision a pure function of the
+row — every rerun, every retry, every partition keeps exactly the same
+documents. Embarrassingly parallel: one filter kernel per block, no
+shuffle, no driver state.
+
+The hash matches DuckDB's ``md5_number_lower(salt || key)`` (same
+pairing the SimHash sketch uses, functions/hashing.md5_hash64) so the
+sample is SQL-mirrorable and driver-checkable.
+
+Reference analog: none (graphiti has no sampling layer); this is one
+of the corpus-prep extensions SURVEY.md §2.10 claims.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.hashing import md5_hash64
+
+# per-language keep rates out of 10: downsample the majority class
+# (English is ~44% of this corpus), keep the tail at 70%.
+SAMPLE_RATES = {"en": 3}
+SAMPLE_DEFAULT_RATE = 7
+SAMPLE_SALT = "samp|"
+
+
+def _sample_batch(batch: pa.Table) -> pa.Table:
+    ids = batch.column("doc_id").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    # per-row md5 (not vectorizable without losing the DuckDB image —
+    # same cost family as the simhash token hashing)
+    mask = [
+        md5_hash64(str(i), salt=SAMPLE_SALT) % 10
+        < SAMPLE_RATES.get(lg, SAMPLE_DEFAULT_RATE)
+        for i, lg in zip(ids, langs)
+    ]
+    return batch.filter(pa.array(mask, pa.bool_()))
+
+
+def sample_stratified(sf_dir: str):
+    """(doc_id, lang) of the kept rows: hash-deterministic per-language
+    downsampling (en 30%, others 70%)."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(_sample_batch, batch_format="pyarrow")

@@ -100,10 +100,138 @@ def lang_id(sf_dir: str):
     ).map_batches(_lang_batch, batch_format="pyarrow")
 
 
+def _explode_words(batch: pa.Table):
+    """(row_idx, flat_words) numpy views of the per-row word lists —
+    the shared explode step for the repetition/ngram kernels. One
+    Arrow split kernel + one np.repeat; no Python row loop."""
+    text = batch.column("text")
+    la = pc.split_pattern(text, " ")
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    lens = pc.list_value_length(la).to_numpy(zero_copy_only=False)
+    flat = la.flatten().to_numpy(zero_copy_only=False)
+    row_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+    return row_idx, flat, lens
+
+
+def _rep_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals, all-integer: per doc the word /
+    adjacent-bigram totals, distinct counts and top multiplicities,
+    plus rep_flag = (top word > 20% of words) OR (duplicate bigrams
+    > 50% of bigrams) — the batch analog of the repetition filters in
+    Rae et al. 2021 (Gopher), §A1.1, on a corpus without line
+    structure. Vectorized: explode + pandas hash groupby."""
+    import pandas as pd
+
+    row_idx, flat, lens = _explode_words(batch)
+    n = batch.num_rows
+    base = pd.DataFrame({"r": row_idx, "w": flat})
+    uc = base.groupby(["r", "w"], sort=False).size()
+    g = uc.groupby(level=0)
+    n_words = np.zeros(n, dtype=np.int64)
+    n_words[:] = lens
+    n_distinct = np.zeros(n, dtype=np.int64)
+    top_word = np.zeros(n, dtype=np.int64)
+    n_distinct[g.size().index.to_numpy()] = g.size().to_numpy()
+    top_word[g.max().index.to_numpy()] = g.max().to_numpy()
+
+    same = row_idx[:-1] == row_idx[1:] if len(row_idx) else np.array([], bool)
+    b_rows = row_idx[:-1][same]
+    w1 = flat[:-1][same].astype(object)
+    w2 = flat[1:][same].astype(object)
+    n_bg = np.zeros(n, dtype=np.int64)
+    n_bg_distinct = np.zeros(n, dtype=np.int64)
+    top_bg = np.zeros(n, dtype=np.int64)
+    if len(b_rows):
+        bc = (
+            pd.DataFrame({"r": b_rows, "b": w1 + " " + w2})
+            .groupby(["r", "b"], sort=False)
+            .size()
+        )
+        bgg = bc.groupby(level=0)
+        n_bg[bgg.sum().index.to_numpy()] = bgg.sum().to_numpy()
+        n_bg_distinct[bgg.size().index.to_numpy()] = bgg.size().to_numpy()
+        top_bg[bgg.max().index.to_numpy()] = bgg.max().to_numpy()
+
+    rep_flag = (
+        (5 * top_word > n_words)
+        | ((n_bg > 0) & (2 * n_bg_distinct < n_bg))
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_distinct_words": pa.array(n_distinct, pa.int64()),
+            "top_word_n": pa.array(top_word, pa.int64()),
+            "n_bigrams": pa.array(n_bg, pa.int64()),
+            "n_distinct_bigrams": pa.array(n_bg_distinct, pa.int64()),
+            "top_bigram_n": pa.array(top_bg, pa.int64()),
+            "rep_flag": pa.array(rep_flag, pa.int64()),
+        }
+    )
+
+
+def repetition_stats(sf_dir: str):
+    """(doc_id, word/bigram totals + distincts + top multiplicities,
+    rep_flag) — the repetition-removal signals of a training-data
+    quality pipeline, embarrassingly parallel per block."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_rep_batch, batch_format="pyarrow")
+
+
+TOP_NGRAMS_K = 10
+
+
+def top_ngrams(sf_dir: str, k: int = TOP_NGRAMS_K):
+    """Per-language top-k unigram vocabulary with counts: the global
+    token-frequency aggregate every corpus build runs. Shape for
+    scale: the per-batch COMBINER collapses each block to its local
+    (lang, word) counts before the shuffle, so the exchange carries
+    vocabulary-sized data (not corpus-sized); the final per-lang top-k
+    is a tiny map_groups."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        row_idx, flat, _ = _explode_words(batch)
+        langs = batch.column("lang").to_numpy(zero_copy_only=False)
+        c = (
+            pd.DataFrame({"lang": langs[row_idx], "word": flat})
+            .groupby(["lang", "word"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(c["lang"], pa.string()),
+                "word": pa.array(c["word"], pa.string()),
+                "cnt": pa.array(c["cnt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cnt", "word"], ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["lang", "word", "cnt", "rank"]]
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "word"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return counts.groupby("lang").map_groups(topk, batch_format="pandas")
+
+
 def doc_fingerprints(sf_dir: str):
     """Winnowing-style rolling-hash fingerprints, exploded one row per
-    kept hash: (doc_id, fp). Deterministic; no SQL analog (rows-only
-    driver check; value-pinned in tests)."""
+    kept hash: (doc_id, fp). Deterministic; SQL-mirrored by
+    queries._DOC_FINGERPRINTS_SQL (exact HUGEINT polynomial image)."""
     import ray.data as rd
 
     def fp_batch(batch: pa.Table) -> pa.Table:

@@ -539,6 +539,24 @@ def doc_fingerprints(sf_dir: str):
     return fp(sf_dir)
 
 
+def repetition_stats(sf_dir: str):
+    from .ops.textstats import repetition_stats as rs
+
+    return rs(sf_dir)
+
+
+def top_ngrams(sf_dir: str):
+    from .ops.textstats import top_ngrams as tn
+
+    return tn(sf_dir)
+
+
+def sample_stratified(sf_dir: str):
+    from .ops.sampling import sample_stratified as ss
+
+    return ss(sf_dir)
+
+
 def event_windows(sf_dir: str):
     from .ops.windows import event_windows as ew
 
@@ -964,6 +982,61 @@ SELECT doc_id, CAST(fp AS UBIGINT) AS fp FROM longs WHERE fp % 8 = 0
 """
 
 
+REPETITION_STATS_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+uc AS (
+  SELECT doc_id, u.wd, count(*) AS c
+  FROM w, unnest(ws) AS u(wd) GROUP BY doc_id, u.wd
+),
+us AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         count(*) AS n_distinct_words, CAST(max(c) AS BIGINT) AS top_word_n
+  FROM uc GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bs
+  FROM w
+),
+bc AS (
+  SELECT doc_id, u.b, count(*) AS c
+  FROM bg, unnest(bs) AS u(b) GROUP BY doc_id, u.b
+),
+bs2 AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         count(*) AS n_distinct_bigrams, CAST(max(c) AS BIGINT) AS top_bigram_n
+  FROM bc GROUP BY doc_id
+)
+SELECT us.doc_id, us.n_words, us.n_distinct_words, us.top_word_n,
+  COALESCE(bs2.n_bigrams, 0) AS n_bigrams,
+  COALESCE(bs2.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+  COALESCE(bs2.top_bigram_n, 0) AS top_bigram_n,
+  CAST(CASE WHEN 5*us.top_word_n > us.n_words
+            OR (COALESCE(bs2.n_bigrams, 0) > 0
+                AND 2*bs2.n_distinct_bigrams < bs2.n_bigrams)
+       THEN 1 ELSE 0 END AS BIGINT) AS rep_flag
+FROM us LEFT JOIN bs2 ON bs2.doc_id = us.doc_id
+"""
+
+TOP_NGRAMS_SQL = """
+WITH uni AS (
+  SELECT lang, u.wd AS word
+  FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+       unnest(ws) AS u(wd)
+), c AS (SELECT lang, word, count(*) AS cnt FROM uni GROUP BY 1, 2)
+SELECT lang, word, cnt, rank FROM (
+  SELECT lang, word, cnt,
+    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word ASC) AS rank
+  FROM c
+) WHERE rank <= 10
+"""
+
+SAMPLE_STRATIFIED_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE md5_number_lower('samp|' || CAST(doc_id AS VARCHAR)) % 10 <
+  CASE lang WHEN 'en' THEN 3 ELSE 7 END
+"""
+
 EVENT_WINDOWS_SQL = """
 SELECT event_id,
   lag(event_id, 1) OVER w AS prev1,
@@ -1066,6 +1139,9 @@ QUERIES = {
     "text_stats": text_stats,
     "lang_id": lang_id,
     "doc_fingerprints": doc_fingerprints,
+    "repetition_stats": repetition_stats,
+    "top_ngrams": top_ngrams,
+    "sample_stratified": sample_stratified,
     # windows / sessions / json
     "event_windows": event_windows,
     "events_hourly": events_hourly,
@@ -1100,6 +1176,9 @@ ORACLE_SQL = {
     "text_stats": TEXT_STATS_SQL,
     "lang_id": LANG_ID_SQL,
     "doc_fingerprints": _DOC_FINGERPRINTS_SQL(),
+    "repetition_stats": REPETITION_STATS_SQL,
+    "top_ngrams": TOP_NGRAMS_SQL,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "event_windows": EVENT_WINDOWS_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_json": EVENTS_JSON_SQL,

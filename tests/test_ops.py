@@ -115,6 +115,54 @@ def test_doc_fingerprints_match_duckdb_oracle(ray_session):
     con.close()
 
 
+@pytest.mark.parametrize(
+    "name", ["repetition_stats", "top_ngrams", "sample_stratified"]
+)
+def test_corpus_ops_match_duckdb_oracle(ray_session, name):
+    """Repetition signals, per-lang top-k vocabulary and deterministic
+    stratified sampling each hash-match their SQL mirror (the driver's
+    compare: sorted columns, sorted rows)."""
+    import duckdb
+
+    from graphiti_ray import queries as q
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    ora = con.execute(q.ORACLE_SQL[name]).df()
+    res = q.QUERIES[name](SF).to_pandas()
+    cols = sorted(ora.columns)
+    assert sorted(res.columns) == cols
+    a = res[cols].sort_values(cols).reset_index(drop=True)
+    b = ora[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+    con.close()
+
+
+def test_sample_stratified_is_deterministic_and_rate_bounded(ray_session):
+    """Two runs keep the identical row set, and the en stratum is
+    downsampled below the tail strata (3/10 vs 7/10 keep rates)."""
+    from graphiti_ray import queries as q
+
+    a = q.QUERIES["sample_stratified"](SF).to_pandas()
+    b = q.QUERIES["sample_stratified"](SF).to_pandas()
+    key = ["doc_id", "lang"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+    import pyarrow.parquet as _pq
+
+    full = _pq.read_table(f"{SF}/documents.parquet", columns=["lang"]).to_pandas()
+    kept = a.groupby("lang").size()
+    total = full.groupby("lang").size()
+    en_rate = kept.get("en", 0) / total["en"]
+    tail_rate = (kept.sum() - kept.get("en", 0)) / (total.sum() - total["en"])
+    assert en_rate < tail_rate
+
+
 def test_minhash_lsh_matches_duckdb_oracle(ray_session):
     """The driver gate: MinHash output hash-matches the exact
     all-pairs Jaccard SQL (valid because banding recall is exactly
