@@ -163,12 +163,11 @@ def _kg_docs(sf_dir: str):
     )
 
 
-def _kg_docs_edges_named(sf_dir: str):
+def _edges_named_of(kg):
     """edges with subj/obj resolved to canonical names (broadcast/tiered
     lookup, same machinery as build_triples)."""
     from .stages.joins import lookup_column
 
-    kg = _kg_docs(sf_dir)
     n = kg.nodes.count()
     e = lookup_column(
         kg.edges, "source_node_uuid", kg.nodes, "uuid", "name", "subj",
@@ -179,26 +178,57 @@ def _kg_docs_edges_named(sf_dir: str):
     )
 
 
-def kg_docs_triples(sf_dir: str):
-    """Flagship chain, hash-checked: (group, subj, pred, obj, fact,
-    valid_at, invalid_at) after full canonicalization + sweep."""
+def _kg_docs_edges_named(sf_dir: str):
+    return _edges_named_of(_kg_docs(sf_dir))
+
+
+def _triples_proj(t):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    def proj(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "group_id": t.column("group_id"),
-                "subj": t.column("subj"),
-                "pred": t.column("name"),
-                "obj": t.column("obj"),
-                "fact": pc.cast(t.column("fact"), pa.string()),
-                "valid_at": t.column("valid_at"),
-                "invalid_at": t.column("invalid_at"),
-            }
-        )
+    return pa.table(
+        {
+            "group_id": t.column("group_id"),
+            "subj": t.column("subj"),
+            "pred": t.column("name"),
+            "obj": t.column("obj"),
+            "fact": pc.cast(t.column("fact"), pa.string()),
+            "valid_at": t.column("valid_at"),
+            "invalid_at": t.column("invalid_at"),
+        }
+    )
 
-    return _kg_docs_edges_named(sf_dir).map_batches(proj, batch_format="pyarrow")
+
+def kg_docs_triples(sf_dir: str):
+    """Flagship chain, hash-checked: (group, subj, pred, obj, fact,
+    valid_at, invalid_at) after full canonicalization + sweep."""
+    return _kg_docs_edges_named(sf_dir).map_batches(
+        _triples_proj, batch_format="pyarrow"
+    )
+
+
+def kg_docs_incremental(sf_dir: str):
+    """D10 incremental build, driver-checkable: build the KG on the
+    even-doc_id half of the SQL-mirrorable corpus, then add the odd
+    half ON TOP (pipelines.kg.build_kg_incremental — the batch analog
+    of add_episode against an existing store, graphiti.py:351-375).
+    The final triples must equal a from-scratch build over the whole
+    corpus, so the oracle is the SAME full-corpus SQL as
+    kg_docs_triples. (This corpus has no 'ended'-marker facts, so the
+    one documented provenance-attribution divergence of the
+    incremental path cannot occur.)"""
+    from .pipelines.kg import build_kg, build_kg_incremental
+    from .sources.pages_kg import kg_pages_from_documents
+
+    conc = _extract_concurrency()
+    kg_a = build_kg(
+        kg_pages_from_documents(sf_dir, mod_rem=(2, 0)), now=NOW, concurrency=conc
+    )
+    kg = build_kg_incremental(
+        kg_a, kg_pages_from_documents(sf_dir, mod_rem=(2, 1)),
+        now=NOW, concurrency=conc,
+    )
+    return _edges_named_of(kg).map_batches(_triples_proj, batch_format="pyarrow")
 
 
 def kg_docs_edges(sf_dir: str):
@@ -1112,6 +1142,7 @@ QUERIES = {
     "kg_episodes_docs": kg_episodes_docs,
     # KG chain over the SQL-mirrorable doc corpus (hash-checked gate)
     "kg_docs_triples": kg_docs_triples,
+    "kg_docs_incremental": kg_docs_incremental,
     "kg_docs_edges": kg_docs_edges,
     "kg_docs_nodes": kg_docs_nodes,
     "kg_docs_mentions": kg_docs_mentions,
@@ -1158,6 +1189,8 @@ QUERIES = {
 ORACLE_SQL = {
     "kg_episodes_docs": KG_EPISODES_DOCS_SQL,
     "kg_docs_triples": _KG_DOCS_TRIPLES_SQL(),
+    # incremental build must equal the from-scratch build -> same oracle
+    "kg_docs_incremental": _KG_DOCS_TRIPLES_SQL(),
     "kg_docs_edges": _KG_DOCS_EDGES_SQL(),
     "kg_docs_nodes": _KG_DOCS_NODES_SQL(),
     "kg_docs_mentions": _KG_DOCS_MENTIONS_SQL(),

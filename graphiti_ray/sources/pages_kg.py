@@ -156,11 +156,25 @@ def _kg_batch_to_pages(batch: pa.Table) -> pa.Table:
     ).cast(PAGES)
 
 
-def kg_pages_from_documents(sf_dir: str):
-    """documents.doc_id -> SQL-mirrorable KG pages (1:1 per document)."""
+def kg_pages_from_documents(
+    sf_dir: str, mod_rem: tuple[int, int] | None = None
+):
+    """documents.doc_id -> SQL-mirrorable KG pages (1:1 per document).
+
+    mod_rem=(m, r) keeps only doc_id % m == r — deterministic corpus
+    halves for the incremental-build query (queries.kg_docs_incremental)."""
+    import numpy as np
     import ray.data as rd
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    if mod_rem is not None:
+        m, r = mod_rem
+
+        def keep(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % m == r, pa.bool_()))
+
+        docs = docs.map_batches(keep, batch_format="pyarrow")
     return docs.map_batches(_kg_batch_to_pages, batch_format="pyarrow")
 
 
