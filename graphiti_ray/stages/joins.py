@@ -285,6 +285,17 @@ def lookup_column(
             val_type = pa.string()
 
     n = mapping_rows if mapping_rows is not None else mapping_ds.count()
+    if n == 0:
+        # empty mapping (e.g. a KG built from a corpus the extractor
+        # found nothing in): every key misses -> all-null column.
+        # to_pandas() of an empty Dataset has no columns at all, so the
+        # tiers below would KeyError instead of resolving to None.
+        miss_t = val_type if val_type is not None else pa.string()
+
+        def f_empty(t: pa.Table) -> pa.Table:
+            return t.append_column(out_col, pa.nulls(t.num_rows, miss_t))
+
+        return target_ds.map_batches(f_empty, batch_format="pyarrow")
     if n <= BROADCAST_MAX_ROWS:
         if pa.types.is_string(val_type) or pa.types.is_large_string(val_type):
             # zero-copy broadcast + vectorized searchsorted lookup (no

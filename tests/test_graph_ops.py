@@ -162,3 +162,38 @@ def test_lookup_column_all_three_tiers(ray_session, monkeypatch):
     monkeypatch.setattr(joins, "PARQUET_SHARD_MAX_ROWS", 0)
     parquet_tier = run()
     assert base.equals(parquet_tier)
+
+
+def test_lookup_column_empty_mapping(ray_session):
+    """An empty mapping resolves every key to None instead of crashing
+    (to_pandas() of an empty Dataset has no columns at all)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    import graphiti_ray.stages.joins as joins
+
+    target = rd.from_pandas(pd.DataFrame({"k": ["a", "b"], "x": [1, 2]}))
+    empty = rd.from_arrow(
+        pa.table({"old": pa.array([], pa.string()), "new": pa.array([], pa.string())})
+    ).filter(lambda r: False)
+    df = joins.lookup_column(target, "k", empty, "old", "new", "out").to_pandas()
+    assert len(df) == 2
+    assert df["out"].isna().all()
+
+
+def test_job_entrypoint_runs_and_resumes(ray_session, tmp_path):
+    """python -m graphiti_ray.job over the synthetic KG corpus: writes
+    all five tables, and a re-run with resume skips every partition."""
+    from graphiti_ray.job import main
+
+    out = tmp_path / "kg"
+    argv = [
+        "--synthetic", "/root/testdata/sf0.001", "--out", str(out),
+        "--concurrency", "2",
+    ]
+    assert main(argv) == 0
+    for t in ("episodes", "nodes", "edges", "mentions", "triples"):
+        assert (out / t).exists()
+    # second run resumes: no partitions left to process
+    assert main(argv) == 0
