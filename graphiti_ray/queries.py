@@ -16,7 +16,13 @@ from __future__ import annotations
 from datetime import datetime
 from functools import lru_cache
 
-NOW = datetime(2026, 1, 1)
+# 00:00:01, NOT midnight: pandas renders an all-midnight datetime64
+# column date-only ('2026-01-01') via Series.astype(str) but with
+# seconds via a consolidated multi-datetime-column DataFrame.astype(str)
+# — so a constant-midnight expired_at column can hash-mismatch its SQL
+# oracle depending on internal block layout. A non-midnight stamp makes
+# every stringification path agree.
+NOW = datetime(2026, 1, 1, 0, 0, 1)
 
 
 # --------------------------------------------------------------- KG cache
@@ -690,7 +696,7 @@ def _KG_DOCS_EDGES_SQL():
     return _kg_docs_sql("""
 SELECT grp AS group_id, subj, pred, obj, fact, created_at, valid_at,
   invalid_at,
-  CASE WHEN invalid_at IS NOT NULL THEN TIMESTAMP '2026-01-01 00:00:00'
+  CASE WHEN invalid_at IS NOT NULL THEN TIMESTAMP '2026-01-01 00:00:01'
   END AS expired_at,
   n_episodes
 FROM swept
