@@ -276,6 +276,107 @@ NODE_STAGE_SCHEMA = pa.schema(
 )
 
 
+_MERGED_SCHEMA = pa.schema(
+    [("kind", pa.string())]
+    + list(NODE_STAGE_SCHEMA)
+    + [("old_uuid", pa.string()), ("canonical_uuid", pa.string())]
+)
+
+
+def _merge_components_bucket(df: "pd.DataFrame") -> pa.Table:
+    """All components of one bucket: winner pick + merge + map rows."""
+    rows: list[dict] = []
+    for cid, g in df.groupby("comp_id", sort=True):
+        recs = g.to_dict("records")
+        win = max(recs, key=lambda r: (name_sort_key(r["name"]), r["uuid"]))
+        merged = {k: win[k] for k in NODE_STAGE_SCHEMA.names}
+        merged["n_mentions"] = int(g["n_mentions"].sum())
+        merged["created_at"] = g["created_at"].min()
+        rows.append({"kind": "node", **merged, "old_uuid": None, "canonical_uuid": None})
+        for r in recs:
+            if r["uuid"] != win["uuid"]:
+                rows.append(
+                    {
+                        "kind": "map",
+                        **{k: r[k] for k in NODE_STAGE_SCHEMA.names},
+                        "old_uuid": r["uuid"],
+                        "canonical_uuid": win["uuid"],
+                    }
+                )
+    return pa.Table.from_pylist(rows, schema=_MERGED_SCHEMA)
+
+
+def _merge_tagged_members(members_tagged_ds):
+    """members (rows carrying comp_id + comp_bucket) -> (merged canonical
+    nodes, uuid_map) via ONE bucketed exchange."""
+    merged = members_tagged_ds.groupby("comp_bucket").map_groups(
+        _merge_components_bucket, batch_format="pandas"
+    ).materialize()
+
+    merged_nodes = merged.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "node")).select(
+            NODE_STAGE_SCHEMA.names
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _map_rows(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.equal(t.column("kind"), "map"))
+        # old_name (the merged-away member's surface form) rides along so
+        # the alias map is projectable by NAME for oracle checks / audits
+        return pa.table(
+            {
+                "old_uuid": m.column("old_uuid"),
+                "canonical_uuid": m.column("canonical_uuid"),
+                "group_id": m.column("group_id"),
+                "old_name": m.column("name"),
+            }
+        )
+
+    return merged_nodes, merged.map_batches(_map_rows, batch_format="pyarrow")
+
+
+def build_uuid_map_and_nodes_ds(nodes_exact_ds, labels_ds, labels_rows=None):
+    """The distributed-components twin of build_uuid_map_and_nodes: the
+    membership map stays a DATASET (uuid -> component label from
+    cc.connected_components_ds) and reaches workers through
+    joins.lookup_column's tiered broadcast/shard/parquet lookups — the
+    driver never materializes an O(duplicates) structure. Members are
+    the rows whose lookup hit; survivors are the misses. alias is None
+    by construction (this path runs only past cc.DRIVER_THRESHOLD
+    pairs, far beyond the broadcast-rewrite threshold), so every
+    pointer consumer takes the uuid_map hash-join path."""
+    from ..functions.hashing import bucket_array
+    from .joins import lookup_column
+
+    tagged = lookup_column(
+        nodes_exact_ds, "uuid", labels_ds, "uuid", "label", "comp_id",
+        mapping_rows=labels_rows,
+    )
+    survivors = tagged.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("comp_id"))).drop_columns(
+            ["comp_id"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def keep_members(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.is_valid(t.column("comp_id")))
+        return m.append_column(
+            "comp_bucket",
+            pa.array(bucket_array(m.column("comp_id"), NUM_BUCKETS, salt="cbkt"),
+                     pa.int32()),
+        )
+
+    members = tagged.map_batches(keep_members, batch_format="pyarrow")
+    merged_nodes, uuid_map = _merge_tagged_members(members)
+    nodes = survivors.map_batches(
+        lambda t: t.select(NODE_STAGE_SCHEMA.names).cast(NODE_STAGE_SCHEMA),
+        batch_format="pyarrow",
+    ).union(merged_nodes)
+    return nodes, uuid_map, None
+
+
 def build_uuid_map_and_nodes(nodes_exact_ds, comp):
     """Apply components: merge member nodes, emit canonical nodes + the
     alias map (old_uuid -> canonical_uuid, flat = already path-compressed
@@ -348,58 +449,7 @@ def build_uuid_map_and_nodes(nodes_exact_ds, comp):
         tag, batch_format="pyarrow"
     )
 
-    out_schema = pa.schema(
-        [("kind", pa.string())]
-        + list(NODE_STAGE_SCHEMA)
-        + [("old_uuid", pa.string()), ("canonical_uuid", pa.string())]
-    )
-
-    def merge_components(df: pd.DataFrame) -> pa.Table:
-        """All components of one bucket: winner pick + merge + map rows."""
-        rows: list[dict] = []
-        for cid, g in df.groupby("comp_id", sort=True):
-            recs = g.to_dict("records")
-            win = max(recs, key=lambda r: (name_sort_key(r["name"]), r["uuid"]))
-            merged = {k: win[k] for k in NODE_STAGE_SCHEMA.names}
-            merged["n_mentions"] = int(g["n_mentions"].sum())
-            merged["created_at"] = g["created_at"].min()
-            rows.append({"kind": "node", **merged, "old_uuid": None, "canonical_uuid": None})
-            for r in recs:
-                if r["uuid"] != win["uuid"]:
-                    rows.append(
-                        {
-                            "kind": "map",
-                            **{k: r[k] for k in NODE_STAGE_SCHEMA.names},
-                            "old_uuid": r["uuid"],
-                            "canonical_uuid": win["uuid"],
-                        }
-                    )
-        return pa.Table.from_pylist(rows, schema=out_schema)
-
-    merged = members.groupby("comp_bucket").map_groups(
-        merge_components, batch_format="pandas"
-    ).materialize()
-
-    merged_nodes = merged.map_batches(
-        lambda t: t.filter(pc.equal(t.column("kind"), "node")).select(
-            NODE_STAGE_SCHEMA.names
-        ),
-        batch_format="pyarrow",
-    )
-    def _map_rows(t: pa.Table) -> pa.Table:
-        m = t.filter(pc.equal(t.column("kind"), "map"))
-        # old_name (the merged-away member's surface form) rides along so
-        # the alias map is projectable by NAME for oracle checks / audits
-        return pa.table(
-            {
-                "old_uuid": m.column("old_uuid"),
-                "canonical_uuid": m.column("canonical_uuid"),
-                "group_id": m.column("group_id"),
-                "old_name": m.column("name"),
-            }
-        )
-
-    uuid_map = merged.map_batches(_map_rows, batch_format="pyarrow")
+    merged_nodes, uuid_map = _merge_tagged_members(members)
     # alias map for the broadcast rewrite path — a SortedKV (numpy byte
     # arrays: zero-copy broadcast, vectorized searchsorted lookups),
     # built ONLY when the map is broadcastable; past the threshold
@@ -455,13 +505,15 @@ def canonicalize_nodes(nodes_raw_ds, entity_types: dict | None = None,
     exact = exact_merge(nodes_raw_ds, prior_nodes_ds=prior_nodes_ds).materialize()
     pairs = candidate_pairs(exact)
     comp = cc.components(pairs)
-    if comp is None:  # very large duplicate set: distributed path
-        labels = cc.connected_components_ds(pairs)
-        ldf = labels.to_pandas()
-        comp_kv = SortedKV.from_pairs(ldf["uuid"].tolist(), ldf["label"].tolist())
+    if comp is None:  # very large duplicate set: fully distributed path
+        labels = cc.connected_components_ds(pairs).materialize()
+        nodes, uuid_map, alias = build_uuid_map_and_nodes_ds(
+            exact, labels, labels_rows=labels.count()
+        )
     else:
-        comp_kv = SortedKV.from_dict(comp)
-    nodes, uuid_map, alias = build_uuid_map_and_nodes(exact, comp_kv)
+        nodes, uuid_map, alias = build_uuid_map_and_nodes(
+            exact, SortedKV.from_dict(comp)
+        )
 
     def with_labels(t: pa.Table) -> pa.Table:
         # entity-type labels + open-schema attributes (nodes.py:82,

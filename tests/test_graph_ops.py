@@ -197,3 +197,38 @@ def test_job_entrypoint_runs_and_resumes(ray_session, tmp_path):
         assert (out / t).exists()
     # second run resumes: no partitions left to process
     assert main(argv) == 0
+
+
+def test_canonicalize_distributed_components_path(ray_session, monkeypatch):
+    """Forcing the distributed-CC path (membership stays a Dataset,
+    members tagged via tiered lookup, alias=None -> join rewrites) must
+    produce the same canonical nodes and uuid_map as the driver
+    union-find + broadcast path."""
+    import graphiti_ray.stages.canonicalize as canon
+    import graphiti_ray.stages.cc as cc
+    from graphiti_ray.sources.pages_kg import kg_pages_from_documents
+    from graphiti_ray.stages import extract
+
+    pages = kg_pages_from_documents("/root/testdata/sf0.001")
+    extracted = extract.extract_all(
+        extract.pages_to_episodes(pages), concurrency=2
+    ).materialize()
+    nodes_raw, _, _ = extract.split_extracted(extracted)
+
+    def snap(nodes, uuid_map):
+        n = nodes.to_pandas()
+        n = n[sorted(n.columns)].astype(str).sort_values("uuid").reset_index(drop=True)
+        m = uuid_map.to_pandas()
+        m = m[sorted(m.columns)].sort_values("old_uuid").reset_index(drop=True)
+        return n, m
+
+    nodes_a, map_a, alias_a = canon.canonicalize_nodes(nodes_raw)
+    na, ma = snap(nodes_a, map_a)
+    assert alias_a is not None and len(ma) > 0
+
+    monkeypatch.setattr(cc, "components", lambda pairs, **k: None)
+    nodes_b, map_b, alias_b = canon.canonicalize_nodes(nodes_raw)
+    assert alias_b is None
+    nb, mb = snap(nodes_b, map_b)
+    assert na.equals(nb)
+    assert ma.equals(mb)
