@@ -593,6 +593,109 @@ def sample_stratified(sf_dir: str):
     return ss(sf_dir)
 
 
+# S7 analog: persisted inverted text index (search/index.py) ----------
+
+BM25_DEMO_QUERY = "spark window join"
+
+
+@lru_cache(maxsize=4)
+def _text_index_dir(sf_dir: str) -> str:
+    """Build (once per process) the persisted BM25 index over the
+    documents table; per-pid dir so a code change never reads a stale
+    index from a previous run."""
+    import os
+
+    import ray.data as rd
+
+    from .search.index import build_text_index
+
+    d = os.path.join(
+        "/tmp/graphiti_ray_text_index", str(os.getpid()),
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    if not os.path.isdir(os.path.join(d, "stats")):
+        docs = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        build_text_index(docs, "text", "doc_id", d)
+    return d
+
+
+def text_index_vocab(sf_dir: str):
+    """The persisted index's vocabulary (token, df, cf) — the
+    driver-checkable image of the index-build exchange."""
+    import os
+
+    import ray.data as rd
+
+    d = _text_index_dir(sf_dir)
+    return rd.read_parquet(os.path.join(d, "vocab")).map_batches(
+        lambda t: t.select(["token", "df", "cf"]), batch_format="pyarrow"
+    )
+
+
+def bm25_topk(sf_dir: str):
+    """Top-20 BM25 hits for a fixed query answered FROM THE PERSISTED
+    INDEX (partition-pruned postings reads, no corpus rescan)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .search.index import bm25_search_indexed
+
+    d = _text_index_dir(sf_dir)
+    out = bm25_search_indexed(d, BM25_DEMO_QUERY, limit=20, id_type=pa.int64())
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("id"),
+                "score": pc.round(t.column("score"), ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+TEXT_INDEX_VOCAB_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents
+)
+SELECT token,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tok WHERE token <> '' GROUP BY token
+"""
+
+# token-for-token the SQL image of search/index.py scoring: exact-token
+# tf, dl = kept-token count, BM25 k1=1.5 b=0.75, idf = ln(1 + (N-df+.5)/(df+.5))
+BM25_TOPK_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents
+), flt AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM flt GROUP BY doc_id),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM flt
+  WHERE token IN ('spark', 'window', 'join') GROUP BY doc_id, token
+), dfv AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM flt
+  WHERE token IN ('spark', 'window', 'join') GROUP BY token
+), sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * 2.5
+              / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN dfv USING (token) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM sc
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
 def event_windows(sf_dir: str):
     from .ops.windows import event_windows as ew
 
@@ -1179,6 +1282,9 @@ QUERIES = {
     "repetition_stats": repetition_stats,
     "top_ngrams": top_ngrams,
     "sample_stratified": sample_stratified,
+    # S7 analog: persisted inverted index + partition-pruned BM25 query
+    "text_index_vocab": text_index_vocab,
+    "bm25_topk": bm25_topk,
     # windows / sessions / json
     "event_windows": event_windows,
     "events_hourly": events_hourly,
@@ -1217,6 +1323,8 @@ ORACLE_SQL = {
     "doc_fingerprints": _DOC_FINGERPRINTS_SQL(),
     "repetition_stats": REPETITION_STATS_SQL,
     "top_ngrams": TOP_NGRAMS_SQL,
+    "text_index_vocab": TEXT_INDEX_VOCAB_SQL,
+    "bm25_topk": BM25_TOPK_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "event_windows": EVENT_WINDOWS_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
