@@ -557,6 +557,53 @@ def knn_ivf(sf_dir: str):
     return knn(sf_dir)
 
 
+@lru_cache(maxsize=4)
+def _vector_index_dir(sf_dir: str) -> str:
+    """Build (once per process) the persisted IVF index over the
+    embeddings table (search/vindex.py)."""
+    import os
+
+    import ray.data as rd
+
+    from .search.vindex import build_vector_index
+
+    d = os.path.join(
+        "/tmp/graphiti_ray_vec_index", str(os.getpid()),
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    if not os.path.isdir(os.path.join(d, "centroids")):
+        emb = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        build_vector_index(emb, "embedding", "vec_id", d)
+    return d
+
+
+def knn_indexed_exact(sf_dir: str):
+    """Exhaustive scan of the persisted IVF index (nprobe = nlist):
+    exactly the brute-force cosine top-k, so the brute-force SQL oracle
+    checks the whole indexed path (build -> partitioned lists -> probe
+    -> scan -> reduce)."""
+    from .ops.simsearch import _load_queries
+    from .search.vindex import knn_search_indexed
+
+    d = _vector_index_dir(sf_dir)
+    qids, qmat = _load_queries(sf_dir)
+    return knn_search_indexed(d, qids, qmat, nprobe=10**9)
+
+
+def knn_ivf_indexed(sf_dir: str):
+    """The approximate setting (nprobe=6 of 16 lists) over the same
+    persisted index — partition-pruned reads; recall vs brute force is
+    pinned in pytest (no SQL oracle: probe choice is quantizer state)."""
+    from .ops.simsearch import _load_queries
+    from .search.vindex import knn_search_indexed
+
+    d = _vector_index_dir(sf_dir)
+    qids, qmat = _load_queries(sf_dir)
+    return knn_search_indexed(d, qids, qmat, nprobe=6)
+
+
 def text_stats(sf_dir: str):
     from .ops.textstats import text_stats as ts
 
@@ -1275,6 +1322,9 @@ QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
+    # persisted IVF index (S7 family): exact mode oracle-checked
+    "knn_indexed_exact": knn_indexed_exact,
+    "knn_ivf_indexed": knn_ivf_indexed,
     # text analysis
     "text_stats": text_stats,
     "lang_id": lang_id,
@@ -1318,6 +1368,8 @@ ORACLE_SQL = {
     "search_docs_hybrid": _SEARCH_DOCS_HYBRID_SQL(),
     "dedup_embedding_pairs": DEDUP_EMBEDDING_SQL,
     "knn_bruteforce": KNN_SQL,
+    # exhaustive probe of the persisted index == brute force
+    "knn_indexed_exact": KNN_SQL,
     "text_stats": TEXT_STATS_SQL,
     "lang_id": LANG_ID_SQL,
     "doc_fingerprints": _DOC_FINGERPRINTS_SQL(),

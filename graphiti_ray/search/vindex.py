@@ -1,0 +1,178 @@
+"""Persisted IVF vector index — the embedding twin of search/index.py.
+
+Build once as a batch artifact, answer queries with partition-pruned
+reads:
+
+    <out>/centroids/  (list_id, centroid)      one tiny file
+    <out>/lists/      (id, embedding)          partitioned by list_id
+
+``build_vector_index`` trains the deterministic k-means coarse
+quantizer (ops/simsearch._kmeans) on a bounded sample, assigns every
+vector with one matmul per block against the broadcast centroids, and
+writes the inverted lists hive-partitioned. ``knn_search_indexed``
+reads ONLY the nprobe list partitions each query probes — per-query
+work is corpus/nlist x nprobe rows regardless of corpus size. With
+nprobe = nlist the scan is exhaustive and the result is EXACTLY the
+brute-force cosine top-k (same tie-break), which is what the driver's
+DuckDB oracle checks; the approximate setting is recall-pinned in
+pytest.
+
+Reference anchor: Q5 cosine searches (search_utils.py:200-274) run
+against a pre-built vector index in Neo4j/Lucene; the batch analog
+makes the index build an explicit pipeline (S7 family).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..ops.simsearch import K, _kmeans, _normalize, _topk_reduce
+
+
+def _mat(col) -> np.ndarray:
+    """list<float> column -> (n, dim) float64 matrix without a Python
+    list round-trip (flatten is zero-copy on the Arrow buffer)."""
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.reshape(n, -1).astype(np.float64)
+
+
+def build_vector_index(ds, vec_col: str, id_col: str, out_dir: str,
+                       nlist: int = 16, sample_rows: int = 2048):
+    """Embedding Dataset -> persisted IVF index. One assignment pass
+    (broadcast centroids) + one hive-partitioned write; the quantizer
+    trains on a bounded driver-side sample (fixed size at any corpus)."""
+    import ray
+    import ray.data as rd
+
+    # sort the sample by id: Dataset block arrival order is not
+    # guaranteed stable across sessions, and k-means seeding indexes
+    # into the sample — an unordered sample would make the quantizer
+    # (and every probe decision) run-dependent
+    sample = (
+        ds.limit(sample_rows).select_columns([id_col, vec_col])
+        .to_pandas().sort_values(id_col)
+    )
+    smat = _normalize(
+        np.array([np.asarray(v) for v in sample[vec_col]], dtype=np.float64)
+    )
+    cent = _kmeans(smat, nlist)
+    cent_ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _normalize(_mat(t.column(vec_col)))
+        lid = (m @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "id": t.column(id_col),
+                "embedding": t.column(vec_col),
+                # lid duplicates list_id INSIDE the file: the hive
+                # partition column lives only in the path, and queries
+                # read partition files directly
+                "lid": pa.array(lid, pa.int64()),
+                "list_id": pa.array(lid, pa.int64()),
+            }
+        )
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "lists"), partition_cols=["list_id"]
+    )
+    rd.from_arrow(
+        pa.table(
+            {
+                "list_id": pa.array(range(len(cent)), pa.int64()),
+                "centroid": pa.array(cent.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    ).write_parquet(os.path.join(out_dir, "centroids"))
+    return {"nlist": len(cent), "out_dir": out_dir}
+
+
+def _list_files(index_dir: str, lids: list[int]) -> list[str]:
+    out: list[str] = []
+    for lid in lids:
+        d = os.path.join(index_dir, "lists", f"list_id={lid}")
+        if os.path.isdir(d):
+            out.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def knn_search_indexed(index_dir: str, qids: np.ndarray, qmat: np.ndarray,
+                       nprobe: int = 6, k: int = K):
+    """Top-k cosine neighbors per query from the persisted index.
+    Returns a Dataset (query_id, neighbor_id, rank). Reads only the
+    probed list partitions; per-partition scoring is one matmul."""
+    import ray
+    import ray.data as rd
+
+    cent_t = rd.read_parquet(os.path.join(index_dir, "centroids")).to_pandas()
+    cent = np.array([np.asarray(c) for c in cent_t["centroid"]], dtype=np.float64)
+    order = np.array(cent_t["list_id"], dtype=np.int64)
+    # probe sets: nprobe nearest centroids per query
+    sims = qmat @ cent.T
+    probe_idx = np.argsort(-sims, axis=1)[:, : min(nprobe, len(cent))]
+    probes: dict[int, list[int]] = {}
+    for qi, qid in enumerate(qids):
+        for ci in probe_idx[qi]:
+            probes.setdefault(int(order[ci]), []).append(int(qid))
+    qref = ray.put((probes, {int(i): qmat[n] for n, i in enumerate(qids)}))
+
+    files = _list_files(index_dir, sorted(probes))
+    if not files:
+        return rd.from_arrow(
+            pa.table({"query_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64())})
+        )
+
+    def scan(t: pa.Table) -> pa.Table:
+        pr, qvecs = ray.get(qref)
+        empty = pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+        if not t.num_rows:
+            return empty
+        lid = t.column("lid")[0].as_py()
+        hit = pr.get(int(lid), [])
+        if not hit:
+            return empty
+        vids = np.asarray(t.column("id"), dtype=np.int64)
+        m = _normalize(_mat(t.column("embedding")))
+        out_q, out_n, out_s = [], [], []
+        for qid in hit:
+            s = qvecs[qid] @ m.T
+            s[vids == qid] = -np.inf  # exclude self
+            kk = min(k, len(vids))
+            top = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
+            top = top[np.isfinite(s[top])]
+            out_q.extend([qid] * len(top))
+            out_n.extend(vids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "neighbor_id": pa.array(out_n, pa.int64()),
+             "score": pa.array(out_s, pa.float64())}
+        )
+
+    # a block may span several partition files; split per lid (no extra
+    # shuffle — the final groupby(query_id) merges candidates anyway)
+    def scan_any(t: pa.Table) -> pa.Table:
+        outs = [
+            scan(t.filter(pc.equal(t.column("lid"), lid)))
+            for lid in pc.unique(t.column("lid")).to_pylist()
+        ]
+        good = [o for o in outs if o.num_rows]
+        return pa.concat_tables(good) if good else scan(t.slice(0, 0))
+
+    cand = rd.read_parquet(files).map_batches(scan_any, batch_format="pyarrow")
+    return cand.groupby("query_id").map_groups(_topk_reduce, batch_format="pyarrow")

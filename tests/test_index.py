@@ -92,3 +92,36 @@ def test_bm25_indexed_empty_query(ray_session, index_dir):
 
     out = bm25_search_indexed(index_dir, "???", limit=5, id_type=pa.int64())
     assert out.count() == 0
+
+
+def test_vector_index_exact_equals_bruteforce(ray_session, tmp_path):
+    """nprobe=nlist over the persisted IVF index is exhaustive — must
+    equal the brute-force top-k exactly; the approximate setting keeps
+    a recall floor above the scan fraction."""
+    import ray.data as rd
+
+    from graphiti_ray.ops.simsearch import _load_queries, knn_bruteforce
+    from graphiti_ray.search.vindex import build_vector_index, knn_search_indexed
+
+    SF = "/root/testdata/sf0.001"
+    d = str(tmp_path / "vidx")
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    stats = build_vector_index(emb, "embedding", "vec_id", d)
+    assert stats["nlist"] == 16
+
+    qids, qmat = _load_queries(SF)
+    exact = knn_search_indexed(d, qids, qmat, nprobe=16).to_pandas()
+    brute = knn_bruteforce(SF).to_pandas()
+    cols = ["query_id", "neighbor_id", "rank"]
+    a = exact[cols].sort_values(cols).reset_index(drop=True)
+    b = brute[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+    approx = knn_search_indexed(d, qids, qmat, nprobe=6).to_pandas()
+    hits = total = 0
+    for qid in qids:
+        want = set(brute[brute["query_id"] == qid]["neighbor_id"])
+        got = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        hits += len(got & want)
+        total += len(want)
+    assert hits / total >= 0.5
