@@ -86,6 +86,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "knn_bruteforce",
         "knn_lsh",
         "knn_ivf",
+        "knn_indexed_exact",
+        "knn_ivf_indexed",
+        "text_index_vocab",
+        "bm25_topk",
         "text_stats",
         "lang_id",
         "doc_fingerprints",

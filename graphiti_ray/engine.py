@@ -194,3 +194,39 @@ class GraphitiRay:
 
         kg = self._require()
         return summarize_nodes(kg.nodes, kg.edges)
+
+    def build_indices_and_constraints(self, index_dir: str) -> dict:
+        """The batch analog of the reference's index DDL
+        (graphiti.py:181-190 -> graph_data_operations.py:31-92): builds
+        the PERSISTED search indices over the current graph — a BM25
+        inverted index over edge facts and one over node names
+        (search/index.py), plus an IVF vector index over node name
+        embeddings when the graph carries them (build(embed=True)).
+        Queries then hit partition-pruned postings/lists instead of
+        rescanning the tables."""
+        import os
+
+        from .search.index import build_text_index
+
+        kg = self._require()
+        out = {
+            "edge_facts": build_text_index(
+                kg.edges, "fact", "uuid", os.path.join(index_dir, "edge_facts")
+            ),
+            "node_names": build_text_index(
+                kg.nodes, "name", "uuid", os.path.join(index_dir, "node_names")
+            ),
+        }
+        base = kg.nodes.schema()
+        names = getattr(base, "names", None) or base.base_schema.names
+        if "name_embedding" in names:
+            from .search.vindex import build_vector_index
+
+            out["node_vectors"] = build_vector_index(
+                kg.nodes.map_batches(
+                    lambda t: t.select(["uuid", "name_embedding"]),
+                    batch_format="pyarrow",
+                ),
+                "name_embedding", "uuid", os.path.join(index_dir, "node_vectors"),
+            )
+        return out

@@ -30,7 +30,25 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..ops.simsearch import K, _kmeans, _normalize, _topk_reduce
+from ..ops.simsearch import K, _kmeans, _normalize
+
+
+def _topk_reduce_any(group: pa.Table, k: int = K) -> pa.Table:
+    """Global top-k for one query from per-block candidates; rank by
+    score desc, neighbor id asc (same tie-break as ops/simsearch's
+    reducer) — id type preserved (int64 or string)."""
+    ids = group.column("neighbor_id").to_pylist()
+    scores = group.column("score").to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))[:k]
+    qid = group.column("query_id")[0]
+    id_t = group.column("neighbor_id").type
+    return pa.table(
+        {
+            "query_id": pa.array([qid.as_py()] * len(order), id_t),
+            "neighbor_id": pa.array([ids[i] for i in order], id_t),
+            "rank": pa.array(range(1, len(order) + 1), pa.int64()),
+        }
+    )
 
 
 def _mat(col) -> np.ndarray:
@@ -105,13 +123,18 @@ def _list_files(index_dir: str, lids: list[int]) -> list[str]:
     return out
 
 
-def knn_search_indexed(index_dir: str, qids: np.ndarray, qmat: np.ndarray,
+def knn_search_indexed(index_dir: str, qids, qmat: np.ndarray,
                        nprobe: int = 6, k: int = K):
     """Top-k cosine neighbors per query from the persisted index.
     Returns a Dataset (query_id, neighbor_id, rank). Reads only the
-    probed list partitions; per-partition scoring is one matmul."""
+    probed list partitions; per-partition scoring is one matmul.
+    Query/neighbor ids may be int64 (embeddings table) or string
+    (node uuids from build_indices_and_constraints)."""
     import ray
     import ray.data as rd
+
+    qids = list(qids)
+    id_t = pa.array(qids).type  # int64 or string, mirrored in outputs
 
     cent_t = rd.read_parquet(os.path.join(index_dir, "centroids")).to_pandas()
     cent = np.array([np.asarray(c) for c in cent_t["centroid"]], dtype=np.float64)
@@ -119,34 +142,34 @@ def knn_search_indexed(index_dir: str, qids: np.ndarray, qmat: np.ndarray,
     # probe sets: nprobe nearest centroids per query
     sims = qmat @ cent.T
     probe_idx = np.argsort(-sims, axis=1)[:, : min(nprobe, len(cent))]
-    probes: dict[int, list[int]] = {}
+    probes: dict[int, list] = {}
     for qi, qid in enumerate(qids):
         for ci in probe_idx[qi]:
-            probes.setdefault(int(order[ci]), []).append(int(qid))
-    qref = ray.put((probes, {int(i): qmat[n] for n, i in enumerate(qids)}))
+            probes.setdefault(int(order[ci]), []).append(qid)
+    qref = ray.put((probes, dict(zip(qids, qmat))))
+
+    def empty_out():
+        return pa.table({"query_id": pa.array([], id_t),
+                         "neighbor_id": pa.array([], id_t),
+                         "score": pa.array([], pa.float64())})
 
     files = _list_files(index_dir, sorted(probes))
     if not files:
         return rd.from_arrow(
-            pa.table({"query_id": pa.array([], pa.int64()),
-                      "neighbor_id": pa.array([], pa.int64()),
-                      "rank": pa.array([], pa.int64())})
+            empty_out().drop_columns(["score"]).append_column(
+                "rank", pa.array([], pa.int64())
+            )
         )
 
     def scan(t: pa.Table) -> pa.Table:
         pr, qvecs = ray.get(qref)
-        empty = pa.table(
-            {"query_id": pa.array([], pa.int64()),
-             "neighbor_id": pa.array([], pa.int64()),
-             "score": pa.array([], pa.float64())}
-        )
         if not t.num_rows:
-            return empty
+            return empty_out()
         lid = t.column("lid")[0].as_py()
         hit = pr.get(int(lid), [])
         if not hit:
-            return empty
-        vids = np.asarray(t.column("id"), dtype=np.int64)
+            return empty_out()
+        vids = t.column("id").to_numpy(zero_copy_only=False)
         m = _normalize(_mat(t.column("embedding")))
         out_q, out_n, out_s = [], [], []
         for qid in hit:
@@ -159,8 +182,8 @@ def knn_search_indexed(index_dir: str, qids: np.ndarray, qmat: np.ndarray,
             out_n.extend(vids[top].tolist())
             out_s.extend(s[top].tolist())
         return pa.table(
-            {"query_id": pa.array(out_q, pa.int64()),
-             "neighbor_id": pa.array(out_n, pa.int64()),
+            {"query_id": pa.array(out_q, id_t),
+             "neighbor_id": pa.array(out_n, id_t),
              "score": pa.array(out_s, pa.float64())}
         )
 
@@ -175,4 +198,6 @@ def knn_search_indexed(index_dir: str, qids: np.ndarray, qmat: np.ndarray,
         return pa.concat_tables(good) if good else scan(t.slice(0, 0))
 
     cand = rd.read_parquet(files).map_batches(scan_any, batch_format="pyarrow")
-    return cand.groupby("query_id").map_groups(_topk_reduce, batch_format="pyarrow")
+    return cand.groupby("query_id").map_groups(
+        lambda g: _topk_reduce_any(g, k=k), batch_format="pyarrow"
+    )

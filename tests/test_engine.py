@@ -67,3 +67,44 @@ def test_engine_from_message_episodes_with_injected_client(ray_session):
     kg = g.build_from_episodes(episodes_from_messages(rd.from_pandas(msgs)))
     preds = set(kg.triples.to_pandas()["pred"])
     assert {"WORKS_FOR", "LIVES_IN"} <= preds
+
+
+def test_engine_build_indices_and_constraints(ray_session, tmp_path):
+    """The index-DDL analog (graph_data_operations.py:31-92): persisted
+    BM25 indices over edge facts and node names, plus the IVF vector
+    index when embeddings are present; indexed queries answer from the
+    partitioned artifacts."""
+    from datetime import datetime
+
+    import numpy as np
+    import pyarrow as pa
+
+    from graphiti_ray.engine import GraphitiRay
+    from graphiti_ray.search.index import bm25_search_indexed
+    from graphiti_ray.search.vindex import knn_search_indexed
+    from graphiti_ray.synth import pages_dataset
+
+    g = GraphitiRay(now=datetime(2026, 1, 1), concurrency=2, embed=True)
+    kg = g.build(pages_dataset(120))
+    out = g.build_indices_and_constraints(str(tmp_path / "idx"))
+    assert set(out) == {"edge_facts", "node_names", "node_vectors"}
+    assert out["edge_facts"]["n_docs"] == kg.edges.count()
+
+    hits = bm25_search_indexed(
+        str(tmp_path / "idx" / "edge_facts"), "works for", limit=5
+    ).to_pandas()
+    assert len(hits) == 5
+    edge_uuids = set(kg.edges.to_pandas()["uuid"])
+    assert set(hits["id"]) <= edge_uuids
+
+    # vector search over string node uuids: nearest neighbor of a
+    # node's own embedding is a node with an identical/close name
+    nodes = kg.nodes.to_pandas()
+    qrow = nodes.iloc[0]
+    qmat = np.array([np.asarray(qrow["name_embedding"])], dtype=np.float64)
+    nn = knn_search_indexed(
+        str(tmp_path / "idx" / "node_vectors"), [qrow["uuid"]], qmat, nprobe=16, k=3
+    ).to_pandas()
+    assert len(nn) == 3
+    assert qrow["uuid"] not in set(nn["neighbor_id"])  # self excluded
+    assert set(nn["neighbor_id"]) <= set(nodes["uuid"])
