@@ -65,10 +65,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
 
     # The flagship KG construction (docs -> triples), timed end-to-end
     # with a cold cache, then the operator-family headliners.
-    # kg_pr_report and kg_docs_incremental are deliberately NOT swept:
-    # both are verification queries that build a second KG (vs the
-    # O(n^2) oracle / vs the from-scratch build) — test cost, not
-    # pipeline cost (the driver's correctness gate still runs them).
+    # kg_pr_report, kg_docs_incremental and
+    # kg_docs_communities_incremental are deliberately NOT swept: all
+    # are verification queries that build a second KG (vs the O(n^2)
+    # oracle / vs the from-scratch build) — test cost, not pipeline
+    # cost (the driver's correctness gate still runs them).
     names = only or [
         "kg_triples",
         "kg_docs_triples",

@@ -179,6 +179,20 @@ class GraphitiRay:
         kg = self._require()
         return build_communities(kg.nodes, kg.edges)
 
+    def update_communities(self, membership_ds, new_nodes_ds):
+        """Incrementally fold NEW entities into an existing membership
+        (reference ``update_community``, community_operations.py:240-325)
+        instead of re-running label propagation: each new entity joins
+        the plurality community of its neighbors in the CURRENT graph
+        (call after build_incremental so the new edges exist); affected
+        communities re-summarize, everything else streams through.
+        D10 SURVEY.md §2.5."""
+        from .stages.communities import update_communities
+
+        return update_communities(
+            membership_ds, new_nodes_ds, self._require().edges
+        )
+
     def get_by_episode(self, episode_uuid: str) -> dict:
         from .state.graph_ops import get_by_episode
 

@@ -213,16 +213,11 @@ def kg_docs_triples(sf_dir: str):
     )
 
 
-def kg_docs_incremental(sf_dir: str):
-    """D10 incremental build, driver-checkable: build the KG on the
-    even-doc_id half of the SQL-mirrorable corpus, then add the odd
-    half ON TOP (pipelines.kg.build_kg_incremental — the batch analog
-    of add_episode against an existing store, graphiti.py:351-375).
-    The final triples must equal a from-scratch build over the whole
-    corpus, so the oracle is the SAME full-corpus SQL as
-    kg_docs_triples. (This corpus has no 'ended'-marker facts, so the
-    one documented provenance-attribution divergence of the
-    incremental path cannot occur.)"""
+@lru_cache(maxsize=2)
+def _kg_docs_inc(sf_dir: str):
+    """(half-corpus KG, incrementally-extended full KG) — shared by the
+    incremental-build and incremental-communities queries so the two
+    driver rows don't each pay a second pair of builds."""
     from .pipelines.kg import build_kg, build_kg_incremental
     from .sources.pages_kg import kg_pages_from_documents
 
@@ -234,7 +229,49 @@ def kg_docs_incremental(sf_dir: str):
         kg_a, kg_pages_from_documents(sf_dir, mod_rem=(2, 1)),
         now=NOW, concurrency=conc,
     )
+    return kg_a, kg
+
+
+def kg_docs_incremental(sf_dir: str):
+    """D10 incremental build, driver-checkable: build the KG on the
+    even-doc_id half of the SQL-mirrorable corpus, then add the odd
+    half ON TOP (pipelines.kg.build_kg_incremental — the batch analog
+    of add_episode against an existing store, graphiti.py:351-375).
+    The final triples must equal a from-scratch build over the whole
+    corpus, so the oracle is the SAME full-corpus SQL as
+    kg_docs_triples. (This corpus has no 'ended'-marker facts, so the
+    one documented provenance-attribution divergence of the
+    incremental path cannot occur.)"""
+    _, kg = _kg_docs_inc(sf_dir)
     return _edges_named_of(kg).map_batches(_triples_proj, batch_format="pyarrow")
+
+
+def kg_docs_communities_incremental(sf_dir: str):
+    """D10 incremental community FOLD, driver-checkable: communities
+    built on the even-doc_id half (name-ordered labels, as
+    kg_docs_communities), then the odd half's new entities folded in
+    via stages.communities.update_communities — plurality of neighbor
+    communities, affected communities re-counted, community identity
+    preserved (reference update_community,
+    community_operations.py:240-325). The oracle mirrors the half-LP
+    recursive CTE plus the plurality/fold joins in SQL."""
+    import pyarrow as pa
+
+    from .stages.communities import build_communities, update_communities
+    from .stages.joins import lookup_column
+
+    kg_a, kg = _kg_docs_inc(sf_dir)
+    mem = build_communities(kg_a.nodes, kg_a.edges, order_key="name")
+    out = update_communities(mem, kg.nodes, kg.edges)
+    # entity uuid -> canonical name (uuid = sha1(group, name), so the
+    # union mapping is consistent across both builds)
+    names = kg.nodes.union(kg_a.nodes)
+    out = lookup_column(out, "entity_uuid", names, "uuid", "name", "name")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["group_id", "name", "community_name", "n_members"])
+
+    return out.map_batches(proj, batch_format="pyarrow")
 
 
 def kg_docs_edges(sf_dir: str):
@@ -987,6 +1024,130 @@ JOIN tops t ON t.grp = m.grp AND t.label = m.label AND t.rk = 1
 """
 
 
+def _KG_DOCS_COMMUNITIES_INCR_SQL():
+    # SQL image of queries.kg_docs_communities_incremental: the half-
+    # corpus membership (same recursive-LP CTE as the communities
+    # oracle, restricted to even doc_ids), then the incremental fold of
+    # stages/communities.update_communities — each full-corpus entity
+    # absent from the half membership joins the plurality community of
+    # its neighbors (count per incident canonical edge, ties to the
+    # smallest community_name), affected communities re-count
+    # n_members, community identity (name) is preserved, entities with
+    # no community-bearing neighbor are dropped.
+    from .sources.pages_kg import KG_DOCS_CTE
+    from .stages.communities import MAX_LP_ITERS
+
+    return f"""WITH RECURSIVE {KG_DOCS_CTE},
+-- half-corpus image (even doc_ids): canonicalization + LP membership
+ent_d_h AS (SELECT * FROM ent_d WHERE doc_id % 2 = 0),
+canon_h AS (
+  SELECT grp, comp,
+    substr(max(lpad(CAST(length(name) AS VARCHAR),4,'0') || '|' || name), 6)
+      AS cname
+  FROM ent_d_h GROUP BY grp, comp
+),
+nd_h AS (
+  SELECT e.grp, c.cname AS name, count(*) AS n_mentions
+  FROM ent_d_h e JOIN canon_h c ON c.grp = e.grp AND c.comp = e.comp
+  GROUP BY e.grp, e.comp, c.cname
+),
+merged_h AS (
+  SELECT e0.grp, c.cname AS subj, e0.pred, e0.obj, e0.fact
+  FROM edges0 e0 JOIN canon_h c ON c.grp = e0.grp AND c.comp = 'p|' || e0.last
+  WHERE e0.doc_id % 2 = 0
+  GROUP BY e0.grp, c.cname, e0.pred, e0.obj, e0.fact
+),
+ew_h AS (
+  SELECT grp, u, v, CAST(count(*) AS BIGINT) AS w, false AS self
+  FROM (
+    SELECT grp, subj AS u, obj AS v FROM merged_h WHERE subj <> obj
+    UNION ALL SELECT grp, obj, subj FROM merged_h WHERE subj <> obj
+  ) GROUP BY grp, u, v
+  UNION ALL SELECT grp, name, name, 0, true FROM nd_h
+),
+lp_h(iter, grp, node, label) AS (
+  SELECT 0, grp, name, name FROM nd_h
+  UNION ALL
+  SELECT iter + 1, grp, node,
+    CASE WHEN best IS NULL THEN cur ELSE greatest(best, cur) END AS label
+  FROM (
+    SELECT s.iter, s.grp, s.node,
+      max(CASE WHEN s.self THEN s.label END) AS cur,
+      substr(max(CASE WHEN NOT s.self
+                 THEN lpad(CAST(s.sw AS VARCHAR), 12, '0') || '|' || s.label
+                 END), 14) AS best
+    FROM (
+      SELECT l.iter, e.grp, e.u AS node, l.label, e.self, sum(e.w) AS sw
+      FROM lp_h l JOIN ew_h e ON e.grp = l.grp AND e.v = l.node
+      GROUP BY l.iter, e.grp, e.u, l.label, e.self
+    ) s
+    GROUP BY s.iter, s.grp, s.node
+  ) WHERE iter < {MAX_LP_ITERS}
+),
+mem_lbl_h AS (
+  SELECT l.grp, l.label, l.node AS name, nd_h.n_mentions
+  FROM lp_h l JOIN nd_h ON nd_h.grp = l.grp AND nd_h.name = l.node
+  WHERE l.iter = {MAX_LP_ITERS}
+),
+tops_h AS (
+  SELECT grp, label, name AS top_name,
+    count(*) OVER (PARTITION BY grp, label) AS n_members,
+    row_number() OVER (PARTITION BY grp, label
+                       ORDER BY n_mentions DESC, name ASC) AS rk
+  FROM mem_lbl_h
+),
+memh AS (
+  SELECT m.grp, m.name, t.top_name || ' community' AS community_name,
+    t.n_members
+  FROM mem_lbl_h m
+  JOIN tops_h t ON t.grp = m.grp AND t.label = m.label AND t.rk = 1
+),
+-- full graph: canonical nodes + canonical edges over ALL docs
+nodes_f AS (SELECT DISTINCT grp, cname AS name FROM canon),
+merged_f AS (
+  SELECT e0.grp, c.cname AS subj, e0.pred, e0.obj, e0.fact
+  FROM edges0 e0 JOIN canon c ON c.grp = e0.grp AND c.comp = 'p|' || e0.last
+  GROUP BY e0.grp, c.cname, e0.pred, e0.obj, e0.fact
+),
+new_ents AS (
+  SELECT n.grp, n.name FROM nodes_f n
+  LEFT JOIN memh m ON m.grp = n.grp AND m.name = n.name
+  WHERE m.name IS NULL
+),
+nbr AS (
+  SELECT p.grp, p.e, m.community_name
+  FROM (
+    SELECT grp, subj AS e, obj AS nbr FROM merged_f
+    UNION ALL SELECT grp, obj, subj FROM merged_f
+  ) p
+  JOIN new_ents ne ON ne.grp = p.grp AND ne.name = p.e
+  JOIN memh m ON m.grp = p.grp AND m.name = p.nbr
+),
+plur AS (
+  SELECT grp, e AS name, community_name FROM (
+    SELECT grp, e, community_name,
+      row_number() OVER (PARTITION BY grp, e
+                         ORDER BY count(*) DESC, community_name ASC) AS rk
+    FROM nbr GROUP BY grp, e, community_name
+  ) WHERE rk = 1
+),
+adds AS (
+  SELECT grp, community_name, count(*) AS n_new
+  FROM plur GROUP BY grp, community_name
+)
+SELECT m.grp AS group_id, m.name, m.community_name,
+  m.n_members + coalesce(a.n_new, 0) AS n_members
+FROM memh m
+LEFT JOIN adds a ON a.grp = m.grp AND a.community_name = m.community_name
+UNION ALL
+SELECT p.grp, p.name, p.community_name, mh.n_members + a.n_new
+FROM plur p
+JOIN adds a ON a.grp = p.grp AND a.community_name = p.community_name
+JOIN (SELECT DISTINCT grp, community_name, n_members FROM memh) mh
+  ON mh.grp = p.grp AND mh.community_name = p.community_name
+"""
+
+
 def _with_docs_dups(body: str) -> str:
     from .ops.corpus import DOCS_WITH_DUPS_CTE
 
@@ -1299,6 +1460,7 @@ QUERIES = {
     # KG chain over the SQL-mirrorable doc corpus (hash-checked gate)
     "kg_docs_triples": kg_docs_triples,
     "kg_docs_incremental": kg_docs_incremental,
+    "kg_docs_communities_incremental": kg_docs_communities_incremental,
     "kg_docs_edges": kg_docs_edges,
     "kg_docs_nodes": kg_docs_nodes,
     "kg_docs_mentions": kg_docs_mentions,
@@ -1353,6 +1515,7 @@ ORACLE_SQL = {
     "kg_docs_triples": _KG_DOCS_TRIPLES_SQL(),
     # incremental build must equal the from-scratch build -> same oracle
     "kg_docs_incremental": _KG_DOCS_TRIPLES_SQL(),
+    "kg_docs_communities_incremental": _KG_DOCS_COMMUNITIES_INCR_SQL(),
     "kg_docs_edges": _KG_DOCS_EDGES_SQL(),
     "kg_docs_nodes": _KG_DOCS_NODES_SQL(),
     "kg_docs_mentions": _KG_DOCS_MENTIONS_SQL(),

@@ -458,3 +458,182 @@ def build_communities(
         group_lp, batch_format="pandas"
     )
     return cold_out.union(_lp_distributed(hot_ds, order_key=order_key))
+
+
+def update_communities(membership_ds, new_nodes_ds, edges_ds):
+    """Incremental community fold — the batch analog of the reference's
+    ``update_community`` (community_operations.py:240-325), vectorized
+    over a SET of new entities instead of one node at a time:
+
+      1. a new entity already present in the membership keeps its
+         community (determine_entity_community's first lookup,
+         community_operations.py:242-258);
+      2. otherwise it joins the PLURALITY community among its direct
+         neighbors' communities (:262-297), counted once per incident
+         edge like the Cypher MATCH row count; ties break to the
+         SMALLEST (community_name, community_uuid) — the reference
+         takes dict-iteration first-max, which is insertion-order-
+         dependent; a sorted tie-break makes the batch run
+         reproducible, and name-first keeps it expressible by a SQL
+         oracle that cannot compute the member-set sha1 uuids;
+      3. an entity with no community-bearing neighbor stays unassigned
+         (:291-292 returns None, nothing is written);
+      4. each affected community folds its new members' evidence into
+         the summary (the summarize_pair seam -> tree_summarize) and
+         re-counts n_members (:301-325). community_uuid and name are
+         PRESERVED — the reference updates the community node in place
+         rather than re-deriving identity from the member set.
+
+    Inputs: membership (OUT_COLUMNS rows, e.g. from build_communities),
+    the new canonical nodes (uuid, group_id, name), and the canonical
+    edges of the graph AFTER the incremental build (so new->existing
+    links exist).
+
+    Shuffle shape: three lookup joins (member?, neighbor->community,
+    affected?) — all broadcast-tier for typical incremental batches,
+    degrading to the sharded tiers at scale — plus ONE bucketed
+    exchange for the per-entity plurality and ONE groupby over the
+    affected communities only; unaffected membership rows stream
+    through untouched.
+    """
+    import pyarrow.compute as pc
+
+    from .joins import lookup_column
+
+    def keep_null(col):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_null(t.column(col))).drop_columns([col])
+
+        return f
+
+    def keep_hit(col, drop: bool = True):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t.column(col)))
+            return t.drop_columns([col]) if drop else t
+
+        return f
+
+    # 1. candidates = new entities not already members
+    cand = lookup_column(
+        new_nodes_ds.select_columns(["uuid", "group_id", "name"]),
+        "uuid", membership_ds, "entity_uuid", "community_uuid", "__have",
+    ).map_batches(keep_null("__have"), batch_format="pyarrow").materialize()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        fwd = pa.table(
+            {"e": t.column("source_node_uuid"), "nbr": t.column("target_node_uuid")}
+        )
+        rev = pa.table(
+            {"e": t.column("target_node_uuid"), "nbr": t.column("source_node_uuid")}
+        )
+        return pa.concat_tables([fwd, rev])
+
+    # 2. incident edges of candidates, 3. neighbors' communities
+    pairs = lookup_column(
+        edges_ds.map_batches(both_dirs, batch_format="pyarrow"),
+        "e", cand, "uuid", "group_id", "__is_cand",
+    ).map_batches(keep_hit("__is_cand"), batch_format="pyarrow")
+    def cv_rows(t: pa.Table) -> pa.Table:
+        # composite lookup value: name first so the tie-break sorts on
+        # the SQL-computable component (\x1f never appears in names)
+        return pa.table(
+            {
+                "entity_uuid": t.column("entity_uuid"),
+                "cv": pc.binary_join_element_wise(
+                    t.column("community_name"),
+                    t.column("community_uuid"),
+                    "\x1f",
+                ),
+            }
+        )
+
+    pairs = lookup_column(
+        pairs,
+        "nbr",
+        membership_ds.map_batches(cv_rows, batch_format="pyarrow"),
+        "entity_uuid", "cv", "cv",
+    ).map_batches(keep_hit("cv", drop=False), batch_format="pyarrow")
+
+    # 4. plurality per candidate (bucketed: one exchange, vectorized
+    # count -> sort -> keep-last inside each bucket)
+    def tag_eb(t: pa.Table) -> pa.Table:
+        return t.append_column("eb", _bkt(t.column("e").to_pylist()))
+
+    def plurality(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = (
+            df.groupby(["e", "cv"], sort=False).size().reset_index(name="w")
+        )
+        # max count, tie -> smallest (name, uuid): sort (w asc, cv
+        # desc), keep last
+        cnt = cnt.sort_values(["e", "w", "cv"], ascending=[True, True, False])
+        best = cnt.drop_duplicates(["e"], keep="last")
+        return pd.DataFrame(
+            {
+                "entity_uuid": best["e"],
+                "community_uuid": best["cv"].str.split("\x1f", n=1).str[1],
+            }
+        )
+
+    assigned = (
+        pairs.map_batches(tag_eb, batch_format="pyarrow")
+        .groupby("eb")
+        .map_groups(plurality, batch_format="pandas")
+        .materialize()
+    )
+    if not assigned.count():
+        return membership_ds
+
+    # 5. split membership: only communities gaining members re-fold
+    mem = lookup_column(
+        membership_ds, "community_uuid",
+        assigned, "community_uuid", "entity_uuid", "__aff",
+    )
+    unaffected = mem.map_batches(keep_null("__aff"), batch_format="pyarrow")
+    affected_old = mem.map_batches(keep_hit("__aff"), batch_format="pyarrow")
+
+    new_rows = lookup_column(
+        cand, "uuid", assigned, "entity_uuid", "community_uuid", "community_uuid"
+    ).map_batches(keep_hit("community_uuid", drop=False), batch_format="pyarrow")
+
+    def shape_old(t: pa.Table) -> pa.Table:
+        return t.append_column("new_name", pa.nulls(t.num_rows, pa.string()))
+
+    def shape_new(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "community_uuid": t.column("community_uuid"),
+                "entity_uuid": t.column("uuid"),
+                "group_id": t.column("group_id"),
+                "community_name": pa.nulls(t.num_rows, pa.string()),
+                "summary": pa.nulls(t.num_rows, pa.string()),
+                "n_members": pa.nulls(t.num_rows, pa.int64()),
+                "new_name": t.column("name"),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        old = df[df["new_name"].isna()]
+        new = df[df["new_name"].notna()]
+        summary = old["summary"].iloc[0]
+        if len(new):
+            summary = tree_summarize([summary] + sorted(new["new_name"]))
+        ents = sorted(set(old["entity_uuid"]) | set(new["entity_uuid"]))
+        return pd.DataFrame(
+            {
+                "community_uuid": df["community_uuid"].iloc[0],
+                "entity_uuid": ents,
+                "group_id": old["group_id"].iloc[0],
+                "community_name": old["community_name"].iloc[0],
+                "summary": summary,
+                "n_members": len(ents),
+            },
+            columns=OUT_COLUMNS,
+        )
+
+    folded = (
+        affected_old.map_batches(shape_old, batch_format="pyarrow")
+        .union(new_rows.map_batches(shape_new, batch_format="pyarrow"))
+        .groupby("community_uuid")
+        .map_groups(fold, batch_format="pandas")
+    )
+    return unaffected.union(folded)

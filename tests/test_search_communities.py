@@ -206,3 +206,84 @@ def test_communities_hot_group_distributed_path_matches(kg):
     )
     assert len(forced) == len(base) > 0
     assert forced.equals(base)
+
+
+def test_update_communities_incremental_fold(ray_session):
+    """D10: the batch analog of update_community
+    (community_operations.py:240-325). Hand-built graph:
+    C1={a,b,c}, C2={d,e}; new entities x (nbrs a,b -> C1), y (nbrs
+    c,d,e -> C2 by 2-vs-1 plurality), t (nbrs a,d -> 1-1 tie ->
+    smallest community_name), z (no community-bearing neighbor ->
+    unassigned), and w already a member -> untouched."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphiti_ray.stages.communities import update_communities
+
+    def mem_rows(cu, ents, name, summary):
+        return [
+            {
+                "community_uuid": cu,
+                "entity_uuid": u,
+                "group_id": "g",
+                "community_name": name,
+                "summary": summary,
+                "n_members": len(ents),
+            }
+            for u in ents
+        ]
+
+    membership = rd.from_pandas(
+        pd.DataFrame(
+            mem_rows("c1", ["a", "b", "c"], "Ana community", "Ana; Bob; Cy")
+            + mem_rows("c2", ["d", "e"], "Dee community", "Dee; Eve")
+            + mem_rows("c9", ["w"], "Wim community", "Wim")
+        )
+    )
+    new_nodes = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "uuid": ["x", "y", "t", "z", "w"],
+                "group_id": ["g"] * 5,
+                "name": ["Xen", "Yul", "Tam", "Zed", "Wim"],
+            }
+        )
+    )
+    edges = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "source_node_uuid": ["x", "x", "c", "y", "y", "t", "t", "z"],
+                "target_node_uuid": ["a", "b", "y", "d", "e", "a", "d", "q"],
+            }
+        )
+    )
+    out = (
+        update_communities(membership, new_nodes, edges)
+        .to_pandas()
+        .sort_values(["community_uuid", "entity_uuid"])
+        .reset_index(drop=True)
+    )
+    got = out.set_index("entity_uuid")["community_uuid"].to_dict()
+    assert got["x"] == "c1"          # unanimous neighbors
+    assert got["y"] == "c2"          # 2-vs-1 plurality
+    assert got["t"] == "c1"          # tie -> smallest community_name
+    assert "z" not in got            # no community-bearing neighbor
+    assert got["w"] == "c9"          # already a member: untouched
+    # community identity preserved; counts and summaries folded
+    c1 = out[out["community_uuid"] == "c1"]
+    assert set(c1["entity_uuid"]) == {"a", "b", "c", "t", "x"}
+    assert (c1["n_members"] == 5).all()
+    assert (c1["community_name"] == "Ana community").all()
+    assert c1["summary"].iloc[0] == "Ana; Bob; Cy; Tam; Xen"
+    # untouched community rows stream through byte-identical
+    c9 = out[out["community_uuid"] == "c9"]
+    assert c9["summary"].iloc[0] == "Wim" and (c9["n_members"] == 1).all()
+    # idempotent: folding the same batch again changes nothing
+    again = (
+        update_communities(rd.from_pandas(out), new_nodes, edges)
+        .to_pandas()
+        .sort_values(["community_uuid", "entity_uuid"])
+        .reset_index(drop=True)
+    )
+    assert again.equals(out)
