@@ -9,6 +9,9 @@ batch engine, so a user of the reference maps their calls directly:
 | ``get_nodes_by_query``          | ``search_nodes(query)``             |
 | ``retrieve_episodes``           | ``episode_windows()``               |
 | ``build_communities``           | ``build_communities()``             |
+| ``update_community`` (per node) | ``update_communities(mem, new_nodes)`` |
+| ``add_triplet``                 | ``add_triplet(...)`` / ``add_triplets(ds)`` |
+| ``build_indices_and_constraints`` | ``build_indices_and_constraints(dir)`` |
 | ``get_nodes_and_edges_by_episode`` | ``get_by_episode(uuid)``         |
 | ``remove_episode``              | ``remove_episode(uuid)``            |
 | constructor client injection    | ``extractor_factory`` / ``embedder_factory`` kwargs |
@@ -80,6 +83,42 @@ class GraphitiRay:
             entity_types=self.entity_types,
         )
         return self.kg
+
+    def add_triplets(self, triples_ds) -> KGResult:
+        """Insert user-supplied facts directly — the batch analog of
+        ``Graphiti.add_triplet`` (graphiti.py:723-757). Rows:
+        (group_id, subj, pred, obj, fact[, valid_at, invalid_at,
+        created_at]). Endpoints resolve against the current canonical
+        graph, the edge enters the same dedupe + contradiction sweep,
+        no episodic provenance is created."""
+        from .pipelines.kg import add_triplets
+
+        self.kg = add_triplets(
+            self._require(), triples_ds, now=self.now,
+            entity_types=self.entity_types,
+        )
+        return self.kg
+
+    def add_triplet(
+        self, subj: str, pred: str, obj: str, *, fact: str | None = None,
+        group_id: str = "", valid_at=None, invalid_at=None,
+    ) -> KGResult:
+        """Single-triple convenience over :meth:`add_triplets`."""
+        import pandas as pd
+        import ray.data as rd
+
+        row = {
+            "group_id": [group_id],
+            "subj": [subj],
+            "pred": [pred],
+            "obj": [obj],
+            "fact": [fact if fact is not None else f"{subj} {pred} {obj}"],
+        }
+        if valid_at is not None:
+            row["valid_at"] = [valid_at]
+        if invalid_at is not None:
+            row["invalid_at"] = [invalid_at]
+        return self.add_triplets(rd.from_pandas(pd.DataFrame(row)))
 
     def load(self, kg_dir: str) -> KGResult:
         """Load a materialized store (run_kg_to_dir layout) as the
@@ -173,11 +212,13 @@ class GraphitiRay:
 
         return episode_windows(self._require().episodes)
 
-    def build_communities(self):
+    def build_communities(self, group_ids: list[str] | None = None):
+        """Cluster entities into communities; ``group_ids`` restricts
+        the run to the listed partitions (graphiti.py:606-613)."""
         from .stages.communities import build_communities
 
         kg = self._require()
-        return build_communities(kg.nodes, kg.edges)
+        return build_communities(kg.nodes, kg.edges, group_ids=group_ids)
 
     def update_communities(self, membership_ds, new_nodes_ds):
         """Incrementally fold NEW entities into an existing membership

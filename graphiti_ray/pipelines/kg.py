@@ -303,13 +303,35 @@ def build_kg_incremental(
     newer fact the increment introduced; everything else (nodes,
     mentions, triple facts and temporal closes) matches the rebuild
     exactly (pinned by tests/test_extensions.py)."""
-    from ..stages import canonicalize, edges as edge_stage, extract
+    from ..stages import extract
 
     episodes_new = extract.pages_to_episodes(pages_ds)
     extracted = extract.extract_all(
         episodes_new, concurrency=concurrency, client_factory=client_factory
     ).materialize()
     nodes_raw, edges_raw, mentions_raw = extract.split_extracted(extracted)
+    return _assemble_on_prior(
+        prior, nodes_raw, edges_raw, mentions_raw,
+        episodes_new=episodes_new, now=now, entity_types=entity_types,
+    )
+
+
+def _assemble_on_prior(
+    prior: KGResult,
+    nodes_raw,
+    edges_raw,
+    mentions_raw,
+    *,
+    episodes_new=None,
+    now: datetime = DEFAULT_NOW,
+    entity_types: dict | None = None,
+) -> KGResult:
+    """Shared resolve-against-existing-graph tail of the incremental
+    paths (build_kg_incremental / add_triplets): canonicalize new raw
+    nodes vs the prior canonical set, re-enter prior edges into the
+    pair merge, re-run the sweep, rewrite mention pointers."""
+    from ..stages import canonicalize, edges as edge_stage
+
     nodes, uuid_map, alias = canonicalize.canonicalize_nodes(
         nodes_raw, entity_types=entity_types, prior_nodes_ds=prior.nodes
     )
@@ -331,7 +353,12 @@ def build_kg_incremental(
     ).materialize()
     mentions = _dedupe_mentions(mentions_input, alias, uuid_map_ds=uuid_map).materialize()
     triples = build_triples(edges, nodes, nodes_count=nodes.count())
-    episodes = prior.episodes.union(episodes_new) if prior.episodes is not None else episodes_new
+    if episodes_new is None:
+        episodes = prior.episodes
+    elif prior.episodes is not None:
+        episodes = prior.episodes.union(episodes_new)
+    else:
+        episodes = episodes_new
     return KGResult(
         episodes=episodes,
         nodes=nodes,
@@ -339,6 +366,129 @@ def build_kg_incremental(
         mentions=mentions,
         triples=triples,
         uuid_map=uuid_map,
+    )
+
+
+TRIPLET_COLS = ["group_id", "subj", "pred", "obj", "fact"]
+
+
+def add_triplets(
+    prior: KGResult,
+    triples_ds,
+    *,
+    now: datetime = DEFAULT_NOW,
+    entity_types: dict | None = None,
+) -> KGResult:
+    """Direct fact insertion — the batch analog of Graphiti.add_triplet
+    (graphiti.py:723-757), vectorized over a Dataset of rows
+    ``(group_id, subj, pred, obj, fact[, valid_at, invalid_at,
+    created_at])`` instead of one (node, edge, node) object at a time:
+
+      - both endpoint surfaces resolve against the EXISTING canonical
+        graph exactly like extracted entities (resolve_extracted_nodes
+        semantics — the same exact-merge + blocking/alias match the
+        pipeline uses, so 'Ana Barton' merges into an existing Ana node);
+      - the edge enters the same pair merge as extraction output
+        (dedupe_extracted_edge semantics: an identical fact folds into
+        the existing edge's provenance) and the contradiction sweep
+        re-runs (get_edge_contradictions/resolve_edge_contradictions);
+      - NO episodic provenance is created — the reference saves no
+        EpisodicEdges on this path (graphiti.py:755-757), so mentions
+        and episodes pass through unchanged.
+
+    Missing optional columns default to: valid_at/invalid_at NULL,
+    created_at = ``now``. partition_id is inherited as 0 (this path has
+    no source partition; the store treats it as the catch-all shard).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import edge_uuid, node_uuid
+    from ..functions.text import normalize_fact, normalize_name
+
+    def synth(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        names = set(t.schema.names)
+        grps = t.column("group_id").to_pylist()
+        subjs = t.column("subj").to_pylist()
+        preds = t.column("pred").to_pylist()
+        objs = t.column("obj").to_pylist()
+        facts = t.column("fact").to_pylist()
+
+        def opt(col, default):
+            return t.column(col).to_pylist() if col in names else [default] * n
+
+        valid = opt("valid_at", None)
+        invalid = opt("invalid_at", None)
+        created = opt("created_at", now)
+
+        rows: dict[str, list] = {k: [] for k in (
+            "kind", "uuid", "source_node_uuid", "target_node_uuid", "name",
+            "name_norm", "fact", "fact_norm", "episode_uuid", "entity_uuid",
+            "group_id", "created_at", "valid_at", "invalid_at", "partition_id",
+        )}
+
+        def emit(kind, **kw):
+            rows["kind"].append(kind)
+            for k in rows:
+                if k != "kind":
+                    rows[k].append(kw.get(k))
+
+        for g, s, p, o, f, va, ia, ca in zip(
+            grps, subjs, preds, objs, facts, valid, invalid, created
+        ):
+            su = node_uuid(g, normalize_name(s))
+            ou = node_uuid(g, normalize_name(o))
+            for name, uid in ((s, su), (o, ou)):
+                emit("node", uuid=uid, name=name,
+                     name_norm=normalize_name(name), group_id=g,
+                     created_at=ca, partition_id=0)
+            fn = normalize_fact(f)
+            emit("edge", uuid=edge_uuid(g, su, ou, p, fn),
+                 source_node_uuid=su, target_node_uuid=ou, name=p,
+                 fact=f, fact_norm=fn, group_id=g, created_at=ca,
+                 valid_at=va, invalid_at=ia, partition_id=0)
+        return pa.table(
+            {
+                "kind": pa.array(rows["kind"], pa.string()),
+                "uuid": pa.array(rows["uuid"], pa.string()),
+                "source_node_uuid": pa.array(rows["source_node_uuid"], pa.string()),
+                "target_node_uuid": pa.array(rows["target_node_uuid"], pa.string()),
+                "name": pa.array(rows["name"], pa.string()),
+                "name_norm": pa.array(rows["name_norm"], pa.string()),
+                "fact": pa.array(rows["fact"], pa.large_string()),
+                "fact_norm": pa.array(rows["fact_norm"], pa.string()),
+                "episode_uuid": pa.array(rows["episode_uuid"], pa.string()),
+                "entity_uuid": pa.array(rows["entity_uuid"], pa.string()),
+                "group_id": pa.array(rows["group_id"], pa.string()),
+                "created_at": pa.array(rows["created_at"], pa.timestamp("us")),
+                "valid_at": pa.array(rows["valid_at"], pa.timestamp("us")),
+                "invalid_at": pa.array(rows["invalid_at"], pa.timestamp("us")),
+                "partition_id": pa.array(rows["partition_id"], pa.int32()),
+            }
+        )
+
+    union = triples_ds.map_batches(synth, batch_format="pyarrow").materialize()
+
+    def keep(kind, cols):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("kind"), kind)).select(cols)
+
+        return f
+
+    nodes_raw = union.map_batches(
+        keep("node", ["uuid", "name", "name_norm", "group_id", "episode_uuid",
+                      "created_at", "partition_id"]),
+        batch_format="pyarrow",
+    )
+    edges_raw = union.map_batches(
+        keep("edge", RAW_EDGE_COLS), batch_format="pyarrow"
+    )
+    mentions_raw = union.map_batches(
+        keep("mention", MENTION_COLS), batch_format="pyarrow"
+    )  # always empty: no episodic provenance on this path
+    return _assemble_on_prior(
+        prior, nodes_raw, edges_raw, mentions_raw,
+        episodes_new=None, now=now, entity_types=entity_types,
     )
 
 

@@ -396,9 +396,15 @@ def build_communities(
     edges_ds,
     hot_group_rows: int = HOT_GROUP_ROWS,
     order_key: str = "uuid",
+    group_ids: list[str] | None = None,
 ):
     """(nodes, edges) -> community membership table (one row per
     entity: HAS_MEMBER edge M10 + community metadata).
+
+    ``group_ids``: restrict clustering to the listed graph partitions,
+    mirroring ``Graphiti.build_communities(group_ids)``
+    (graphiti.py:606-613 -> community_operations.py:49-66's per-group
+    projection filter); None clusters the whole graph.
 
     Shuffle: one groupby(group_id) over the unioned projection rows.
     Groups whose projection exceeds ``hot_group_rows`` rows are split
@@ -432,16 +438,23 @@ def build_communities(
 
     from functools import partial
 
+    import pyarrow.compute as pc
+
     group_lp = partial(_group_lp, order_key=order_key)
     proj = nodes_ds.map_batches(node_rows, batch_format="pyarrow").union(
         edges_ds.map_batches(edge_rows, batch_format="pyarrow")
-    ).materialize()
+    )
+    if group_ids is not None:
+        want = pa.array(sorted(group_ids), pa.string())
+        proj = proj.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("group_id"), value_set=want)),
+            batch_format="pyarrow",
+        )
+    proj = proj.materialize()
     counts = proj.groupby("group_id").count().to_pandas()
     hot = sorted(counts[counts["count()"] > hot_group_rows]["group_id"])
     if not hot:
         return proj.groupby("group_id").map_groups(group_lp, batch_format="pandas")
-
-    import pyarrow.compute as pc
 
     hot_arr = pa.array(hot, pa.string())
     cold_ds = proj.map_batches(

@@ -108,3 +108,65 @@ def test_engine_build_indices_and_constraints(ray_session, tmp_path):
     assert len(nn) == 3
     assert qrow["uuid"] not in set(nn["neighbor_id"])  # self excluded
     assert set(nn["neighbor_id"]) <= set(nodes["uuid"])
+
+
+def test_engine_add_triplet_resolves_merges_and_sweeps(ray_session):
+    """add_triplet (graphiti.py:723-757): endpoints resolve against the
+    existing graph, identical facts fold provenance, and a later
+    contradicting exclusive fact invalidates the stored edge."""
+    from datetime import datetime
+
+    from graphiti_ray.engine import GraphitiRay
+    from graphiti_ray.synth import pages_dataset
+
+    g = GraphitiRay(now=datetime(2026, 1, 1), concurrency=2)
+    kg0 = g.build(pages_dataset(80))
+    nodes0 = kg0.nodes.to_pandas()
+    n_nodes0 = len(nodes0)
+    person = next(n for n in nodes0["name"] if " " in n)
+    prow = nodes0[nodes0["name"] == person].iloc[0]
+    grp = prow["group_id"]
+
+    # existing-subject + brand-new object: subject must MERGE into the
+    # existing canonical node (same uuid), object is one new node
+    kg1 = g.add_triplet(
+        person, "WORKS_FOR", "Novel Labs",
+        fact=f"{person} works for Novel Labs.",
+        group_id=grp, valid_at=datetime(2025, 6, 1),
+    )
+    nodes1 = kg1.nodes.to_pandas()
+    assert len(nodes1) == n_nodes0 + 1
+    assert nodes1[nodes1["name"] == person].iloc[0]["uuid"] == prow["uuid"]
+    new_edge = kg1.edges.to_pandas().query(
+        "name == 'WORKS_FOR' and fact.str.contains('Novel Labs')"
+    )
+    assert len(new_edge) == 1
+    assert new_edge.iloc[0]["source_node_uuid"] == prow["uuid"]
+
+    # identical fact again: provenance folds, no second edge row
+    kg2 = g.add_triplets(kg1.triples.limit(0))  # empty batch: no-op
+    assert kg2.edges.count() == kg1.edges.count()
+    import pandas as pd
+    import ray.data as rd
+
+    dup = rd.from_pandas(pd.DataFrame({
+        "group_id": [grp], "subj": [person], "pred": ["WORKS_FOR"],
+        "obj": ["Novel Labs"], "fact": [f"{person} works for Novel Labs."],
+        "valid_at": [datetime(2025, 6, 1)],
+    }))
+    kg3 = g.add_triplets(dup)
+    e3 = kg3.edges.to_pandas().query(
+        "name == 'WORKS_FOR' and fact.str.contains('Novel Labs')"
+    )
+    assert len(e3) == 1  # deduped into one canonical edge
+
+    # later contradicting exclusive fact invalidates the stored one
+    kg4 = g.add_triplet(
+        person, "WORKS_FOR", "Other Org",
+        fact=f"{person} works for Other Org.",
+        group_id=grp, valid_at=datetime(2025, 9, 1),
+    )
+    e4 = kg4.edges.to_pandas()
+    old = e4.query("fact.str.contains('Novel Labs')").iloc[0]
+    assert old["invalid_at"] == pd.Timestamp(2025, 9, 1)
+    assert old["expired_at"] is not None

@@ -287,3 +287,20 @@ def test_update_communities_incremental_fold(ray_session):
         .reset_index(drop=True)
     )
     assert again.equals(out)
+
+
+def test_build_communities_group_ids_filter(kg):
+    """group_ids restricts clustering to the listed partitions
+    (graphiti.py:606-613) and matches the full run's rows for them."""
+    from graphiti_ray.stages.communities import build_communities
+
+    full = build_communities(kg.nodes, kg.edges).to_pandas()
+    grps = sorted(full["group_id"].unique())
+    assert len(grps) >= 2
+    pick = grps[:2]
+    sub = build_communities(kg.nodes, kg.edges, group_ids=pick).to_pandas()
+    assert set(sub["group_id"]) == set(pick)
+    a = (full[full["group_id"].isin(pick)]
+         .sort_values(["community_uuid", "entity_uuid"]).reset_index(drop=True))
+    b = sub.sort_values(["community_uuid", "entity_uuid"]).reset_index(drop=True)
+    assert b.equals(a)
