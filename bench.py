@@ -92,6 +92,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "text_index_vocab",
         "bm25_topk",
         "text_stats",
+        "pii_scrub",
         "lang_id",
         "doc_fingerprints",
         "repetition_stats",

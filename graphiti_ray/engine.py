@@ -7,7 +7,7 @@ batch engine, so a user of the reference maps their calls directly:
 | ``add_episode`` / ``add_episode_bulk`` | ``build(pages_ds)`` / ``build_from_episodes(eps_ds)`` (batch is the only mode) |
 | ``search`` (hybrid)             | ``search(query, config=...)``       |
 | ``get_nodes_by_query``          | ``search_nodes(query)``             |
-| ``retrieve_episodes``           | ``episode_windows()``               |
+| ``retrieve_episodes``           | ``retrieve_episodes(ref_time, n, group_ids)`` (+ ``episode_windows()`` for the T4 lag table) |
 | ``build_communities``           | ``build_communities()``             |
 | ``update_community`` (per node) | ``update_communities(mem, new_nodes)`` |
 | ``add_triplet``                 | ``add_triplet(...)`` / ``add_triplets(ds)`` |
@@ -188,13 +188,38 @@ class GraphitiRay:
             raise RuntimeError("call build() first")
         return self.kg
 
-    def search(self, query: str, config=None, filters=None) -> dict[str, list[str]]:
-        """Hybrid 3-way search (Q1)."""
-        from .search.config import hybrid_search
+    def search(
+        self, query: str, config=None, filters=None,
+        group_ids: list[str] | None = None,
+    ) -> dict[str, list[str]]:
+        """Hybrid 3-way search (Q1). ``group_ids`` scopes every lane to
+        the listed partitions (graphiti.py:630-640)."""
+        from dataclasses import replace
 
+        from .search.config import hybrid_search
+        from .search.search import SearchFilters
+
+        if group_ids is not None:
+            filters = replace(
+                filters or SearchFilters(), group_ids=group_ids
+            )
         kg = self._require()
         return hybrid_search(
             query, nodes_ds=kg.nodes, edges_ds=kg.edges, config=config, filters=filters
+        )
+
+    def retrieve_episodes(
+        self, reference_time, last_n: int = 3,
+        group_ids: list[str] | None = None,
+    ):
+        """Last ``last_n`` episodes at/before ``reference_time``
+        (chronological), optionally scoped to ``group_ids`` —
+        reference ``retrieve_episodes`` (graphiti.py:221-252)."""
+        from .state.graph_ops import retrieve_episodes
+
+        return retrieve_episodes(
+            self._require().episodes, reference_time,
+            last_n=last_n, group_ids=group_ids,
         )
 
     def search_nodes(self, query: str, limit: int = 10) -> list[str]:

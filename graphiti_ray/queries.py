@@ -647,6 +647,16 @@ def text_stats(sf_dir: str):
     return ts(sf_dir)
 
 
+def pii_scrub(sf_dir: str):
+    """PII redaction pass (emails/phones/IPs -> typed placeholders)
+    with per-doc counts; planted contact blocks make the work real and
+    the RE2 regexes are shared verbatim with the DuckDB oracle
+    (ops/pii.py)."""
+    from .ops.pii import pii_scrub as ps
+
+    return ps(sf_dir)
+
+
 def lang_id(sf_dir: str):
     from .ops.textstats import lang_id as li
 
@@ -1148,6 +1158,12 @@ JOIN (SELECT DISTINCT grp, community_name, n_members FROM memh) mh
 """
 
 
+def _PII_SCRUB_SQL():
+    from .ops.pii import PII_SCRUB_SQL
+
+    return PII_SCRUB_SQL
+
+
 def _with_docs_dups(body: str) -> str:
     from .ops.corpus import DOCS_WITH_DUPS_CTE
 
@@ -1489,6 +1505,7 @@ QUERIES = {
     "knn_ivf_indexed": knn_ivf_indexed,
     # text analysis
     "text_stats": text_stats,
+    "pii_scrub": pii_scrub,
     "lang_id": lang_id,
     "doc_fingerprints": doc_fingerprints,
     "repetition_stats": repetition_stats,
@@ -1534,6 +1551,7 @@ ORACLE_SQL = {
     # exhaustive probe of the persisted index == brute force
     "knn_indexed_exact": KNN_SQL,
     "text_stats": TEXT_STATS_SQL,
+    "pii_scrub": _PII_SCRUB_SQL(),
     "lang_id": LANG_ID_SQL,
     "doc_fingerprints": _DOC_FINGERPRINTS_SQL(),
     "repetition_stats": REPETITION_STATS_SQL,

@@ -54,6 +54,7 @@ class SearchFilters:
     date filter list is an OR-group of (op, value) tuples; groups AND."""
 
     node_labels: list[str] | None = None
+    group_ids: list[str] | None = None  # graphiti.py:634 search scope
     valid_at: list[list[tuple[str, datetime]]] = field(default_factory=list)
     invalid_at: list[list[tuple[str, datetime]]] = field(default_factory=list)
     created_at: list[list[tuple[str, datetime]]] = field(default_factory=list)
@@ -75,12 +76,19 @@ class SearchFilters:
     def apply(self, ds):
         """Vectorized predicate pushdown: one map_batches, pyarrow
         kernels only (Q12 -> ds.filter analog)."""
-        if not (self.node_labels or self.valid_at or self.invalid_at
-                or self.created_at or self.expired_at):
+        if not (self.node_labels or self.group_ids or self.valid_at
+                or self.invalid_at or self.created_at or self.expired_at):
             return ds
+
+        gset = (
+            pa.array(sorted(set(self.group_ids)), pa.string())
+            if self.group_ids else None
+        )
 
         def f(t: pa.Table) -> pa.Table:
             mask = None
+            if gset is not None and "group_id" in t.schema.names:
+                mask = pc.is_in(t.column("group_id"), value_set=gset)
             for col, groups in (
                 ("valid_at", self.valid_at),
                 ("invalid_at", self.invalid_at),
@@ -133,6 +141,8 @@ def _corpus_stats(ds, text_col: str, terms: list[str]) -> tuple[int, float, dict
         return pa.table(row)
 
     df = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    if "n_docs" not in df.columns:  # empty table / filtered-to-nothing
+        return 0, 0.0, {t: 0 for t in terms}
     n_docs = int(df["n_docs"].sum())
     avgdl = float(df["total_len"].sum()) / max(1, n_docs)
     dfs = {t: int(df[f"df_{i}"].sum()) for i, t in enumerate(terms)}
@@ -150,6 +160,8 @@ def _fulltext_lane(ds, text_col: str, id_col: str, query: str, limit: int):
     if not terms:
         return None
     n_docs, avgdl, dfs = _corpus_stats(ds, text_col, terms)
+    if n_docs == 0:
+        return None
     idf = {
         t: math.log(1 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in terms
     }

@@ -56,6 +56,50 @@ def get_by_group_ids(ds, group_ids: list[str], limit: int | None = None,
     return out.limit(limit) if limit is not None else out
 
 
+EPISODE_WINDOW_LEN = 3  # reference graph_data_operations.py:26
+
+
+def retrieve_episodes(
+    episodes_ds,
+    reference_time,
+    last_n: int = EPISODE_WINDOW_LEN,
+    group_ids: list[str] | None = None,
+):
+    """The last ``last_n`` episodes at/before ``reference_time``,
+    optionally scoped to ``group_ids``, in chronological order —
+    reference ``retrieve_episodes``
+    (graph_data_operations.py:104-160). This engine stamps episode
+    created_at = valid_at at ingestion, so valid_at orders recency
+    exactly like the reference's created_at DESC. Distributed shape:
+    per-block top-n prune inside map_batches, then one tiny driver
+    sort over <= n rows per block — no global shuffle.
+
+    Returns a pandas DataFrame (small by construction)."""
+    gset = (
+        pa.array(sorted(set(group_ids)), pa.string())
+        if group_ids is not None else None
+    )
+    ref = pa.scalar(reference_time, pa.timestamp("us"))
+
+    def prune(t: pa.Table) -> pa.Table:
+        mask = pc.fill_null(pc.less_equal(t.column("valid_at"), ref), False)
+        if gset is not None:
+            mask = pc.and_(mask, pc.is_in(t.column("group_id"), value_set=gset))
+        t = t.filter(mask)
+        if t.num_rows <= last_n:
+            return t
+        order = pc.sort_indices(
+            t, sort_keys=[("valid_at", "descending"), ("url", "ascending")]
+        )
+        return t.take(order[:last_n])
+
+    top = episodes_ds.map_batches(prune, batch_format="pyarrow").to_pandas()
+    top = top.sort_values(
+        ["valid_at", "url"], ascending=[False, True]
+    ).head(last_n)
+    return top.sort_values(["valid_at", "url"]).reset_index(drop=True)
+
+
 def get_by_episode(kg, episode_uuid: str):
     """Q13 provenance query (graphiti.py:710-721
     get_nodes_and_edges_by_episode): the edges carrying this episode in

@@ -232,3 +232,57 @@ def test_canonicalize_distributed_components_path(ray_session, monkeypatch):
     nb, mb = snap(nodes_b, map_b)
     assert na.equals(nb)
     assert ma.equals(mb)
+
+
+def test_retrieve_episodes_window_and_scope(kg):
+    """Reference retrieve_episodes (graph_data_operations.py:104-160):
+    last_n at/before reference_time, chronological, optional group
+    scope — pinned against a pandas replay of the same rule."""
+    from graphiti_ray.state.graph_ops import retrieve_episodes
+
+    eps = kg.episodes.to_pandas()
+    ref = eps["valid_at"].quantile(0.6)
+
+    got = retrieve_episodes(kg.episodes, ref, last_n=5)
+    want = (
+        eps[eps["valid_at"] <= ref]
+        .sort_values(["valid_at", "url"], ascending=[False, True])
+        .head(5)
+        .sort_values(["valid_at", "url"])["url"]
+        .tolist()
+    )
+    assert got["url"].tolist() == want
+    assert (got["valid_at"] <= ref).all()
+    assert list(got["valid_at"]) == sorted(got["valid_at"])  # chronological
+
+    grp = eps["group_id"].iloc[0]
+    scoped = retrieve_episodes(kg.episodes, ref, last_n=5, group_ids=[grp])
+    assert set(scoped["group_id"]) <= {grp}
+    want_g = (
+        eps[(eps["valid_at"] <= ref) & (eps["group_id"] == grp)]
+        .sort_values(["valid_at", "url"], ascending=[False, True])
+        .head(5)
+        .sort_values(["valid_at", "url"])["url"]
+        .tolist()
+    )
+    assert scoped["url"].tolist() == want_g
+
+
+def test_search_filters_group_ids_scope(kg):
+    """SearchFilters.group_ids confines every lane to the listed
+    partitions (graphiti.py:630-640 search group scope)."""
+    from graphiti_ray.search.search import SearchFilters, node_search
+
+    nodes = kg.nodes.to_pandas()
+    grp = nodes["group_id"].value_counts().index[0]
+    person = next(
+        n for n in nodes[nodes["group_id"] == grp]["name"] if " " in n
+    )
+    surname = person.split()[-1]
+    hits = node_search(
+        kg.nodes, surname, limit=50,
+        filters=SearchFilters(group_ids=[grp]),
+    )
+    assert hits
+    by_uuid = nodes.set_index("uuid")["group_id"]
+    assert all(by_uuid[u] == grp for u in hits)

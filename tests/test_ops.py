@@ -433,3 +433,34 @@ def test_corpus_prep_composition(ray_session):
     for lg, toks in want.items():
         assert got.loc[lg, "n_docs"] == len(toks)
         assert got.loc[lg, "total_tokens"] == sum(toks)
+
+
+def test_pii_scrub_matches_duckdb_oracle(ray_session):
+    """Redaction counts and scrubbed text match the RE2-shared SQL
+    mirror; planted contact blocks are fully redacted."""
+    import duckdb
+
+    from graphiti_ray import queries as q
+    from graphiti_ray.ops.pii import PII_MOD
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    ora = con.execute(q.ORACLE_SQL["pii_scrub"]).df()
+    res = q.QUERIES["pii_scrub"](SF).to_pandas()
+    cols = ["doc_id", "n_emails", "n_phones", "n_ips", "scrubbed"]
+    a = res[cols].sort_values("doc_id").reset_index(drop=True)
+    b = ora[cols].sort_values("doc_id").reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+    planted = a[a["doc_id"] % PII_MOD == 0]
+    assert (planted["n_emails"] >= 1).all()
+    assert (planted["n_phones"] >= 1).all()
+    assert (planted["n_ips"] >= 1).all()
+    assert planted["scrubbed"].str.contains("<EMAIL>").all()
+    assert not planted["scrubbed"].str.contains("@site", regex=False).any()
+    clean = a[a["doc_id"] % PII_MOD != 0]
+    assert (clean[["n_emails", "n_phones", "n_ips"]].sum(axis=1) == 0).all()
+    con.close()
