@@ -93,6 +93,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "bm25_topk",
         "text_stats",
         "pii_scrub",
+        "quality_filter",
+        "decontaminate",
+        "domain_cap",
+        "sequence_pack",
         "lang_id",
         "doc_fingerprints",
         "repetition_stats",

@@ -657,6 +657,41 @@ def pii_scrub(sf_dir: str):
     return ps(sf_dir)
 
 
+def quality_filter(sf_dir: str):
+    """C4/Gopher-style quality heuristics: per-doc flags + keep
+    decision, all thresholds inside the corpus's observed
+    distributions (ops/filtering.py)."""
+    from .ops.filtering import quality_filter as qf
+
+    return qf(sf_dir)
+
+
+def decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination: broadcast tiny benchmark set,
+    one streaming pass flags word-boundary 8-gram overlap
+    (ops/filtering.py)."""
+    from .ops.filtering import decontaminate as dc
+
+    return dc(sf_dir)
+
+
+def domain_cap(sf_dir: str):
+    """Per-domain top-k cap: map-side partial top-k, one
+    groupby(domain) finalize (ops/packing.py)."""
+    from .ops.packing import domain_cap as dcap
+
+    return dcap(sf_dir)
+
+
+def sequence_pack(sf_dir: str):
+    """Token-budget sequence packing via distributed prefix sum:
+    global token offsets + training-sequence spans per doc
+    (ops/packing.py)."""
+    from .ops.packing import sequence_pack as sp
+
+    return sp(sf_dir)
+
+
 def lang_id(sf_dir: str):
     from .ops.textstats import lang_id as li
 
@@ -1164,6 +1199,18 @@ def _PII_SCRUB_SQL():
     return PII_SCRUB_SQL
 
 
+def _FILTERING_SQL(name: str) -> str:
+    from .ops import filtering
+
+    return getattr(filtering, name)
+
+
+def _PACKING_SQL(name: str) -> str:
+    from .ops import packing
+
+    return getattr(packing, name)
+
+
 def _with_docs_dups(body: str) -> str:
     from .ops.corpus import DOCS_WITH_DUPS_CTE
 
@@ -1506,6 +1553,10 @@ QUERIES = {
     # text analysis
     "text_stats": text_stats,
     "pii_scrub": pii_scrub,
+    "quality_filter": quality_filter,
+    "decontaminate": decontaminate,
+    "domain_cap": domain_cap,
+    "sequence_pack": sequence_pack,
     "lang_id": lang_id,
     "doc_fingerprints": doc_fingerprints,
     "repetition_stats": repetition_stats,
@@ -1552,6 +1603,10 @@ ORACLE_SQL = {
     "knn_indexed_exact": KNN_SQL,
     "text_stats": TEXT_STATS_SQL,
     "pii_scrub": _PII_SCRUB_SQL(),
+    "quality_filter": _FILTERING_SQL("QUALITY_FILTER_SQL"),
+    "decontaminate": _FILTERING_SQL("DECONTAMINATE_SQL"),
+    "domain_cap": _PACKING_SQL("DOMAIN_CAP_SQL"),
+    "sequence_pack": _PACKING_SQL("SEQUENCE_PACK_SQL"),
     "lang_id": LANG_ID_SQL,
     "doc_fingerprints": _DOC_FINGERPRINTS_SQL(),
     "repetition_stats": REPETITION_STATS_SQL,

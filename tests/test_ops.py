@@ -464,3 +464,92 @@ def test_pii_scrub_matches_duckdb_oracle(ray_session):
     clean = a[a["doc_id"] % PII_MOD != 0]
     assert (clean[["n_emails", "n_phones", "n_ips"]].sum(axis=1) == 0).all()
     con.close()
+
+
+def _oracle_compare(name: str, sf: str = "/root/testdata/sf0.01"):
+    import duckdb
+
+    from graphiti_ray import queries as q
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    res = q.QUERIES[name](sf)
+    rdf = res.to_pandas() if hasattr(res, "to_pandas") else res
+    odf = con.execute(q.ORACLE_SQL[name]).df()
+    con.close()
+    cols = sorted(odf.columns)
+    assert sorted(rdf.columns) == cols
+    a = rdf[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert a.astype(str).equals(b.astype(a.dtypes.to_dict()).astype(str))
+    return a
+
+
+def test_quality_filter_rules_each_discriminate(ray_session):
+    """Hash-matches the SQL mirror AND every heuristic rejects a real
+    slice of the corpus (a filter that passes everything proves
+    nothing)."""
+    from graphiti_ray.ops.filtering import (
+        MAX_MEAN_WLEN, MAX_WORDS, MIN_MEAN_WLEN, MIN_STOP_RATIO, MIN_WORDS,
+    )
+
+    a = _oracle_compare("quality_filter")
+    assert (a["n_words"] < MIN_WORDS).any()
+    assert (a["n_words"] > MAX_WORDS).any()
+    assert (a["n_stopwords"] / a["n_words"] < MIN_STOP_RATIO).any()
+    assert (
+        (a["mean_word_len"] < MIN_MEAN_WLEN)
+        | (a["mean_word_len"] > MAX_MEAN_WLEN)
+    ).any()
+    kept = a["keep"].mean()
+    assert 0.2 < kept < 0.95  # discriminative, not degenerate
+
+
+def test_decontaminate_flags_planted_overlap(ray_session):
+    """Planted docs (doc_id%13==5 with an existing donor) and benchmark
+    source docs are contaminated; the rest of the word-salad corpus is
+    clean."""
+    from graphiti_ray.ops.filtering import (
+        BENCH_MOD, PLANT_MOD, PLANT_PICK, PLANT_RES,
+    )
+
+    a = _oracle_compare("decontaminate").set_index("doc_id")
+    n_docs = len(a)
+    donors = {BENCH_MOD * k for k in range(PLANT_PICK) if BENCH_MOD * k < n_docs}
+    for i in a.index:
+        if i % BENCH_MOD == 0:  # bench doc contains its own 8-gram
+            assert a.loc[i, "contaminated"]
+        elif i % PLANT_MOD == PLANT_RES and BENCH_MOD * (i % PLANT_PICK) in donors:
+            assert a.loc[i, "contaminated"], i
+    # contamination is the exception, not the rule
+    assert 0 < a["contaminated"].sum() < 0.25 * n_docs
+
+
+def test_domain_cap_topk_semantics(ray_session):
+    from graphiti_ray.ops.packing import DOMAIN_CAP_K
+
+    a = _oracle_compare("domain_cap")
+    per_dom = a.groupby("domain")
+    assert (per_dom.size() <= DOMAIN_CAP_K).all()
+    for _, g in per_dom:
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g["n_chars"].diff().dropna() <= 0).all()  # rank by length desc
+
+
+def test_sequence_pack_contiguous_token_stream(ray_session):
+    from graphiti_ray.ops.packing import SEQ_LEN
+
+    a = _oracle_compare("sequence_pack")
+    a = a.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    # exclusive prefix: each doc starts where the previous one ended
+    assert a.loc[0, "tok_start"] == 0
+    ends = a["tok_start"] + a["n_tokens"]
+    assert (a["tok_start"].iloc[1:].values == ends.iloc[:-1].values).all()
+    assert (a["seq_first"] == a["tok_start"] // SEQ_LEN).all()
+    assert (a["seq_last"] == (ends - 1) // SEQ_LEN).all()
+    assert a["seq_last"].max() > 0  # multiple sequences actually produced
