@@ -97,6 +97,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "decontaminate",
         "domain_cap",
         "sequence_pack",
+        "multimodal_frames",
+        "multimodal_features",
         "lang_id",
         "doc_fingerprints",
         "repetition_stats",

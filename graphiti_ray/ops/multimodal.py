@@ -86,3 +86,119 @@ def decode_payloads(sf_dir: str, concurrency: int = 2):
         batch_size=PAYLOAD_BATCH,
         concurrency=concurrency,
     )
+
+
+# ----------------------------------------------------- frame sampling
+
+FRAME_CHARS = 32  # fake frame = 32-char slice of the payload text
+SAMPLE_EVERY = 4  # keep every 4th frame
+
+
+class FrameSampler:
+    """Actor-pool flat-map stage: explode each payload into its sampled
+    frames (the video-frame-sampling shape: one input row -> many small
+    output rows, per-frame digest). Codec state would live in __init__;
+    the slicing/digesting per batch is the real plumbing."""
+
+    def __init__(self, frame_chars: int = FRAME_CHARS, every: int = SAMPLE_EVERY):
+        self.frame_chars = frame_chars
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_f, out_sha, out_n = [], [], [], []
+        for i, txt in zip(ids, texts):
+            n_frames = len(txt) // self.frame_chars
+            for f in range(0, n_frames, self.every):
+                frame = txt[f * self.frame_chars : (f + 1) * self.frame_chars]
+                out_id.append(i)
+                out_f.append(f)
+                out_sha.append(hashlib.sha256(frame.encode("utf-8")).hexdigest())
+                out_n.append(n_frames)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_f, pa.int64()),
+                "frame_sha": pa.array(out_sha, pa.string()),
+                "n_frames": pa.array(out_n, pa.int64()),
+            }
+        )
+
+
+def sample_frames(sf_dir: str, concurrency: int = 2):
+    """documents -> per-doc fake frames -> every-kth sampled, with
+    per-frame digests. Flat-map explode inside an actor-pool stage;
+    output is resumable per input block."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        batch_size=PAYLOAD_BATCH,
+        concurrency=concurrency,
+    )
+
+
+# DuckDB mirror: substring() is 1-based char slicing; sha256(VARCHAR)
+# hashes the utf-8 encoding — identical to the Python kernel.
+SAMPLE_FRAMES_SQL = f"""WITH fr AS (
+  SELECT doc_id, text,
+         CAST(length(text) // {FRAME_CHARS} AS BIGINT) AS n_frames
+  FROM documents
+)
+SELECT doc_id,
+       f AS frame_idx,
+       sha256(substring(text, 1 + CAST(f * {FRAME_CHARS} AS BIGINT),
+                        {FRAME_CHARS})) AS frame_sha,
+       n_frames
+FROM fr, UNNEST(generate_series(0, n_frames - 1)) AS t(f)
+WHERE f % {SAMPLE_EVERY} = 0
+"""
+
+
+# --------------------------------------------------- feature extraction
+
+class FeatureExtractor:
+    """Actor-pool stage for model-based feature extraction: the
+    'model' (deterministic hash embedder, the same one the KG embed
+    stage uses) is constructed ONCE per actor; each batch is one
+    vectorized inference call. A real vision/audio tower drops into
+    __init__ + __call__ unchanged."""
+
+    def __init__(self, dim: int = 64):
+        from ..functions.embed import hash_embed_texts
+
+        self.embed = hash_embed_texts
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = self.embed(batch.column("text").to_pylist(), dim=self.dim)
+        n_active = (feats != 0).sum(axis=1).astype("int64")
+        argmax = feats.argmax(axis=1).astype("int64")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "feature": pa.array(feats.tolist(), pa.list_(pa.float32())),
+                "n_active": pa.array(n_active, pa.int64()),
+                "feat_argmax": pa.array(argmax, pa.int64()),
+            }
+        )
+
+
+def extract_features(sf_dir: str, concurrency: int = 2, dim: int = 64):
+    """documents -> batched 'model' inference -> feature vectors.
+    Small batches so payload x concurrency fits a worker heap."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        FeatureExtractor,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow",
+        batch_size=PAYLOAD_BATCH,
+        concurrency=concurrency,
+    )

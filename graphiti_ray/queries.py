@@ -692,6 +692,23 @@ def sequence_pack(sf_dir: str):
     return sp(sf_dir)
 
 
+def multimodal_frames(sf_dir: str):
+    """Frame sampling: actor-pool flat-map exploding each payload into
+    every-kth fake frames with per-frame digests (ops/multimodal.py)."""
+    from .ops.multimodal import sample_frames
+
+    return sample_frames(sf_dir)
+
+
+def multimodal_features(sf_dir: str):
+    """Model-based feature extraction: per-actor 'model' init, batched
+    vectorized inference (ops/multimodal.py). Feature vectors are not
+    SQL-expressible — pinned by pytest instead of a DuckDB oracle."""
+    from .ops.multimodal import extract_features
+
+    return extract_features(sf_dir)
+
+
 def lang_id(sf_dir: str):
     from .ops.textstats import lang_id as li
 
@@ -1211,6 +1228,12 @@ def _PACKING_SQL(name: str) -> str:
     return getattr(packing, name)
 
 
+def _MULTIMODAL_SQL(name: str) -> str:
+    from .ops import multimodal
+
+    return getattr(multimodal, name)
+
+
 def _with_docs_dups(body: str) -> str:
     from .ops.corpus import DOCS_WITH_DUPS_CTE
 
@@ -1557,6 +1580,8 @@ QUERIES = {
     "decontaminate": decontaminate,
     "domain_cap": domain_cap,
     "sequence_pack": sequence_pack,
+    "multimodal_frames": multimodal_frames,
+    "multimodal_features": multimodal_features,
     "lang_id": lang_id,
     "doc_fingerprints": doc_fingerprints,
     "repetition_stats": repetition_stats,
@@ -1605,6 +1630,7 @@ ORACLE_SQL = {
     "pii_scrub": _PII_SCRUB_SQL(),
     "quality_filter": _FILTERING_SQL("QUALITY_FILTER_SQL"),
     "decontaminate": _FILTERING_SQL("DECONTAMINATE_SQL"),
+    "multimodal_frames": _MULTIMODAL_SQL("SAMPLE_FRAMES_SQL"),
     "domain_cap": _PACKING_SQL("DOMAIN_CAP_SQL"),
     "sequence_pack": _PACKING_SQL("SEQUENCE_PACK_SQL"),
     "lang_id": LANG_ID_SQL,

@@ -553,3 +553,44 @@ def test_sequence_pack_contiguous_token_stream(ray_session):
     assert (a["seq_first"] == a["tok_start"] // SEQ_LEN).all()
     assert (a["seq_last"] == (ends - 1) // SEQ_LEN).all()
     assert a["seq_last"].max() > 0  # multiple sequences actually produced
+
+
+def test_multimodal_frames_matches_duckdb_oracle(ray_session):
+    """Frame explode + per-frame digest hash-match the SQL mirror; the
+    sampling stride and frame geometry hold."""
+    from graphiti_ray.ops.multimodal import FRAME_CHARS, SAMPLE_EVERY
+
+    a = _oracle_compare("multimodal_frames")
+    assert (a["frame_idx"] % SAMPLE_EVERY == 0).all()
+    assert (a["frame_idx"] < a["n_frames"]).all()
+    # every doc long enough for one frame appears
+    docs = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    want_docs = set(docs[docs["text"].str.len() >= FRAME_CHARS]["doc_id"])
+    assert set(a["doc_id"]) == want_docs
+
+
+def test_multimodal_features_deterministic_and_normalized(ray_session):
+    """Feature extraction is pinned against a direct call of the same
+    deterministic embedder (no SQL oracle: vectors aren't
+    SQL-expressible)."""
+    import numpy as np
+
+    from graphiti_ray import queries as q
+    from graphiti_ray.functions.embed import hash_embed_texts
+
+    res = q.QUERIES["multimodal_features"]("/root/testdata/sf0.01").to_pandas()
+    docs = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    assert len(res) == len(docs)
+    merged = res.merge(docs, on="doc_id")
+    sample = merged.sample(20, random_state=7)
+    want = hash_embed_texts(sample["text"].tolist(), dim=64)
+    got = np.array(sample["feature"].tolist(), dtype=np.float32)
+    assert np.allclose(got, want, atol=1e-6)
+    norms = np.linalg.norm(got, axis=1)
+    assert np.allclose(norms[norms > 0], 1.0, atol=1e-5)
+    assert (sample["n_active"].values == (want != 0).sum(axis=1)).all()
+    assert (sample["feat_argmax"].values == want.argmax(axis=1)).all()
