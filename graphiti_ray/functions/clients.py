@@ -117,12 +117,22 @@ class ResponseCache:
 
 class DeterministicExtractorClient:
     """Default rule-based extractor with a response cache (the exact
-    logic the oracle pipeline shares — functions/extraction.py)."""
+    logic the oracle pipeline shares — functions/extraction.py).
 
-    model_id = "rules-v1"
+    ``version`` selects a rule set from the versioned library
+    (functions/promptlib.py — the prompts/lib.py:83-139 registry
+    analog); the version is baked into model_id so the response cache
+    never serves one version's output for another."""
 
-    def __init__(self, cache_entries: int = 100_000):
-        self.patterns = compile_patterns()
+    def __init__(self, cache_entries: int = 100_000, version: str | None = None):
+        if version is None:
+            self.model_id = "rules-v1"
+            self.patterns = compile_patterns()
+        else:
+            from .promptlib import compile_rules
+
+            self.model_id = version
+            self.patterns = compile_rules(version)
         self.cache = ResponseCache(cache_entries)
 
     def extract(

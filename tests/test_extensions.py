@@ -221,3 +221,41 @@ def test_engine_load_then_incremental(ray_session, tmp_path):
     assert got.sort_values(key).reset_index(drop=True).equals(
         want.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_rule_library_version_swap_through_actor_pool(ray_session):
+    """Versioned rule library (promptlib.py, the prompts/lib.py:83-139
+    registry analog): selecting rules-v2 at client construction changes
+    extraction output through the SAME actor-pool stage; v1 treats the
+    same sentence as plain NER."""
+    import pyarrow.compute as pc
+
+    from graphiti_ray.functions.clients import DeterministicExtractorClient
+    from graphiti_ray.functions.promptlib import get_rules, register_rules
+    from graphiti_ray.stages.extract import extract_all
+
+    pages = [
+        {
+            "url": "https://g.example/founder",
+            "warc_ts": __import__("datetime").datetime(2023, 5, 1),
+            "html": None,
+            "text": "Ada Lovelace founded Analytical Machines in 1843.",
+            "lang": "en",
+        }
+    ]
+
+    def preds(factory):
+        ext = extract_all(_episodes(pages), concurrency=1, client_factory=factory)
+        df = ext.to_pandas()
+        return set(df[df["kind"] == "edge"]["name"])
+
+    v1 = preds(DeterministicExtractorClient)
+    v2 = preds(lambda: DeterministicExtractorClient(version="rules-v2"))
+    assert "FOUNDED" not in v1
+    assert "FOUNDED" in v2
+
+    # registry hygiene: unknown version fails loudly; republish rejected
+    with pytest.raises(KeyError):
+        get_rules("rules-v99")
+    with pytest.raises(ValueError):
+        register_rules("rules-v1", [])
