@@ -135,48 +135,56 @@ def _bench_ngrams(sf_dir: str) -> dict[int, str]:
     return dict(zip(df["bench_id"], df["ngram"]))
 
 
-class _Decontaminator:
-    """Actor-pool stage: deserializes the broadcast benchmark set once
-    per actor (token-tuple set for O(tokens) sliding-window membership,
-    id->ngram map for the deterministic plant)."""
+# per-worker cache of the deserialized benchmark state: stateless TASKS
+# reuse long-lived worker processes, so ray.get + tuple-set construction
+# happen once per worker, not once per task — and unlike an actor pool
+# there is no per-query actor-process startup tax (the pool shape only
+# pays for itself when __init__ loads something heavier than the
+# queries themselves; see ops/multimodal.PayloadDecoder for that case).
+_BENCH_CACHE: dict[str, tuple[dict, set]] = {}
 
-    def __init__(self, bench_ref):
-        import ray
 
+def _decon_batch(batch: pa.Table, bench_ref) -> pa.Table:
+    import ray
+
+    key = bench_ref.hex()
+    state = _BENCH_CACHE.get(key)
+    if state is None:
         bench = ray.get(bench_ref)
-        self.by_id = bench
-        self.tuples = {tuple(g.split(" ")) for g in bench.values()}
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        n_hits, contaminated = [], []
-        for i, txt in zip(ids, texts):
-            if i % PLANT_MOD == PLANT_RES:
-                planted = self.by_id.get(BENCH_MOD * (i % PLANT_PICK))
-                if planted is not None:
-                    txt = txt + " " + planted
-            ws = txt.split(" ")
-            seen = {
-                tuple(ws[j : j + NGRAM_N])
-                for j in range(len(ws) - NGRAM_N + 1)
-            } & self.tuples
-            n_hits.append(len(seen))
-            contaminated.append(bool(seen))
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "n_hits": pa.array(n_hits, pa.int64()),
-                "contaminated": pa.array(contaminated),
-            }
-        )
+        state = (bench, {tuple(g.split(" ")) for g in bench.values()})
+        _BENCH_CACHE.clear()  # one benchmark live at a time
+        _BENCH_CACHE[key] = state
+    by_id, tuples = state
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    n_hits, contaminated = [], []
+    for i, txt in zip(ids, texts):
+        if i % PLANT_MOD == PLANT_RES:
+            planted = by_id.get(BENCH_MOD * (i % PLANT_PICK))
+            if planted is not None:
+                txt = txt + " " + planted
+        ws = txt.split(" ")
+        seen = {
+            tuple(ws[j : j + NGRAM_N])
+            for j in range(len(ws) - NGRAM_N + 1)
+        } & tuples
+        n_hits.append(len(seen))
+        contaminated.append(bool(seen))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_hits": pa.array(n_hits, pa.int64()),
+            "contaminated": pa.array(contaminated),
+        }
+    )
 
 
 def decontaminate(sf_dir: str):
     """Benchmark decontamination: flag docs sharing any word-boundary
     8-gram with the benchmark set (the Brown et al. GPT-3 appendix-C
     recipe). Benchmark side broadcast once via ray.put; corpus side one
-    streaming pass."""
+    streaming pass of stateless tasks with a per-worker benchmark
+    cache."""
     import ray
     import ray.data as rd
 
@@ -184,10 +192,9 @@ def decontaminate(sf_dir: str):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(
-        _Decontaminator,
-        fn_constructor_args=(bench_ref,),
+        _decon_batch,
+        fn_args=(bench_ref,),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
 
 
