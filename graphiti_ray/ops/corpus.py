@@ -18,6 +18,7 @@ Python and DuckDB: `words[:k]` == `w[1:k]` (1-based inclusive slice).
 from __future__ import annotations
 
 import pyarrow as pa
+from .io import read_documents, read_embeddings
 
 EXACT_MOD, EXACT_OFF = 7, 10_000_000
 NEAR_MOD, NEAR_OFF = 5, 20_000_000
@@ -45,6 +46,7 @@ vecs AS (
   SELECT vec_id + {VEC_OFF}, embedding FROM embeddings WHERE vec_id % {VEC_MOD} = 0
 )
 """
+
 
 
 def truncate_words(text: str) -> str:
@@ -79,9 +81,7 @@ def docs_with_dups(sf_dir: str):
     """documents ∪ planted exact/near duplicates (column-pruned read)."""
     import ray.data as rd
 
-    return rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    ).map_batches(_plant_doc_dups, batch_format="pyarrow")
+    return read_documents(sf_dir, ["doc_id", "text", "lang"]).map_batches(_plant_doc_dups, batch_format="pyarrow")
 
 
 def _plant_vec_dups(batch: pa.Table) -> pa.Table:
@@ -108,6 +108,4 @@ def _plant_vec_dups(batch: pa.Table) -> pa.Table:
 def embeddings_with_dups(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(_plant_vec_dups, batch_format="pyarrow")
+    return read_embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(_plant_vec_dups, batch_format="pyarrow")

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from .io import read_documents
 
 # ---------------------------------------------------------------- quality
 
@@ -29,6 +30,7 @@ MIN_WORDS, MAX_WORDS = 20, 90
 MIN_STOP_RATIO = 0.02
 MIN_MEAN_WLEN, MAX_MEAN_WLEN = 3.0, 5.0
 STOPWORDS = ("a", "the")  # the synthetic vocabulary's function words
+
 
 
 def _quality_batch(batch: pa.Table) -> pa.Table:
@@ -74,9 +76,7 @@ def quality_filter(sf_dir: str):
     C4's heuristic filters, computed with pyarrow/numpy kernels."""
     import ray.data as rd
 
-    return rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(_quality_batch, batch_format="pyarrow")
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(_quality_batch, batch_format="pyarrow")
 
 
 QUALITY_FILTER_SQL = f"""WITH w AS (
@@ -128,7 +128,7 @@ def _bench_ngrams(sf_dir: str) -> dict[int, str]:
         )
 
     df = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        read_documents(sf_dir, ["doc_id", "text"])
         .map_batches(pick, batch_format="pyarrow")
         .to_pandas()
     )
@@ -189,9 +189,7 @@ def decontaminate(sf_dir: str):
     import ray.data as rd
 
     bench_ref = ray.put(_bench_ngrams(sf_dir))
-    return rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         _decon_batch,
         fn_args=(bench_ref,),
         batch_format="pyarrow",

@@ -17,8 +17,10 @@ from __future__ import annotations
 import hashlib
 
 import pyarrow as pa
+from .io import read_documents
 
 PAYLOAD_BATCH = 256  # small batches: payload x concurrency must fit heap
+
 
 
 def _payloads(batch: pa.Table) -> pa.Table:
@@ -77,9 +79,7 @@ def decode_payloads(sf_dir: str, concurrency: int = 2):
     """documents -> binary payloads -> actor-pool decode -> metadata."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(_payloads, batch_format="pyarrow", batch_size=PAYLOAD_BATCH)
+    ds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(_payloads, batch_format="pyarrow", batch_size=PAYLOAD_BATCH)
     return ds.map_batches(
         PayloadDecoder,
         batch_format="pyarrow",
@@ -134,9 +134,7 @@ def sample_frames(sf_dir: str, concurrency: int | None = None):
     a real codec makes __init__ expensive."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    ds = read_documents(sf_dir, ["doc_id", "text"])
     if concurrency is not None:
         return ds.map_batches(
             FrameSampler,
@@ -210,11 +208,7 @@ def extract_features(sf_dir: str, concurrency: int | None = None, dim: int = 64)
     many read tasks, so this only matters for the single-file tier."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text"],
-        override_num_blocks=32,
-    )
+    ds = read_documents(sf_dir, ["doc_id", "text"])
     if concurrency is not None:
         return ds.map_batches(
             FeatureExtractor,

@@ -24,10 +24,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from .io import read_documents
 
 # ------------------------------------------------------------ domain_cap
 
 DOMAIN_CAP_K = 5  # keep the k longest docs per domain
+
 
 
 def _domain_of(ids: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -80,9 +82,7 @@ def domain_cap(sf_dir: str):
     import ray.data as rd
 
     return (
-        rd.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
-        )
+        read_documents(sf_dir, ["doc_id", "n_chars"])
         .map_batches(_partial_topk, batch_format="pyarrow")
         .groupby("domain")
         .map_groups(_final_topk, batch_format="pandas")
@@ -143,9 +143,7 @@ def sequence_pack(sf_dir: str):
     import ray.data as rd
 
     toks = (
-        rd.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-        )
+        read_documents(sf_dir, ["doc_id", "text", "lang"])
         .map_batches(_tokens_batch, batch_format="pyarrow")
         .materialize()
     )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+from .io import read_documents
 
 PII_MOD = 3  # every third doc gets the planted contact block
 
@@ -28,6 +29,7 @@ PII_MOD = 3  # every third doc gets the planted contact block
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\b555-0[0-9]{3}\b"  # NANP fictional exchange
 IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
 
 
 def _contact_block(doc_id: int) -> str:
@@ -69,9 +71,7 @@ def pii_scrub(sf_dir: str):
     """(doc_id, n_emails, n_phones, n_ips, scrubbed) per document."""
     import ray.data as rd
 
-    return rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(_scrub_batch, batch_format="pyarrow")
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(_scrub_batch, batch_format="pyarrow")
 
 
 PII_SCRUB_SQL = f"""WITH pii AS (

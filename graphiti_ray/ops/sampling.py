@@ -21,12 +21,14 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..functions.hashing import md5_hash64
+from .io import read_documents
 
 # per-language keep rates out of 10: downsample the majority class
 # (English is ~44% of this corpus), keep the tail at 70%.
 SAMPLE_RATES = {"en": 3}
 SAMPLE_DEFAULT_RATE = 7
 SAMPLE_SALT = "samp|"
+
 
 
 def _sample_batch(batch: pa.Table) -> pa.Table:
@@ -47,6 +49,4 @@ def sample_stratified(sf_dir: str):
     downsampling (en 30%, others 70%)."""
     import ray.data as rd
 
-    return rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
-    ).map_batches(_sample_batch, batch_format="pyarrow")
+    return read_documents(sf_dir, ["doc_id", "lang"]).map_batches(_sample_batch, batch_format="pyarrow")

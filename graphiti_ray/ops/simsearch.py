@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from .io import read_embeddings
 
 K = 10
 N_QUERIES = 8  # queries = vec_id < 8
@@ -30,6 +31,7 @@ N_QUERIES = 8  # queries = vec_id < 8
 # to 16-20 planes (per-bucket work stays constant as corpus grows).
 N_PLANES = 6
 MULTIPROBE = 1  # probe buckets within hamming 1 of the query bucket
+
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -97,9 +99,7 @@ def knn_bruteforce(sf_dir: str):
             }
         )
 
-    cand = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(block_topk, batch_format="pyarrow")
+    cand = read_embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(block_topk, batch_format="pyarrow")
     return cand.groupby("query_id").map_groups(_topk_reduce, batch_format="pyarrow")
 
 
@@ -203,9 +203,7 @@ def knn_ivf(sf_dir: str):
             }
         )
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(assign, batch_format="pyarrow")
+    ds = read_embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(assign, batch_format="pyarrow")
     cand = ds.groupby("list_id").map_groups(list_scan, batch_format="pyarrow")
     return cand.groupby("query_id").map_groups(_topk_reduce, batch_format="pyarrow")
 
@@ -274,8 +272,6 @@ def knn_lsh(sf_dir: str):
             }
         )
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(assign, batch_format="pyarrow")
+    ds = read_embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(assign, batch_format="pyarrow")
     cand = ds.groupby("bucket").map_groups(bucket_score, batch_format="pyarrow")
     return cand.groupby("query_id").map_groups(_topk_reduce, batch_format="pyarrow")

@@ -18,6 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import rolling_fingerprints
+from .io import read_documents
 
 TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9 ]"  # BPE-ish coarse token classes
 PUNCT_RE = r"[^a-z0-9 ]"
@@ -31,6 +32,7 @@ LANG_MARKERS: dict[str, str] = {
     "de": r"\b(der|die|das|und|ist|ein)\b",
 }
 LANG_ORDER = ["en", "es", "fr", "de"]  # argmax tie-break priority
+
 
 
 def _stats_batch(batch: pa.Table) -> pa.Table:
@@ -67,9 +69,7 @@ def text_stats(sf_dir: str):
     — all pyarrow.compute kernels, zero Python row loops."""
     import ray.data as rd
 
-    return rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(_stats_batch, batch_format="pyarrow")
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(_stats_batch, batch_format="pyarrow")
 
 
 def _lang_batch(batch: pa.Table) -> pa.Table:
@@ -95,9 +95,7 @@ def lang_id(sf_dir: str):
     (priority order on ties, 'und' when all zero)."""
     import ray.data as rd
 
-    return rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(_lang_batch, batch_format="pyarrow")
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(_lang_batch, batch_format="pyarrow")
 
 
 def _explode_words(batch: pa.Table):
@@ -177,9 +175,7 @@ def repetition_stats(sf_dir: str):
     quality pipeline, embarrassingly parallel per block."""
     import ray.data as rd
 
-    return rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(_rep_batch, batch_format="pyarrow")
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(_rep_batch, batch_format="pyarrow")
 
 
 TOP_NGRAMS_K = 10
@@ -220,7 +216,7 @@ def top_ngrams(sf_dir: str, k: int = TOP_NGRAMS_K):
         return df[["lang", "word", "cnt", "rank"]]
 
     counts = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+        read_documents(sf_dir, ["lang", "text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["lang", "word"])
         .aggregate(Sum("cnt", alias_name="cnt"))
@@ -249,6 +245,4 @@ def doc_fingerprints(sf_dir: str):
             }
         )
 
-    return rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(fp_batch, batch_format="pyarrow")
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(fp_batch, batch_format="pyarrow")

@@ -19,9 +19,11 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from .io import read_events
 
 WINDOW = 3
 HOUR_US = 3_600_000_000
+
 
 
 def event_windows(sf_dir: str):
@@ -48,9 +50,7 @@ def event_windows(sf_dir: str):
             )
         return pa.table(cols)
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
-    )
+    ds = read_events(sf_dir, ["event_id", "ts", "user_id"])
     return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
@@ -76,9 +76,7 @@ def events_hourly(sf_dir: str):
         )
         return g.rename_columns(["hour_epoch_s", "event_type", "n_events", "sum_cents"])
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
-    ).map_batches(partial, batch_format="pyarrow", batch_size=None)
+    ds = read_events(sf_dir, ["ts", "event_type", "value"]).map_batches(partial, batch_format="pyarrow", batch_size=None)
     return ds.groupby(["hour_epoch_s", "event_type"]).aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("sum_cents", alias_name="sum_cents"),
@@ -114,9 +112,7 @@ def sessionize(sf_dir: str):
             }
         )
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
-    )
+    ds = read_events(sf_dir, ["event_id", "ts", "user_id"])
     return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
@@ -139,6 +135,4 @@ def events_json_extract(sf_dir: str):
             }
         )
 
-    return rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
-    ).map_batches(ext, batch_format="pyarrow")
+    return read_events(sf_dir, ["event_id", "props"]).map_batches(ext, batch_format="pyarrow")
