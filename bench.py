@@ -99,6 +99,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "sequence_pack",
         "multimodal_frames",
         "multimodal_features",
+        "lm_score",
         "lang_id",
         "doc_fingerprints",
         "repetition_stats",

@@ -709,6 +709,15 @@ def multimodal_features(sf_dir: str):
     return extract_features(sf_dir)
 
 
+def lm_score(sf_dir: str):
+    """Unigram LM surprisal scoring: distributed count pass trains the
+    model, broadcast via ray.put, streaming score pass — integer
+    surprisal buckets so the SQL mirror is exact (ops/lmscore.py)."""
+    from .ops.lmscore import lm_score as lms
+
+    return lms(sf_dir)
+
+
 def lang_id(sf_dir: str):
     from .ops.textstats import lang_id as li
 
@@ -1234,6 +1243,12 @@ def _MULTIMODAL_SQL(name: str) -> str:
     return getattr(multimodal, name)
 
 
+def _LMSCORE_SQL() -> str:
+    from .ops.lmscore import LM_SCORE_SQL
+
+    return LM_SCORE_SQL
+
+
 def _with_docs_dups(body: str) -> str:
     from .ops.corpus import DOCS_WITH_DUPS_CTE
 
@@ -1582,6 +1597,7 @@ QUERIES = {
     "sequence_pack": sequence_pack,
     "multimodal_frames": multimodal_frames,
     "multimodal_features": multimodal_features,
+    "lm_score": lm_score,
     "lang_id": lang_id,
     "doc_fingerprints": doc_fingerprints,
     "repetition_stats": repetition_stats,
@@ -1631,6 +1647,7 @@ ORACLE_SQL = {
     "quality_filter": _FILTERING_SQL("QUALITY_FILTER_SQL"),
     "decontaminate": _FILTERING_SQL("DECONTAMINATE_SQL"),
     "multimodal_frames": _MULTIMODAL_SQL("SAMPLE_FRAMES_SQL"),
+    "lm_score": _LMSCORE_SQL(),
     "domain_cap": _PACKING_SQL("DOMAIN_CAP_SQL"),
     "sequence_pack": _PACKING_SQL("SEQUENCE_PACK_SQL"),
     "lang_id": LANG_ID_SQL,

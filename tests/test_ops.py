@@ -594,3 +594,15 @@ def test_multimodal_features_deterministic_and_normalized(ray_session):
     assert np.allclose(norms[norms > 0], 1.0, atol=1e-5)
     assert (sample["n_active"].values == (want != 0).sum(axis=1)).all()
     assert (sample["feat_argmax"].values == want.argmax(axis=1)).all()
+
+
+def test_lm_score_matches_duckdb_oracle(ray_session):
+    """Train-then-score unigram surprisal: integer buckets hash-match
+    the SQL mirror; common-word docs outscore rare-word docs per
+    token."""
+    a = _oracle_compare("lm_score")
+    assert (a["n_oov"] == 0).all()  # model trained on the same corpus
+    assert (a["lm_score"] > 0).all()
+    # per-token score varies across docs (the model discriminates)
+    per_tok = a["lm_score"] / a["n_words"]
+    assert per_tok.nunique() > 10
