@@ -82,6 +82,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "corpus_prep",
         "dedup_minhash_lsh",
         "dedup_jaccard_pairs",
+        "dedup_fuzzy_keep",
         "dedup_simhash",
         "dedup_embedding_pairs",
         "knn_bruteforce",

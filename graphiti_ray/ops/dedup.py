@@ -466,3 +466,76 @@ def embedding_cosine_pairs(sf_dir: str):
     return rd.from_items(tiles, override_num_blocks=len(tiles)).map_batches(
         tile, batch_format="pyarrow"
     )
+
+
+# ------------------------------------------- fuzzy dedup keep-list (D2+D4)
+
+def fuzzy_dedup_keep(sf_dir: str):
+    """(doc_id, n_members): the corpus after fuzzy deduplication — one
+    canonical survivor per near-dup component (connected components
+    over the exact-Jaccard pair graph, canonical = min doc_id, n_members
+    = component size) plus every pair-free doc with n_members = 1.
+
+    This is the end-to-end shape real pretraining pipelines run (pairs
+    are an intermediate; the keep-list is the product). Scale shape:
+    the pair graph is sparse (near-dup clusters only), components come
+    from the distributed min-label propagation in stages/cc.py (iterated
+    join + groupby-min, no driver materialization), and the singleton
+    pass is ONE distributed left-outer join against the member list —
+    nothing corpus-sized touches the driver. Doc ids ride as 12-digit
+    zero-padded strings through the label propagation so lexicographic
+    min == numeric min == the SQL oracle's least().
+
+    Graphiti analog: compress_uuid_map + dedupe survivors
+    (graphiti_core/utils/bulk_utils.py:256-327); SURVEY.md §2.5 D2/D4.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.cc import connected_components_ds
+
+    def pad_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pc.utf8_lpad(pc.cast(t.column("a_id"), pa.string()), 12, "0"),
+                "b": pc.utf8_lpad(pc.cast(t.column("b_id"), pa.string()), 12, "0"),
+            }
+        )
+
+    pairs = jaccard_pairs(sf_dir).map_batches(pad_pairs, batch_format="pyarrow")
+    labels = connected_components_ds(pairs)  # (uuid, label) padded strings
+
+    comps = (
+        labels.groupby("label")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pc.cast(t.column("label"), pa.int64()),
+                    "n_members": pc.cast(t.column("count()"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def to_members(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("uuid"), pa.int64())
+        # marker column: the join collapses the key, so null-ness of
+        # `hit` is what distinguishes unmatched left rows
+        hit = pa.array(np.ones(len(ids), dtype=np.int8), pa.int8())
+        return pa.table({"m_id": ids, "hit": hit})
+
+    members = labels.map_batches(to_members, batch_format="pyarrow")
+    docs = docs_with_dups(sf_dir).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        ids = t.filter(pc.is_null(t.column("hit"))).column("doc_id")
+        ones = pa.array(np.ones(len(ids), dtype=np.int64), pa.int64())
+        return pa.table({"doc_id": ids, "n_members": ones})
+
+    singles = docs.join(
+        members, join_type="left_outer", num_partitions=8,
+        on=("doc_id",), right_on=("m_id",),
+    ).map_batches(keep_unmatched, batch_format="pyarrow")
+    return comps.union(singles)

@@ -558,6 +558,15 @@ def dedup_jaccard_pairs(sf_dir: str):
     return jaccard_pairs(sf_dir)
 
 
+def dedup_fuzzy_keep(sf_dir: str):
+    """Post-dedup keep-list: one canonical doc per near-dup component
+    (distributed CC over the Jaccard pair graph) + singletons; SQL
+    mirror is a transitive-closure recursive CTE (ops/dedup.py)."""
+    from .ops.dedup import fuzzy_dedup_keep
+
+    return fuzzy_dedup_keep(sf_dir)
+
+
 def dedup_minhash_lsh(sf_dir: str):
     from .ops.dedup import minhash_lsh_pairs
 
@@ -1288,6 +1297,46 @@ DEDUP_JACCARD_SQL = _with_docs_dups(f"""
 SELECT a_id, b_id, inter, un FROM scored WHERE 5*inter >= 3*un
 """)
 
+# Keep-list after fuzzy dedup: components of the (lang-blocked) Jaccard
+# pair graph via transitive closure (UNION-distinct recursive CTE —
+# exact, unlike the iteration-capped LP oracle, because dup components
+# are tiny), canonical = numeric min doc_id = the Ray side's
+# lexicographic min over 12-digit zero-padded ids.
+def _DEDUP_FUZZY_KEEP_SQL() -> str:
+    from .ops.corpus import DOCS_WITH_DUPS_CTE
+
+    return f"""WITH RECURSIVE {DOCS_WITH_DUPS_CTE},
+sh AS (
+  SELECT doc_id, lang, {_SHINGLE_EXPR} AS shingles
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM corpus)
+), scored AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         len(list_intersect(a.shingles, b.shingles)) AS inter,
+         len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles)) AS un
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT a_id, b_id FROM scored WHERE 5*inter >= 3*un
+), edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+), labels AS (
+  SELECT u AS doc_id, least(u, min(v)) AS label FROM reach GROUP BY u
+), comps AS (
+  SELECT label AS doc_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM labels GROUP BY label
+)
+SELECT doc_id, n_members FROM comps
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT) AS n_members FROM corpus
+WHERE doc_id NOT IN (SELECT doc_id FROM labels)
+"""
+
+
 # Exact all-pairs Jaccard ground truth (no lang blocking — LSH bands
 # candidate across languages). Valid as the MinHash oracle because the
 # banding config (128 perms, 32 bands x 4 rows) has recall 1.0 at
@@ -1578,6 +1627,7 @@ QUERIES = {
     # dedup family
     "dedup_exact": dedup_exact,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_fuzzy_keep": dedup_fuzzy_keep,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_pairs": dedup_embedding_pairs,
@@ -1635,6 +1685,7 @@ ORACLE_SQL = {
     "episode_windows": EPISODE_WINDOWS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_jaccard_pairs": DEDUP_JACCARD_SQL,
+    "dedup_fuzzy_keep": _DEDUP_FUZZY_KEEP_SQL(),
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "search_docs_hybrid": _SEARCH_DOCS_HYBRID_SQL(),

@@ -282,7 +282,12 @@ def _merge_and_sweep_bucket(df: pd.DataFrame, now: datetime, preds: frozenset) -
     rest = merged[~merged["name"].isin(preds)].copy()
     rest["expired_at"] = pd.NaT
     rest.loc[rest["invalid_at"].notna(), "expired_at"] = now
-    out = pd.concat([_sweep_frame(excl, now), rest], ignore_index=True)
+    # concat only non-empty frames: pandas deprecates dtype inference
+    # over empty/all-NA entries and warns on every bucket otherwise
+    frames = [f for f in (_sweep_frame(excl, now), rest) if len(f)]
+    if not frames:
+        return _df_to_arrow(rest.iloc[:0], SWEPT_SCHEMA)
+    out = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
     return _df_to_arrow(out, SWEPT_SCHEMA)
 
 

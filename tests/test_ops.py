@@ -606,3 +606,16 @@ def test_lm_score_matches_duckdb_oracle(ray_session):
     # per-token score varies across docs (the model discriminates)
     per_tok = a["lm_score"] / a["n_words"]
     assert per_tok.nunique() > 10
+
+
+def test_dedup_fuzzy_keep_matches_duckdb_oracle(ray_session):
+    """Keep-list after fuzzy dedup: CC-over-Jaccard-pairs canonical
+    survivors + singletons; every corpus doc is accounted for exactly
+    once across the components, and duplicates actually collapsed."""
+    a = _oracle_compare("dedup_fuzzy_keep")
+    from graphiti_ray.ops.corpus import docs_with_dups
+
+    corpus_n = docs_with_dups("/root/testdata/sf0.01").count()
+    assert a["n_members"].sum() == corpus_n  # partition of the corpus
+    assert len(a) < corpus_n  # planted dups collapsed
+    assert (a.groupby("doc_id").size() == 1).all()
