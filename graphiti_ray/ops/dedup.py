@@ -470,28 +470,32 @@ def embedding_cosine_pairs(sf_dir: str):
 
 # ------------------------------------------- fuzzy dedup keep-list (D2+D4)
 
-def fuzzy_dedup_keep(sf_dir: str):
+def fuzzy_dedup_keep(sf_dir: str, driver_threshold: int | None = None):
     """(doc_id, n_members): the corpus after fuzzy deduplication — one
     canonical survivor per near-dup component (connected components
     over the exact-Jaccard pair graph, canonical = min doc_id, n_members
     = component size) plus every pair-free doc with n_members = 1.
 
     This is the end-to-end shape real pretraining pipelines run (pairs
-    are an intermediate; the keep-list is the product). Scale shape:
-    the pair graph is sparse (near-dup clusters only), components come
-    from the distributed min-label propagation in stages/cc.py (iterated
-    join + groupby-min, no driver materialization), and the singleton
-    pass is ONE distributed left-outer join against the member list —
-    nothing corpus-sized touches the driver. Doc ids ride as 12-digit
-    zero-padded strings through the label propagation so lexicographic
-    min == numeric min == the SQL oracle's least().
+    are an intermediate; the keep-list is the product). Tiered like
+    every other component problem here (stages/cc.components): below
+    DRIVER_THRESHOLD pairs a driver union-find labels the (sparse —
+    near-dup clusters only) pair graph and the member set broadcasts
+    via ray.put + vectorized is_in; above it, distributed min-label
+    propagation (iterated join + groupby-min) plus ONE left-outer join
+    for the singleton pass — nothing corpus-sized on the driver. Doc
+    ids ride as 12-digit zero-padded strings through the labeling so
+    lexicographic min == numeric min == the SQL oracle's least().
 
     Graphiti analog: compress_uuid_map + dedupe survivors
     (graphiti_core/utils/bulk_utils.py:256-327); SURVEY.md §2.5 D2/D4.
     """
     import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
 
-    from ..stages.cc import connected_components_ds
+    from ..stages.cc import components, connected_components_ds
+    from ..stages.joins import get_broadcast
 
     def pad_pairs(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -502,6 +506,41 @@ def fuzzy_dedup_keep(sf_dir: str):
         )
 
     pairs = jaccard_pairs(sf_dir).map_batches(pad_pairs, batch_format="pyarrow")
+    docs = docs_with_dups(sf_dir).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+
+    from ..stages.cc import DRIVER_THRESHOLD
+
+    if driver_threshold is None:
+        driver_threshold = DRIVER_THRESHOLD
+    lab = components(pairs, driver_threshold)  # dict tier or None
+    if lab is not None:
+        from collections import Counter
+
+        sizes = Counter(lab.values())
+        comps = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([int(k) for k in sizes], pa.int64()),
+                    "n_members": pa.array(
+                        [int(v) for v in sizes.values()], pa.int64()
+                    ),
+                }
+            )
+        )
+        member_ref = ray.put(np.array(sorted(int(u) for u in lab), np.int64))
+
+        def keep_nonmembers(t: pa.Table) -> pa.Table:
+            mem = pa.array(get_broadcast(member_ref), pa.int64())
+            ids = t.filter(
+                pc.invert(pc.is_in(t.column("doc_id"), value_set=mem))
+            ).column("doc_id")
+            ones = pa.array(np.ones(len(ids), dtype=np.int64), pa.int64())
+            return pa.table({"doc_id": ids, "n_members": ones})
+
+        return comps.union(docs.map_batches(keep_nonmembers, batch_format="pyarrow"))
+
     labels = connected_components_ds(pairs)  # (uuid, label) padded strings
 
     comps = (
@@ -526,9 +565,7 @@ def fuzzy_dedup_keep(sf_dir: str):
         return pa.table({"m_id": ids, "hit": hit})
 
     members = labels.map_batches(to_members, batch_format="pyarrow")
-    docs = docs_with_dups(sf_dir).map_batches(
-        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
-    )
+
     def keep_unmatched(t: pa.Table) -> pa.Table:
         ids = t.filter(pc.is_null(t.column("hit"))).column("doc_id")
         ones = pa.array(np.ones(len(ids), dtype=np.int64), pa.int64())

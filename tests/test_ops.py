@@ -619,3 +619,22 @@ def test_dedup_fuzzy_keep_matches_duckdb_oracle(ray_session):
     assert a["n_members"].sum() == corpus_n  # partition of the corpus
     assert len(a) < corpus_n  # planted dups collapsed
     assert (a.groupby("doc_id").size() == 1).all()
+
+
+def test_dedup_fuzzy_keep_distributed_tier_matches_driver_tier(ray_session):
+    """Force the distributed CC + left-outer-join path (driver_threshold=0)
+    and pin it to the driver union-find tier's output."""
+    import pandas as pd
+
+    from graphiti_ray.ops.dedup import fuzzy_dedup_keep
+
+    sf = "/root/testdata/sf0.001"
+    a = fuzzy_dedup_keep(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        fuzzy_dedup_keep(sf, driver_threshold=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
