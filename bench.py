@@ -100,6 +100,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "sequence_pack",
         "multimodal_frames",
         "multimodal_features",
+        "multimodal_resize",
         "lm_score",
         "lang_id",
         "doc_fingerprints",

@@ -220,3 +220,81 @@ def extract_features(sf_dir: str, concurrency: int | None = None, dim: int = 64)
     # no batch_size in task mode: re-bundling the 32 read blocks into
     # 256-row batches undoes the read->map fusion the block count buys
     return ds.map_batches(FeatureExtractor(dim=dim), batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- resize
+
+RESIZE_TARGET = 256  # target payload length after 'downscaling'
+
+
+class Resizer:
+    """Actor-pool resize stage (image-downscale shape: payload in,
+    smaller payload + new dims out). The fake kernel is strided
+    sampling — keep every k-th char where k = ceil(len/target) — so
+    output size, stride and content are integer-exact in SQL. A real
+    resampler (PIL.Image.resize / libswscale) drops into __init__ +
+    __call__ unchanged."""
+
+    def __init__(self, target: int = RESIZE_TARGET):
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n_in, stride, n_out, shas = [], [], [], []
+        for txt in texts:
+            n = len(txt)
+            k = max(1, -(-n // self.target))
+            small = txt[::k]
+            n_in.append(n)
+            stride.append(k)
+            n_out.append(len(small))
+            shas.append(hashlib.sha256(small.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_in": pa.array(n_in, pa.int64()),
+                "stride": pa.array(stride, pa.int64()),
+                "n_out": pa.array(n_out, pa.int64()),
+                "resized_sha": pa.array(shas, pa.string()),
+            }
+        )
+
+
+def resize_payloads(sf_dir: str, concurrency: int | None = None,
+                    target: int = RESIZE_TARGET):
+    """documents -> strided 'downscale' per payload -> new dims +
+    digest. Stateless tasks by default; ``concurrency`` switches to an
+    actor pool for when a real resampler makes __init__ expensive."""
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+    if concurrency is not None:
+        return ds.map_batches(
+            Resizer,
+            fn_constructor_kwargs={"target": target},
+            batch_format="pyarrow",
+            batch_size=PAYLOAD_BATCH,
+            concurrency=concurrency,
+        )
+    return ds.map_batches(Resizer(target=target), batch_format="pyarrow",
+                          batch_size=PAYLOAD_BATCH)
+
+
+# DuckDB mirror: 1-based range(1, n+1, k) visits the same chars as the
+# Python slice text[::k]; ceil division via (n + t - 1) // t.
+RESIZE_SQL = f"""WITH p AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+         greatest(1, (length(text) + {RESIZE_TARGET} - 1) // {RESIZE_TARGET}) AS k
+  FROM documents
+)
+SELECT doc_id,
+       n AS n_in,
+       CAST(k AS BIGINT) AS stride,
+       CAST(length(small) AS BIGINT) AS n_out,
+       sha256(small) AS resized_sha
+FROM (
+  SELECT doc_id, n, k,
+         array_to_string(list_transform(range(1, CAST(n AS BIGINT) + 1, CAST(k AS BIGINT)),
+                                        i -> substring(text, CAST(i AS BIGINT), 1)), '') AS small
+  FROM p
+)
+"""

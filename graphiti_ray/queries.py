@@ -718,6 +718,15 @@ def multimodal_features(sf_dir: str):
     return extract_features(sf_dir)
 
 
+def multimodal_resize(sf_dir: str):
+    """Strided 'downscale' of each payload (the image-resize shape):
+    new dims + digest per doc, integer-exact SQL mirror
+    (ops/multimodal.py Resizer)."""
+    from .ops.multimodal import resize_payloads
+
+    return resize_payloads(sf_dir)
+
+
 def lm_score(sf_dir: str):
     """Unigram LM surprisal scoring: distributed count pass trains the
     model, broadcast via ray.put, streaming score pass — integer
@@ -1647,6 +1656,7 @@ QUERIES = {
     "sequence_pack": sequence_pack,
     "multimodal_frames": multimodal_frames,
     "multimodal_features": multimodal_features,
+    "multimodal_resize": multimodal_resize,
     "lm_score": lm_score,
     "lang_id": lang_id,
     "doc_fingerprints": doc_fingerprints,
@@ -1698,6 +1708,7 @@ ORACLE_SQL = {
     "quality_filter": _FILTERING_SQL("QUALITY_FILTER_SQL"),
     "decontaminate": _FILTERING_SQL("DECONTAMINATE_SQL"),
     "multimodal_frames": _MULTIMODAL_SQL("SAMPLE_FRAMES_SQL"),
+    "multimodal_resize": _MULTIMODAL_SQL("RESIZE_SQL"),
     "lm_score": _LMSCORE_SQL(),
     "domain_cap": _PACKING_SQL("DOMAIN_CAP_SQL"),
     "sequence_pack": _PACKING_SQL("SEQUENCE_PACK_SQL"),

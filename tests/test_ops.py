@@ -638,3 +638,12 @@ def test_dedup_fuzzy_keep_distributed_tier_matches_driver_tier(ray_session):
     )
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_multimodal_resize_matches_duckdb_oracle(ray_session):
+    """Strided downscale: dims + digests hash-match the SQL mirror;
+    long docs actually shrink to <= target."""
+    a = _oracle_compare("multimodal_resize")
+    assert (a["n_out"] <= 256).sum() > 0
+    assert ((a["stride"] > 1) == (a["n_in"] > 256)).all()
+    assert (a["n_out"] == (a["n_in"] + a["stride"] - 1) // a["stride"]).all()
