@@ -254,6 +254,11 @@ def extract_all(episodes_ds, concurrency=4, batch_size: int = 512,
     kwargs = {}
     if client_factory is not None:
         kwargs["fn_constructor_kwargs"] = {"client_factory": client_factory}
+    if isinstance(concurrency, int):
+        # autoscaling pool (min 1): a fixed pool equal to the CPU count
+        # starves the upstream read tasks of CPU slots and deadlocks
+        # (observed at num_cpus=4 with concurrency=4)
+        concurrency = (1, concurrency)
     return episodes_ds.map_batches(
         MentionRelationExtractor,
         batch_format="pyarrow",

@@ -117,3 +117,50 @@ def test_hybrid_search_orchestrator(kg):
     )
     assert out_ce["nodes"] and out_ce["edges"]
     assert "COMBINED_HYBRID_SEARCH_RRF" in RECIPES
+
+
+def test_read_pages_any_formats_agree(ray_session, tmp_path):
+    """The same corpus round-tripped through parquet, JSONL and CSV
+    reads back byte-identical after normalization, and the JSONL path
+    feeds build_kg to the same triples as the parquet path."""
+    import pandas as pd
+
+    from graphiti_ray.pipelines.kg import build_kg
+    from graphiti_ray.sources.formats import read_pages_any
+    from graphiti_ray.sources.pages import synthetic_pages
+
+    pages = synthetic_pages("/root/testdata/sf0.001")
+    df = pages.to_pandas()
+
+    pq_path = str(tmp_path / "pages.parquet")
+    df.to_parquet(pq_path, index=False)
+
+    jdf = df.copy()
+    jdf["warc_ts"] = jdf["warc_ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    jdf["html"] = [None if h is None else h.decode("utf-8") for h in jdf["html"]]
+    jl_path = str(tmp_path / "pages.jsonl")
+    jdf.to_json(jl_path, orient="records", lines=True)
+    csv_path = str(tmp_path / "pages.csv")
+    jdf.to_csv(csv_path, index=False)
+
+    def canon(ds):
+        out = ds.to_pandas().sort_values("url").reset_index(drop=True)
+        return out[sorted(out.columns)]
+
+    base = canon(read_pages_any(pq_path))
+    for p in (jl_path, csv_path):
+        got = canon(read_pages_any(p))
+        assert list(got.dtypes) == list(base.dtypes), p
+        pd.testing.assert_frame_equal(got, base), p
+
+    # e2e: format does not leak into extraction results (default
+    # concurrency=4 on the 4-CPU test session also pins the
+    # autoscaling-pool deadlock fix in stages/extract.extract_all)
+    t_pq = build_kg(read_pages_any(pq_path)).triples.to_pandas()
+    t_jl = build_kg(read_pages_any(jl_path)).triples.to_pandas()
+    assert len(t_pq) > 0
+    key = sorted(t_pq.columns)
+    pd.testing.assert_frame_equal(
+        t_pq[key].sort_values(key).reset_index(drop=True),
+        t_jl[key].sort_values(key).reset_index(drop=True),
+    )
