@@ -13,12 +13,14 @@ vocabulary (always 0 when model and corpus coincide; nonzero when
 scoring a corpus against a model trained elsewhere).
 
 Scale shape: the count pass is a map-side partial count + one small
-groupby (vocabulary-sized, not corpus-sized); the model rides the
-object store via ray.put; the score pass is embarrassingly parallel
-with a per-worker deserialized-model cache. Vocabulary at web scale
-exceeds a broadcast dict — that tier routes through
-stages/joins.lookup_column's shard path; the cutover is documented,
-not silently assumed.
+groupby (vocabulary-sized, not corpus-sized). Scoring is tiered on
+measured vocabulary size: below BROADCAST_MAX_VOCAB the model rides
+the object store via ray.put with a per-worker deserialized cache
+and the score pass is embarrassingly parallel; above it (web-scale
+junk-token vocabularies) the model stays a Dataset and scoring is an
+explode -> left-outer hash join -> per-doc re-aggregate — nothing
+vocabulary-sized ever touches the driver. A forced-tier test pins
+both tiers to identical output.
 """
 
 from __future__ import annotations
@@ -46,17 +48,32 @@ def _partial_counts(batch: pa.Table) -> pa.Table:
     )
 
 
-def train_unigram(sf_dir: str) -> dict[str, int]:
-    """Distributed unigram counts -> {word: surprisal bucket}. The
-    groupby output is vocabulary-sized (tiny for natural language:
-    heaps law), collected once on the driver."""
-    counts = (
+def _counts_ds(sf_dir: str):
+    """Distributed unigram counts: map-side partial value_counts, then
+    ONE vocabulary-sized groupby. Stays a Dataset."""
+    return (
         read_documents(sf_dir, ["text"])
         .map_batches(_partial_counts, batch_format="pyarrow")
         .groupby("word")
         .sum("n")
-        .to_pandas()
     )
+
+
+def _bucketize(batch: pa.Table) -> pa.Table:
+    b = np.floor(np.log2(np.asarray(batch.column("sum(n)"), np.float64)))
+    return pa.table(
+        {
+            "word": batch.column("word"),
+            "bucket": pa.array(b.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def train_unigram(sf_dir: str) -> dict[str, int]:
+    """{word: surprisal bucket}, collected once on the driver (the
+    broadcast tier — vocabulary is tiny for natural language by Heaps'
+    law; the >threshold tier in lm_score never builds this dict)."""
+    counts = _counts_ds(sf_dir).to_pandas()
     buckets = np.floor(np.log2(counts["sum(n)"].to_numpy())).astype(np.int64)
     return dict(zip(counts["word"], buckets))
 
@@ -93,14 +110,81 @@ def _score_batch(batch: pa.Table, model_ref) -> pa.Table:
     )
 
 
-def lm_score(sf_dir: str):
+BROADCAST_MAX_VOCAB = 5_000_000  # dict tier cap (~hundreds of MB)
+
+
+def _doc_word_counts(batch: pa.Table) -> pa.Table:
+    """(doc_id, word, cnt): per-batch exploded tokens, pre-combined so
+    repeated words in a doc ship as one row into the join."""
+    words = pc.split_pattern(batch.column("text"), " ")
+    lens = np.asarray(pc.list_value_length(words), dtype=np.int64)
+    ids = np.repeat(np.asarray(batch.column("doc_id"), np.int64), lens)
+    flat = pc.list_flatten(words)
+    ones = pa.array(np.ones(len(ids), dtype=np.int64), pa.int64())
+    t = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "word": flat, "cnt": ones}
+    )
+    g = t.group_by(["doc_id", "word"]).aggregate([("cnt", "sum")])
+    return g.rename_columns(["doc_id", "word", "cnt"])
+
+
+def lm_score(sf_dir: str, broadcast_max_vocab: int = BROADCAST_MAX_VOCAB):
     """(doc_id, n_words, lm_score, n_oov): surprisal-bucket sum per doc
-    under a unigram model trained on the same corpus."""
+    under a unigram model trained on the same corpus.
+
+    Two score tiers on one count pass: vocabulary <= threshold rides
+    the object store as a dict (ray.put once, per-worker cache);
+    beyond it — web-scale junk-token vocabularies — the model STAYS a
+    Dataset and scoring is explode -> left-outer hash join -> per-doc
+    re-aggregate, so nothing vocabulary-sized touches the driver."""
     import ray
 
-    model_ref = ray.put(train_unigram(sf_dir))
-    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        _score_batch, fn_args=(model_ref,), batch_format="pyarrow"
+    if broadcast_max_vocab > 0:
+        counts = _counts_ds(sf_dir).materialize()
+        nvocab = counts.count()
+    else:  # forced distributed tier (tests)
+        counts, nvocab = _counts_ds(sf_dir), None
+
+    if nvocab is not None and nvocab <= broadcast_max_vocab:
+        df = counts.to_pandas()
+        buckets = np.floor(np.log2(df["sum(n)"].to_numpy())).astype(np.int64)
+        model_ref = ray.put(dict(zip(df["word"], buckets)))
+        return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+            _score_batch, fn_args=(model_ref,), batch_format="pyarrow"
+        )
+
+    from ray.data.aggregate import Sum
+
+    model_ds = counts.map_batches(_bucketize, batch_format="pyarrow")
+    tok = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _doc_word_counts, batch_format="pyarrow"
+    )
+    joined = tok.join(
+        model_ds, join_type="left_outer", num_partitions=16, on=("word",)
+    )
+
+    def contrib(t: pa.Table) -> pa.Table:
+        cnt = np.asarray(t.column("cnt"), np.int64)
+        bucket = t.column("bucket")
+        oov = np.asarray(pc.is_null(bucket), bool)
+        b = np.asarray(pc.fill_null(bucket, 0), np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_words": pa.array(cnt, pa.int64()),
+                "lm_score": pa.array(np.where(oov, 0, cnt * b), pa.int64()),
+                "n_oov": pa.array(np.where(oov, cnt, 0), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(contrib, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_words", alias_name="n_words"),
+            Sum("lm_score", alias_name="lm_score"),
+            Sum("n_oov", alias_name="n_oov"),
+        )
     )
 
 

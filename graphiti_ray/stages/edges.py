@@ -280,7 +280,10 @@ def _merge_and_sweep_bucket(df: pd.DataFrame, now: datetime, preds: frozenset) -
     merged = _merge_pair_group(df).to_pandas()
     excl = merged[merged["name"].isin(preds)]
     rest = merged[~merged["name"].isin(preds)].copy()
-    rest["expired_at"] = pd.NaT
+    # explicit datetime64[us] (matching _sweep_frame's expired column):
+    # a bare pd.NaT assignment makes ns dtype, and the us/ns mix is the
+    # all-NA-column dtype ambiguity pandas deprecation-warns about
+    rest["expired_at"] = pd.Series(pd.NaT, index=rest.index, dtype="datetime64[us]")
     rest.loc[rest["invalid_at"].notna(), "expired_at"] = now
     # concat only non-empty frames: pandas deprecates dtype inference
     # over empty/all-NA entries and warns on every bucket otherwise

@@ -255,10 +255,19 @@ def extract_all(episodes_ds, concurrency=4, batch_size: int = 512,
     if client_factory is not None:
         kwargs["fn_constructor_kwargs"] = {"client_factory": client_factory}
     if isinstance(concurrency, int):
-        # autoscaling pool (min 1): a fixed pool equal to the CPU count
-        # starves the upstream read tasks of CPU slots and deadlocks
-        # (observed at num_cpus=4 with concurrency=4)
-        concurrency = (1, concurrency)
+        # a fixed pool >= the cluster CPU count starves the upstream
+        # read tasks of CPU slots and deadlocks (observed at
+        # num_cpus=4 with concurrency=4) — autoscale in that case only;
+        # a fitting fixed pool keeps deterministic ramp/throughput
+        import ray
+
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 0) or 0)
+            if ray.is_initialized()
+            else 0
+        )
+        if cpus and concurrency >= cpus:
+            concurrency = (1, concurrency)
     return episodes_ds.map_batches(
         MentionRelationExtractor,
         batch_format="pyarrow",

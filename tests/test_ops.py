@@ -647,3 +647,23 @@ def test_multimodal_resize_matches_duckdb_oracle(ray_session):
     assert (a["n_out"] <= 256).sum() > 0
     assert ((a["stride"] > 1) == (a["n_in"] > 256)).all()
     assert (a["n_out"] == (a["n_in"] + a["stride"] - 1) // a["stride"]).all()
+
+
+def test_lm_score_distributed_tier_matches_broadcast_tier(ray_session):
+    """Force the explode->join->re-aggregate scale tier
+    (broadcast_max_vocab=0) and pin it to the broadcast-dict tier."""
+    import pandas as pd
+
+    from graphiti_ray.ops.lmscore import lm_score
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["doc_id", "n_words", "lm_score", "n_oov"]
+    a = lm_score(sf).to_pandas()[cols].sort_values("doc_id").reset_index(drop=True)
+    b = (
+        lm_score(sf, broadcast_max_vocab=0)
+        .to_pandas()[cols]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (b["n_oov"] == 0).all()
