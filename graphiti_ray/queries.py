@@ -893,6 +893,16 @@ def events_sessionize(sf_dir: str):
     return sessionize(sf_dir)
 
 
+def events_asof_join(sf_dir: str):
+    """Distributed as-of join: each purchase matched to the user's
+    latest prior-or-equal view (ONE user-bucket exchange + vectorized
+    merge_asof per bucket; DuckDB ASOF LEFT JOIN oracle) —
+    ops/asof.py."""
+    from .ops.asof import events_asof_join as eaj
+
+    return eaj(sf_dir)
+
+
 def kg_pr_report(sf_dir: str):
     """The north-rule headline, machine-readable: precision/recall of
     the distributed pipeline's triples vs the independent
@@ -1265,6 +1275,12 @@ def _LMSCORE_SQL() -> str:
     from .ops.lmscore import LM_SCORE_SQL
 
     return LM_SCORE_SQL
+
+
+def _EVENTS_ASOF_SQL() -> str:
+    from .ops.asof import EVENTS_ASOF_SQL
+
+    return EVENTS_ASOF_SQL
 
 
 def _with_docs_dups(body: str) -> str:
@@ -1671,6 +1687,7 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_json": events_json,
     "events_sessionize": events_sessionize,
+    "events_asof_join": events_asof_join,
     # composed training-data prep
     "corpus_prep": corpus_prep,
     # north-rule headline: triples P/R vs reference-semantics oracle
@@ -1723,6 +1740,7 @@ ORACLE_SQL = {
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_json": EVENTS_JSON_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_asof_join": _EVENTS_ASOF_SQL(),
     "multimodal_decode": MULTIMODAL_SQL,
     "corpus_prep": CORPUS_PREP_SQL,
     # dedup_minhash_lsh / dedup_simhash / knn_lsh / doc_fingerprints and

@@ -472,10 +472,11 @@ def _oracle_compare(name: str, sf: str = "/root/testdata/sf0.01"):
     from graphiti_ray import queries as q
 
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{sf}/documents.parquet')"
-    )
+    for table in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {table} AS SELECT * FROM "
+            f"read_parquet('{sf}/{table}.parquet')"
+        )
     res = q.QUERIES[name](sf)
     rdf = res.to_pandas() if hasattr(res, "to_pandas") else res
     odf = con.execute(q.ORACLE_SQL[name]).df()
@@ -667,3 +668,13 @@ def test_lm_score_distributed_tier_matches_broadcast_tier(ray_session):
     )
     pd.testing.assert_frame_equal(a, b)
     assert (b["n_oov"] == 0).all()
+
+
+def test_events_asof_join_matches_duckdb_oracle(ray_session):
+    """Distributed as-of join == DuckDB ASOF LEFT JOIN; every match is
+    the latest view at-or-before the purchase for that user."""
+    a = _oracle_compare("events_asof_join")
+    matched = a[a["view_event_id"] >= 0]
+    assert len(matched) > 0 and (matched["gap_us"] >= 0).all()
+    assert (a.loc[a["view_event_id"] < 0, "gap_us"] == -1).all()
+    assert (matched["view_ts"] <= matched["ts"]).all()
