@@ -111,6 +111,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "events_hourly",
         "events_json",
         "events_sessionize",
+        "events_sliding",
         "events_asof_join",
         "episode_windows",
         "multimodal_decode",

@@ -83,6 +83,55 @@ def events_hourly(sf_dir: str):
     )
 
 
+SLIDE_HOURS = 3  # sliding window: 3h span, 1h slide
+
+
+def events_sliding(sf_dir: str):
+    """(window_start_s, event_type, n_events, sum_cents): SLIDING
+    3-hour / 1-hour-slide aggregate — the windowed-aggregate shape Ray
+    Data has no primitive for. Each event explodes into the
+    SLIDE_HOURS windows containing it (vectorized np.repeat/tile), is
+    partial-combined per block (group_by window x type inside the
+    batch), and ONE small groupby finishes — the shuffle carries
+    window-cardinality rows, not events x SLIDE_HOURS."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = np.asarray(pc.cast(batch.column("ts"), pa.int64()))
+        hour = (ts_us // HOUR_US) * 3600
+        cents = np.floor(
+            np.asarray(batch.column("value"), dtype=np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        et = batch.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        starts = np.concatenate(
+            [hour - 3600 * k for k in range(SLIDE_HOURS)]
+        )
+        ets = pa.concat_arrays([et] * SLIDE_HOURS)
+        t = pa.table(
+            {
+                "window_start_s": pa.array(starts, pa.int64()),
+                "event_type": ets,
+                "cents": pa.array(np.tile(cents, SLIDE_HOURS), pa.int64()),
+            }
+        )
+        g = t.group_by(["window_start_s", "event_type"]).aggregate(
+            [("cents", "count"), ("cents", "sum")]
+        )
+        return g.rename_columns(
+            ["window_start_s", "event_type", "n_events", "sum_cents"]
+        )
+
+    ds = read_events(sf_dir, ["ts", "event_type", "value"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    return ds.groupby(["window_start_s", "event_type"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_cents", alias_name="sum_cents"),
+    )
+
+
 SESSION_GAP_S = 1800  # 30-minute inactivity gap
 
 

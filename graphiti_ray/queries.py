@@ -893,6 +893,15 @@ def events_sessionize(sf_dir: str):
     return sessionize(sf_dir)
 
 
+def events_sliding(sf_dir: str):
+    """Sliding 3h/1h windowed aggregate: explode-to-windows +
+    in-batch combine + one window-cardinality groupby
+    (ops/windows.py)."""
+    from .ops.windows import events_sliding as es
+
+    return es(sf_dir)
+
+
 def events_asof_join(sf_dir: str):
     """Distributed as-of join: each purchase matched to the user's
     latest prior-or-equal view (ONE user-bucket exchange + vectorized
@@ -1576,6 +1585,22 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch_s,
 FROM events GROUP BY 1, 2
 """
 
+# sliding 3h/1h windows: an event at hour h lands in windows starting
+# h, h-1, h-2 (each window spans [start, start+3h))
+EVENTS_SLIDING_SQL = """
+WITH e AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+         event_type,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT h - 3600*k AS window_start_s, event_type,
+       count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM e, UNNEST([0, 1, 2]) AS t(k)
+GROUP BY 1, 2
+"""
+
 EVENTS_JSON_SQL = """
 SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k_val FROM events
 """
@@ -1687,6 +1712,7 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_json": events_json,
     "events_sessionize": events_sessionize,
+    "events_sliding": events_sliding,
     "events_asof_join": events_asof_join,
     # composed training-data prep
     "corpus_prep": corpus_prep,
@@ -1740,6 +1766,7 @@ ORACLE_SQL = {
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_json": EVENTS_JSON_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_sliding": EVENTS_SLIDING_SQL,
     "events_asof_join": _EVENTS_ASOF_SQL(),
     "multimodal_decode": MULTIMODAL_SQL,
     "corpus_prep": CORPUS_PREP_SQL,

@@ -678,3 +678,13 @@ def test_events_asof_join_matches_duckdb_oracle(ray_session):
     assert len(matched) > 0 and (matched["gap_us"] >= 0).all()
     assert (a.loc[a["view_event_id"] < 0, "gap_us"] == -1).all()
     assert (matched["view_ts"] <= matched["ts"]).all()
+
+
+def test_events_sliding_matches_duckdb_oracle(ray_session):
+    """Sliding 3h/1h window aggregate hash-matches the
+    explode-to-windows SQL; each tumbling hour's rows appear in
+    exactly 3 windows (totals are 3x the hourly totals)."""
+    a = _oracle_compare("events_sliding")
+    hourly = _oracle_compare("events_hourly")
+    assert a["n_events"].sum() == 3 * hourly["n_events"].sum()
+    assert a["sum_cents"].sum() == 3 * hourly["sum_cents"].sum()
