@@ -88,3 +88,61 @@ SELECT p.event_id, p.user_id, p.ts,
 FROM (SELECT * FROM events WHERE event_type = '{LEFT_TYPE}') p
 ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
+
+
+# -------------------------------------------------------- range join
+
+RANGE_US = 3_600_000_000  # 1-hour lookback interval
+
+
+def _range_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized interval self-join for one user bucket: ONE global
+    sort + per-user-segment np.searchsorted — no per-user pandas
+    group iteration."""
+    df = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    uid = df["user_id"].to_numpy()
+    bounds = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1], True])
+    n_prev = np.empty(len(df), dtype=np.int64)
+    for s, e in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
+        seg = ts[s:e]
+        lo = np.searchsorted(seg, seg - RANGE_US, "left")
+        hi = np.searchsorted(seg, seg, "left")  # excludes ties/self
+        n_prev[s:e] = hi - lo
+    return pd.DataFrame(
+        {"event_id": df["event_id"], "user_id": df["user_id"], "n_prev_1h": n_prev}
+    )
+
+
+def events_range_join(sf_dir: str):
+    """(event_id, user_id, n_prev_1h): for every event, how many of the
+    same user's events fall in [ts - 1h, ts) — a distributed interval
+    (range) self-join, the third custom operator Ray Data lacks a
+    primitive for (as-of join and windowed aggregate are its siblings
+    here). Scale shape: ONE hash-bucket exchange on user_id; each
+    bucket reducer is one sort + vectorized searchsorted per user
+    segment. DuckDB mirrors it with an inequality-predicate join
+    (IEJoin)."""
+    ev = read_events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        bucket = pc.cast(
+            pc.bit_wise_and(batch.column("user_id"), N_BUCKETS - 1), pa.int32()
+        )
+        return batch.append_column("bucket", bucket)
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_range_bucket, batch_format="pandas")
+    )
+
+
+EVENTS_RANGE_SQL = """
+SELECT a.event_id, a.user_id,
+       CAST(count(b.event_id) AS BIGINT) AS n_prev_1h
+FROM events a LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts
+GROUP BY a.event_id, a.user_id
+"""

@@ -912,6 +912,16 @@ def events_asof_join(sf_dir: str):
     return eaj(sf_dir)
 
 
+def events_range_join(sf_dir: str):
+    """Distributed interval (range) self-join: per event, the count of
+    the same user's events in [ts-1h, ts) — one user-bucket exchange +
+    vectorized searchsorted per bucket; DuckDB IEJoin oracle
+    (ops/asof.py)."""
+    from .ops.asof import events_range_join as erj
+
+    return erj(sf_dir)
+
+
 def kg_pr_report(sf_dir: str):
     """The north-rule headline, machine-readable: precision/recall of
     the distributed pipeline's triples vs the independent
@@ -1290,6 +1300,12 @@ def _EVENTS_ASOF_SQL() -> str:
     from .ops.asof import EVENTS_ASOF_SQL
 
     return EVENTS_ASOF_SQL
+
+
+def _EVENTS_RANGE_SQL() -> str:
+    from .ops.asof import EVENTS_RANGE_SQL
+
+    return EVENTS_RANGE_SQL
 
 
 def _with_docs_dups(body: str) -> str:
@@ -1714,6 +1730,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_sliding": events_sliding,
     "events_asof_join": events_asof_join,
+    "events_range_join": events_range_join,
     # composed training-data prep
     "corpus_prep": corpus_prep,
     # north-rule headline: triples P/R vs reference-semantics oracle
@@ -1768,6 +1785,7 @@ ORACLE_SQL = {
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_sliding": EVENTS_SLIDING_SQL,
     "events_asof_join": _EVENTS_ASOF_SQL(),
+    "events_range_join": _EVENTS_RANGE_SQL(),
     "multimodal_decode": MULTIMODAL_SQL,
     "corpus_prep": CORPUS_PREP_SQL,
     # dedup_minhash_lsh / dedup_simhash / knn_lsh / doc_fingerprints and

@@ -688,3 +688,12 @@ def test_events_sliding_matches_duckdb_oracle(ray_session):
     hourly = _oracle_compare("events_hourly")
     assert a["n_events"].sum() == 3 * hourly["n_events"].sum()
     assert a["sum_cents"].sum() == 3 * hourly["sum_cents"].sum()
+
+
+def test_events_range_join_matches_duckdb_oracle(ray_session):
+    """Interval self-join == DuckDB inequality join; every event is
+    present exactly once and counts are bounded by the user's total."""
+    a = _oracle_compare("events_range_join")
+    assert a["event_id"].is_unique
+    per_user = a.groupby("user_id").size()
+    assert (a["n_prev_1h"] < a["user_id"].map(per_user)).all()
