@@ -112,6 +112,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "events_json",
         "events_sessionize",
         "events_sliding",
+        "events_quantiles",
         "events_asof_join",
         "events_range_join",
         "episode_windows",

@@ -185,3 +185,54 @@ def events_json_extract(sf_dir: str):
         )
 
     return read_events(sf_dir, ["event_id", "props"]).map_batches(ext, batch_format="pyarrow")
+
+
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def events_quantiles(sf_dir: str):
+    """(event_type, q_pct, cents_q): EXACT distributed quantiles of the
+    event value (in half-up cents) per type — k-th order statistic via
+    value histogram, not sampling. Scale shape: map-side (type, cents)
+    counts, ONE histogram-cardinality groupby (bounded by the value
+    range x type count, corpus-size-independent), then a per-type
+    vectorized cumsum walk in map_groups. Index rule pinned to DuckDB
+    quantile_disc: sorted[ceil(q*n) - 1] in IEEE double math."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(batch.column("value"), dtype=np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": pa.array(cents, pa.int64()),
+                "n": pa.array(np.ones(len(cents), np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "cents", "n"])
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("cents").reset_index(drop=True)
+        cum = df["n"].to_numpy().cumsum()
+        ntot = int(cum[-1])
+        cents = df["cents"].to_numpy()
+        rows = []
+        for q in QUANTILES:
+            k = math.ceil(q * ntot)  # 1-based rank, duckdb float math
+            idx = int(np.searchsorted(cum, k, "left"))
+            rows.append((df["event_type"].iat[0], int(q * 100), int(cents[idx])))
+        return pd.DataFrame(rows, columns=["event_type", "q_pct", "cents_q"])
+
+    hist = (
+        read_events(sf_dir, ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return hist.groupby("event_type").map_groups(per_type, batch_format="pandas")

@@ -902,6 +902,15 @@ def events_sliding(sf_dir: str):
     return es(sf_dir)
 
 
+def events_quantiles(sf_dir: str):
+    """Exact per-type value quantiles (p50/p90/p99 in cents) via
+    distributed histogram + k-th order statistic; quantile_disc SQL
+    oracle (ops/windows.py)."""
+    from .ops.windows import events_quantiles as eq
+
+    return eq(sf_dir)
+
+
 def events_asof_join(sf_dir: str):
     """Distributed as-of join: each purchase matched to the user's
     latest prior-or-equal view (ONE user-bucket exchange + vectorized
@@ -1617,6 +1626,18 @@ FROM e, UNNEST([0, 1, 2]) AS t(k)
 GROUP BY 1, 2
 """
 
+EVENTS_QUANTILES_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, 50 AS q_pct, quantile_disc(cents, 0.5) AS cents_q FROM e GROUP BY 1
+UNION ALL
+SELECT event_type, 90, quantile_disc(cents, 0.9) FROM e GROUP BY 1
+UNION ALL
+SELECT event_type, 99, quantile_disc(cents, 0.99) FROM e GROUP BY 1
+"""
+
 EVENTS_JSON_SQL = """
 SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k_val FROM events
 """
@@ -1729,6 +1750,7 @@ QUERIES = {
     "events_json": events_json,
     "events_sessionize": events_sessionize,
     "events_sliding": events_sliding,
+    "events_quantiles": events_quantiles,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
     # composed training-data prep
@@ -1784,6 +1806,7 @@ ORACLE_SQL = {
     "events_json": EVENTS_JSON_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_sliding": EVENTS_SLIDING_SQL,
+    "events_quantiles": EVENTS_QUANTILES_SQL,
     "events_asof_join": _EVENTS_ASOF_SQL(),
     "events_range_join": _EVENTS_RANGE_SQL(),
     "multimodal_decode": MULTIMODAL_SQL,

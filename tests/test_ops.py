@@ -697,3 +697,11 @@ def test_events_range_join_matches_duckdb_oracle(ray_session):
     assert a["event_id"].is_unique
     per_user = a.groupby("user_id").size()
     assert (a["n_prev_1h"] < a["user_id"].map(per_user)).all()
+
+
+def test_events_quantiles_match_duckdb_oracle(ray_session):
+    """Exact k-th-order-statistic quantiles == DuckDB quantile_disc;
+    monotone across the three percentiles per type."""
+    a = _oracle_compare("events_quantiles")
+    w = a.pivot(index="event_type", columns="q_pct", values="cents_q")
+    assert ((w[50] <= w[90]) & (w[90] <= w[99])).all()
