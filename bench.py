@@ -132,13 +132,20 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
             print(f"bench: {name} failed: {e!r}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t > 0), 3)
-    n_docs = rows.get("kg_triples", 0)
+    # Row counts go to a side artifact, NOT the printed JSON line: the
+    # driver's tail capture truncated round 2's line (parsed: null), so
+    # the line itself carries only the timings.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_rows.json"), "w") as f:
+            json.dump({"rows": rows, "sf": _sf_of(sf_dir)}, f)
+    except OSError:
+        pass
     return {
         "metric": "e2e_headline_pipelines_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "rows": rows,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": _sf_of(sf_dir),
         "num_cpus": num_cpus,
     }
@@ -214,22 +221,53 @@ def main() -> None:
         return
 
     if args.scaling:
+        import resource
+
+        def _host_state() -> dict:
+            st = {"loadavg_1m": round(os.getloadavg()[0], 2)}
+            try:
+                with open("/proc/uptime") as f:
+                    st["uptime_s"] = int(float(f.read().split()[0]))
+            except OSError:
+                pass
+            return st
+
         small, large = args.cpus
         legs = {}
+        # Interleave legs small,large,small,large,... so host drift
+        # (this sandbox slows monotonically with uptime — see
+        # BASELINE.md) hits BOTH legs symmetrically instead of only
+        # the one measured later.
+        order = [c for _ in range(max(1, args.repeats)) for c in (small, large)]
+        runs: dict[int, list] = {small: [], large: []}
+        for cpus in order:
+            r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--_child-throughput", str(cpus)],
+                capture_output=True, text=True,
+                env={**os.environ, "GRAFT_SCALING_LEG": "1"},
+                timeout=3600,
+            )
+            r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+            line = proc.stdout.strip().splitlines()[-1]
+            run = json.loads(line)
+            # CPU-seconds of the entire reaped child tree (driver +
+            # raylet + workers): contention-robust companion metric —
+            # cpu_s/doc should be ~flat across legs when scaling is
+            # clean even if wall clocks are noisy.
+            run["cpu_s"] = round((r1.ru_utime - r0.ru_utime)
+                                 + (r1.ru_stime - r0.ru_stime), 1)
+            run["cpu_s_per_kdoc"] = round(1000 * run["cpu_s"] / run["docs"], 3)
+            run["host"] = _host_state()
+            runs[cpus].append(run)
+            print(f"# leg cpus={cpus} wall={run['wall_s']}s "
+                  f"cpu={run['cpu_s']}s host={run['host']}", file=sys.stderr)
         for cpus in (small, large):
-            best = None
-            for _ in range(max(1, args.repeats)):
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--_child-throughput", str(cpus)],
-                    capture_output=True, text=True,
-                    env={**os.environ, "GRAFT_SCALING_LEG": "1"},
-                    timeout=3600,
-                )
-                line = proc.stdout.strip().splitlines()[-1]
-                run = json.loads(line)
-                if best is None or run["wall_s"] < best["wall_s"]:
-                    best = run
+            best = min(runs[cpus], key=lambda r: r["wall_s"])
+            best = dict(best)
+            best["walls_all"] = [r["wall_s"] for r in runs[cpus]]
+            best["cpu_s_all"] = [r["cpu_s"] for r in runs[cpus]]
             legs[cpus] = best
         ratio = large / small
         speedup = legs[small]["wall_s"] / legs[large]["wall_s"]

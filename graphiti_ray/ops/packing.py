@@ -192,8 +192,9 @@ c AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
   FROM t
 )
-SELECT doc_id, lang, n_tokens, tok_start,
-       tok_start // {SEQ_LEN} AS seq_first,
-       (tok_start + n_tokens - 1) // {SEQ_LEN} AS seq_last
+SELECT doc_id, lang, n_tokens,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(tok_start // {SEQ_LEN} AS BIGINT) AS seq_first,
+       CAST((tok_start + n_tokens - 1) // {SEQ_LEN} AS BIGINT) AS seq_last
 FROM c
 """

@@ -1,6 +1,18 @@
 """Simulate the driver's correctness gate: run every queries() entry at
 sf0.01 in ONE Ray session, compare against oracle_sql() in DuckDB with
-sorted columns + sorted rows, report per-query status."""
+sorted columns + sorted rows, report per-query status.
+
+The compare is deliberately STRICT — no dtype coercion between the
+engine result and the oracle before stringify+hash (an earlier version
+cast the oracle to the engine's dtypes, which masked a real external-
+gate red: DuckDB windowed SUM returns HUGEINT -> float64 -> '0.0' vs
+the engine's int64 '0').
+
+--repeat: runs every oracle-backed query TWICE in the same session and
+compares the two value-hashes — the repeat-stability check for
+driver-context-only flakes (nondeterministic orderings, dtype drift).
+"""
+import hashlib
 import json
 import os
 import sys
@@ -34,35 +46,47 @@ def main():
         except Exception:
             pass
 
+    repeat = "--repeat" in sys.argv
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
+
+    def fetch(fn):
+        res = fn(SF)
+        rdf = res.to_pandas() if hasattr(res, "to_pandas") else res
+        if not isinstance(rdf, pd.DataFrame):
+            rdf = rdf.to_pandas()
+        return rdf
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True).astype(str)
+
+    def vhash(df: pd.DataFrame) -> str:
+        return hashlib.sha256(
+            canon(df).to_csv(index=False).encode()).hexdigest()[:16]
+
     out = {}
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         row = {}
         try:
-            res = fn(SF)
-            rdf = res.to_pandas() if hasattr(res, "to_pandas") else res
-            if not isinstance(rdf, pd.DataFrame):
-                rdf = rdf.to_pandas()
+            rdf = fetch(fn)
             row["rows"] = len(rdf)
             if name in osql:
                 odf = con.execute(osql[name]).df()
                 cols = sorted(odf.columns)
                 row["schema_match"] = sorted(rdf.columns) == cols
                 if row["schema_match"]:
-                    a = rdf[cols].sort_values(cols).reset_index(drop=True)
-                    b = odf[cols].sort_values(cols).reset_index(drop=True)
-                    try:
-                        b = b.astype(a.dtypes.to_dict())
-                    except Exception:
-                        pass
+                    a = canon(rdf)
+                    b = canon(odf)
                     row["rows_match"] = len(a) == len(b)
-                    row["hash_match"] = bool(
-                        len(a) == len(b)
-                        and a.astype(str).reset_index(drop=True).equals(
-                            b.astype(str).reset_index(drop=True))
-                    )
+                    # STRICT: stringified equality, no dtype coercion
+                    row["hash_match"] = bool(len(a) == len(b) and a.equals(b))
                 else:
                     row["rows_match"] = row["hash_match"] = False
+                if repeat:
+                    row["repeat_stable"] = vhash(fetch(fn)) == vhash(rdf)
             else:
                 row["oracle"] = "none"
         except Exception as e:
@@ -74,11 +98,15 @@ def main():
         status = ("ERR" if "err" in row else
                   ("OK" if row.get("hash_match") else
                    ("rows-only" if row.get("oracle") == "none" else "MISMATCH")))
+        if row.get("repeat_stable") is False:
+            status += " UNSTABLE"
         print(f"{name}: {status} rows={row.get('rows')} {row['sec']}s", flush=True)
 
     with open("/tmp/driver_sim_out.json", "w") as f:
         json.dump(out, f, indent=1)
-    bad = [n for n, r in out.items() if "err" in r or r.get("hash_match") is False]
+    bad = [n for n, r in out.items()
+           if "err" in r or r.get("hash_match") is False
+           or r.get("repeat_stable") is False]
     print("BAD:", bad)
     ray.shutdown()
 
