@@ -65,17 +65,17 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
 
     # The flagship KG construction (docs -> triples), timed end-to-end
     # with a cold cache, then the operator-family headliners.
-    # kg_pr_report, kg_docs_incremental and
-    # kg_docs_communities_incremental are deliberately NOT swept: all
+    # kg_pr_report, kg_incremental and
+    # kg_communities_incremental are deliberately NOT swept: all
     # are verification queries that build a second KG (vs the O(n^2)
     # oracle / vs the from-scratch build) — test cost, not pipeline
     # cost (the driver's correctness gate still runs them).
     names = only or [
         "kg_triples",
-        "kg_docs_triples",
-        "communities",
-        "mention_degrees",
-        "node_summaries",
+        "kg_triples_episodic",
+        "kg_communities",
+        "kg_mention_degrees",
+        "kg_node_summaries",
         "search_hybrid_demo",
         "search_docs_hybrid",
         "dedup_exact",
@@ -115,6 +115,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "events_quantiles",
         "events_asof_join",
         "events_range_join",
+        "join_broadcast",
+        "join_shuffle",
         "episode_windows",
         "multimodal_decode",
     ]
@@ -160,13 +162,20 @@ def _kg_throughput(sf_dir: str, num_cpus: int) -> dict:
     from graphiti_ray.pipelines.kg import build_kg
     from graphiti_ray.sources.pages import documents_count, synthetic_pages
 
-    # Scaling legs default to a LARGE corpus (sf0.1 x 256 = 1.28M docs):
+    # Scaling legs default to a LARGE corpus (sf0.1 x 512 = 2.56M docs):
     # the north rule's efficiency criterion describes 10^12-document
-    # jobs, where per-stage fixed costs (exchange barriers, actor-pool
-    # startup, driver coordination — measured ~16 s total on this
-    # pipeline) are amortized; at small corpora they dominate the
-    # 32-CPU leg and the measurement reflects startup, not scaling.
-    default_mult = "256" if os.environ.get("GRAFT_SCALING_LEG") else "16"
+    # jobs, where per-job fixed costs are amortized; at small corpora
+    # they dominate the large leg and the measurement reflects startup,
+    # not scaling. Fixed cost measured round 3 via T(p) = W/p + F at
+    # 1.28M docs: F ≈ 43 s (serial driver segments: eager
+    # canonicalization round trips — exact-merge barrier, pair
+    # execution for CC, alias collect — plus per-execution barriers),
+    # W ≈ 1430 CPU·s; phase timings (GRAFT_BENCH_PHASES=1) show the
+    # extraction stage itself scales at ~0.98 efficiency. At 1.28M docs
+    # the model predicts eff 0.755 (measured: 0.755); at 2.56M it
+    # predicts ~0.85. The ladder corpus is a knob (GRAFT_BENCH_MULT),
+    # both regimes are recorded in BASELINE.md.
+    default_mult = "512" if os.environ.get("GRAFT_SCALING_LEG") else "16"
     mult = int(os.environ.get("GRAFT_BENCH_MULT", default_mult))
     n_docs = documents_count(sf_dir) * mult
     pages = synthetic_pages(sf_dir, multiplier=mult)
@@ -175,8 +184,12 @@ def _kg_throughput(sf_dir: str, num_cpus: int) -> dict:
     # (an autoscaling (2,N) pool was measured slower — it ramps lazily
     # and leaves cores idle during the extraction phase)
     kg = build_kg(pages, concurrency=max(2, num_cpus - 1))
+    t1 = time.time()
     n_triples = kg.triples.count()
     wall = time.time() - t0
+    if os.environ.get("GRAFT_BENCH_PHASES"):
+        print(f"# phases: build={t1 - t0:.1f}s triples={time.time() - t1:.1f}s",
+              file=sys.stderr)
     return {
         "wall_s": round(wall, 3),
         "docs": n_docs,
@@ -221,8 +234,6 @@ def main() -> None:
         return
 
     if args.scaling:
-        import resource
-
         def _host_state() -> dict:
             st = {"loadavg_1m": round(os.getloadavg()[0], 2)}
             try:
@@ -231,6 +242,19 @@ def main() -> None:
             except OSError:
                 pass
             return st
+
+        def _proc_stat() -> tuple[float, float]:
+            """(busy_s, steal_s) from /proc/stat's aggregate cpu line.
+            busy = user+nice+system+irq+softirq. steal is jiffies the
+            hypervisor withheld from this VM — the objective signature
+            of co-tenant contention on this sandbox host."""
+            hz = os.sysconf("SC_CLK_TCK")
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            vals = [int(x) for x in parts[1:]]
+            busy = (vals[0] + vals[1] + vals[2] + vals[5] + vals[6]) / hz
+            steal = (vals[7] if len(vals) > 7 else 0) / hz
+            return busy, steal
 
         small, large = args.cpus
         legs = {}
@@ -241,7 +265,7 @@ def main() -> None:
         order = [c for _ in range(max(1, args.repeats)) for c in (small, large)]
         runs: dict[int, list] = {small: [], large: []}
         for cpus in order:
-            r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
+            b0, s0 = _proc_stat()
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--_child-throughput", str(cpus)],
@@ -249,25 +273,29 @@ def main() -> None:
                 env={**os.environ, "GRAFT_SCALING_LEG": "1"},
                 timeout=3600,
             )
-            r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+            b1, s1 = _proc_stat()
             line = proc.stdout.strip().splitlines()[-1]
             run = json.loads(line)
-            # CPU-seconds of the entire reaped child tree (driver +
-            # raylet + workers): contention-robust companion metric —
-            # cpu_s/doc should be ~flat across legs when scaling is
-            # clean even if wall clocks are noisy.
-            run["cpu_s"] = round((r1.ru_utime - r0.ru_utime)
-                                 + (r1.ru_stime - r0.ru_stime), 1)
-            run["cpu_s_per_kdoc"] = round(1000 * run["cpu_s"] / run["docs"], 3)
+            # Machine-wide CPU-seconds consumed during the leg (the
+            # legs run alone, so this is the job's compute): the
+            # contention-robust companion metric — busy_s/doc ~flat
+            # across legs means the work is conserved and any wall-
+            # clock efficiency loss is scheduling/contention, not
+            # algorithmic overhead. steal_s is hypervisor-withheld
+            # time: direct evidence of co-tenant contention.
+            run["busy_s"] = round(b1 - b0, 1)
+            run["steal_s"] = round(s1 - s0, 1)
+            run["busy_s_per_kdoc"] = round(1000 * run["busy_s"] / run["docs"], 3)
             run["host"] = _host_state()
             runs[cpus].append(run)
             print(f"# leg cpus={cpus} wall={run['wall_s']}s "
-                  f"cpu={run['cpu_s']}s host={run['host']}", file=sys.stderr)
+                  f"busy={run['busy_s']}s steal={run['steal_s']}s "
+                  f"host={run['host']}", file=sys.stderr)
         for cpus in (small, large):
             best = min(runs[cpus], key=lambda r: r["wall_s"])
             best = dict(best)
             best["walls_all"] = [r["wall_s"] for r in runs[cpus]]
-            best["cpu_s_all"] = [r["cpu_s"] for r in runs[cpus]]
+            best["busy_s_all"] = [r["busy_s"] for r in runs[cpus]]
             legs[cpus] = best
         ratio = large / small
         speedup = legs[small]["wall_s"] / legs[large]["wall_s"]

@@ -122,10 +122,29 @@ class DeterministicExtractorClient:
     ``version`` selects a rule set from the versioned library
     (functions/promptlib.py — the prompts/lib.py:83-139 registry
     analog); the version is baked into model_id so the response cache
-    never serves one version's output for another."""
+    never serves one version's output for another.
 
-    def __init__(self, cache_entries: int = 100_000, version: str | None = None):
-        if version is None:
+    ``rules``: explicit rule rows for USER-registered versions. The
+    module-level registry (promptlib.register_rules) mutates only the
+    process that called it — a Ray actor's fresh import sees only the
+    shipped versions — so a custom version must ship its rows with the
+    client (they ride the cloudpickled constructor args into every
+    actor). The rows are self-registered in the worker process so
+    in-actor compile_rules(version) lookups also resolve."""
+
+    def __init__(self, cache_entries: int = 100_000,
+                 version: str | None = None,
+                 rules: list[tuple[str, str, str]] | None = None):
+        if rules is not None:
+            if version is None:
+                raise ValueError("rules= requires a version name")
+            from .promptlib import RULE_VERSIONS, compile_rules
+
+            if version not in RULE_VERSIONS:  # fresh worker import
+                RULE_VERSIONS[version] = list(rules)
+            self.model_id = version
+            self.patterns = compile_rules(version)
+        elif version is None:
             self.model_id = "rules-v1"
             self.patterns = compile_patterns()
         else:

@@ -54,7 +54,14 @@ def compile_rules(version: str = DEFAULT_VERSION) -> list[tuple[re.Pattern, str,
 def register_rules(version: str, rows: list[tuple[str, str, str]]) -> None:
     """User extension point: add a named rule set (the analog of
     handing Graphiti a custom prompt_library). Re-registration of an
-    existing name is rejected — versions are immutable once published."""
+    existing name is rejected — versions are immutable once published.
+
+    Scope caveat: this mutates the registry of the CALLING process
+    only. Ray actors import this module fresh, so a custom version must
+    reach them as constructor state — pass the rows to the client
+    (``DeterministicExtractorClient(version=name, rules=rows)``), which
+    self-registers in each worker; a bare ``version=name`` would raise
+    KeyError at actor init."""
     if version in RULE_VERSIONS:
         raise ValueError(f"rule version {version!r} already registered")
     RULE_VERSIONS[version] = list(rows)

@@ -46,11 +46,15 @@ def load_pages(path: str):
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    probe = (
-        os.path.join(path, next(f for f in sorted(os.listdir(path)) if f.endswith(".parquet")))
-        if os.path.isdir(path)
-        else path
-    )
+    if os.path.isdir(path):
+        name = next(
+            (f for f in sorted(os.listdir(path)) if f.endswith(".parquet")), None
+        )
+        if name is None:
+            raise SystemExit(f"no parquet files found in {path!r}")
+        probe = os.path.join(path, name)
+    else:
+        probe = path
     have = set(pq.read_schema(probe).names)
     missing = [c for c in PAGE_COLS if c not in have]
     if missing:

@@ -183,22 +183,122 @@ def exact_dedup(sf_dir: str):
     )
 
 
-# ------------------------------------------------- jaccard (exact, blocked)
+# --------------------------------------- jaccard (exact, distributed)
+#
+# The inverted index ITSELF is the distributed data structure: postings
+# (shingle-hash -> doc) are exploded and hash-bucketed by shingle, so a
+# shingle's complete posting list lands in exactly one reducer; each
+# reducer emits partial pair co-occurrence counts; a second (pair-keyed)
+# exchange sums them into exact intersection sizes. No task ever holds
+# more than one shingle bucket — unlike the round-2 version, which put
+# an entire LANGUAGE (≈ the whole corpus at 100x) into one map_groups
+# task. Same-lang semantics are kept by XOR-folding a lang hash into
+# the shingle key (cross-lang docs can never co-occur; collision odds
+# are the same ~1e-9 class as the 61-bit shingle hashing itself).
+# Known bound: a pathological stop-shingle with a huge posting list
+# costs O(|postings|^2) pairs in its reducer — inherent to EXACT
+# all-pairs Jaccard; the approximate path for that regime is
+# minhash_lsh_pairs (bounded bands), which fuzzy_dedup_keep can consume
+# instead when exactness is not required.
+
+JACCARD_SHINGLE_BUCKETS = 256
+JACCARD_PAIR_BUCKETS = 64
+
+
+def _explode_postings(batch: pa.Table) -> pa.Table:
+    """(doc_id, lang, sh, n_sh) -> one posting row per (shingle, doc),
+    vectorized via list_flatten (no Python loop over shingles)."""
+    import pyarrow.compute as pc
+
+    ids = batch.column("doc_id").to_numpy()
+    n_sh = batch.column("n_sh").to_numpy()
+    langs = batch.column("lang").to_pylist()
+    sh_col = batch.column("sh")
+    flat = pc.list_flatten(sh_col).to_numpy().astype(np.int64).view(np.uint64)
+    lens = pc.list_value_length(sh_col).to_numpy().astype(np.int64)
+    lh_of = {l: np.uint64(stable_int(l, salt="jl")) for l in set(langs)}
+    lang_h = np.fromiter((lh_of[l] for l in langs), dtype=np.uint64,
+                         count=len(langs))
+    h = flat ^ np.repeat(lang_h, lens)
+    return pa.table(
+        {
+            "bucket": pa.array((h % JACCARD_SHINGLE_BUCKETS).astype(np.int32)),
+            "h": pa.array(h.view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+            "n_sh": pa.array(np.repeat(n_sh, lens), pa.int64()),
+        }
+    )
+
+
+def _bucket_pair_partials(df) -> "pa.Table":
+    """One shingle bucket: h-sorted boundary scan enumerates each
+    posting run's co-occurring doc pairs and counts them (complete per
+    shingle — the whole posting list is in this bucket)."""
+    h = df["h"].to_numpy()
+    order = np.argsort(h, kind="stable")
+    h = h[order]
+    ids = df["doc_id"].to_numpy()[order]
+    ns = df["n_sh"].to_numpy()[order]
+    starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+    ends = np.r_[starts[1:], len(h)]
+    counts: dict[tuple[int, int], int] = {}
+    n_of: dict[int, int] = {}
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        if e - s < 2:
+            continue
+        run_ids = ids[s:e].tolist()
+        for i, a in enumerate(run_ids):
+            n_of[a] = int(ns[s + i])
+            for b in run_ids[i + 1:]:
+                key = (a, b) if a < b else (b, a)
+                counts[key] = counts.get(key, 0) + 1
+    a_arr = np.fromiter((k[0] for k in counts), dtype=np.int64, count=len(counts))
+    b_arr = np.fromiter((k[1] for k in counts), dtype=np.int64, count=len(counts))
+    c_arr = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    pb = ((a_arr * 1_000_003) ^ b_arr) % JACCARD_PAIR_BUCKETS
+    return pa.table(
+        {
+            "pair_bucket": pa.array(pb.astype(np.int32)),
+            "a_id": pa.array(a_arr),
+            "b_id": pa.array(b_arr),
+            "inter": pa.array(c_arr),
+            "n_a": pa.array(np.fromiter((n_of[a] for a in a_arr.tolist()),
+                                        dtype=np.int64, count=len(a_arr))),
+            "n_b": pa.array(np.fromiter((n_of[b] for b in b_arr.tolist()),
+                                        dtype=np.int64, count=len(b_arr))),
+        }
+    )
+
+
+def _pair_finalize(df) -> "pa.Table":
+    """One pair bucket: sum partial intersections, derive the union
+    from the carried set sizes, apply the exact-rational threshold."""
+    g = df.groupby(["a_id", "b_id"], as_index=False).agg(
+        inter=("inter", "sum"), n_a=("n_a", "first"), n_b=("n_b", "first")
+    )
+    inter = g["inter"].to_numpy()
+    un = g["n_a"].to_numpy() + g["n_b"].to_numpy() - inter
+    keep = JACCARD_DEN * inter >= JACCARD_NUM * un
+    return pa.table(
+        {
+            "a_id": pa.array(g["a_id"].to_numpy()[keep], pa.int64()),
+            "b_id": pa.array(g["b_id"].to_numpy()[keep], pa.int64()),
+            "inter": pa.array(inter[keep], pa.int64()),
+            "un": pa.array(un[keep], pa.int64()),
+        }
+    )
+
 
 def jaccard_pairs(sf_dir: str):
-    """All same-lang pairs with shingle-Jaccard >= 0.6. lang is the
-    blocking key (at CC scale: lang x content-hash-prefix); within a
-    block the inverted index enumerates exactly the co-occurring pairs."""
-
-    def per_group(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        sets = [
-            np.asarray(s, dtype=np.uint64) for s in batch.column("sh").to_pylist()
-        ]
-        return _pairs_table(_pairs_from_index(ids, sets))
-
+    """All same-lang pairs with shingle-Jaccard >= 0.6, exactly —
+    distributed inverted index (see block comment above)."""
     sh = _shingled_corpus(sf_dir)
-    return sh.groupby("lang").map_groups(per_group, batch_format="pyarrow")
+    partials = sh.map_batches(
+        _explode_postings, batch_format="pyarrow"
+    ).groupby("bucket").map_groups(_bucket_pair_partials, batch_format="pandas")
+    return partials.groupby("pair_bucket").map_groups(
+        _pair_finalize, batch_format="pandas"
+    )
 
 
 # --------------------------------------------------------- MinHash + LSH

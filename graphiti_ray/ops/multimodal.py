@@ -168,27 +168,63 @@ WHERE f % {SAMPLE_EVERY} = 0
 
 class FeatureExtractor:
     """Actor-pool stage for model-based feature extraction: the
-    'model' (deterministic hash embedder, the same one the KG embed
-    stage uses) is constructed ONCE per actor; each batch is one
-    vectorized inference call. A real vision/audio tower drops into
-    __init__ + __call__ unchanged."""
+    'model' (a deterministic signed feature-hashing embedder) is
+    constructed ONCE per actor; each batch is one inference call. A
+    real vision/audio tower drops into __init__ + __call__ unchanged.
+
+    The stub model is char-trigram feature hashing with an md5-derived
+    hash (functions/hashing.md5_hash64 == DuckDB md5_number_lower), so
+    the integer accumulator — and therefore n_active / feat_argmax /
+    feat_l1 — is reproducible in SQL (MULTIMODAL_FEATURES_SQL). The
+    float ``feature`` column is the L2-normalized accumulator; argmax
+    and the nonzero mask are invariant under that positive scaling."""
 
     def __init__(self, dim: int = 64):
-        from ..functions.embed import hash_embed_texts
+        import numpy as np
 
-        self.embed = hash_embed_texts
+        from ..functions.hashing import char_shingles, md5_hash64
+
         self.dim = dim
+        self._np = np
+        self._shingles = char_shingles
+        # memoized trigram -> (bucket, sign): the trigram vocabulary is
+        # tiny and repeats across every doc, so each actor pays the md5
+        # once per distinct trigram, not once per occurrence
+        self._cache: dict[str, tuple[int, int]] = {}
+        self._h = md5_hash64
+
+    def _bucket_sign(self, sh: str) -> tuple[int, int]:
+        bs = self._cache.get(sh)
+        if bs is None:
+            h = self._h(sh, salt="ft|")
+            bs = (h % self.dim, 1 if (h >> 63) & 1 else -1)
+            if len(self._cache) >= 4_000_000:
+                self._cache.clear()
+            self._cache[sh] = bs
+        return bs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = self.embed(batch.column("text").to_pylist(), dim=self.dim)
-        n_active = (feats != 0).sum(axis=1).astype("int64")
-        argmax = feats.argmax(axis=1).astype("int64")
+        np = self._np
+        texts = batch.column("text").to_pylist()
+        acc = np.zeros((len(texts), self.dim), dtype=np.int64)
+        for i, t in enumerate(texts):
+            for sh in self._shingles(t.replace("\n", " ")):
+                j, s = self._bucket_sign(sh)
+                acc[i, j] += s
+        n_active = (acc != 0).sum(axis=1).astype("int64")
+        argmax = acc.argmax(axis=1).astype("int64")
+        l1 = np.abs(acc).sum(axis=1).astype("int64")
+        feats = acc.astype(np.float32)
+        norms = np.linalg.norm(feats, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        feats /= norms
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "feature": pa.array(feats.tolist(), pa.list_(pa.float32())),
                 "n_active": pa.array(n_active, pa.int64()),
                 "feat_argmax": pa.array(argmax, pa.int64()),
+                "feat_l1": pa.array(l1, pa.int64()),
             }
         )
 
@@ -220,6 +256,47 @@ def extract_features(sf_dir: str, concurrency: int | None = None, dim: int = 64)
     # no batch_size in task mode: re-bundling the 32 read blocks into
     # 256-row batches undoes the read->map fusion the block count buys
     return ds.map_batches(FeatureExtractor(dim=dim), batch_format="pyarrow")
+
+
+# Exact SQL image of FeatureExtractor's integer accumulator: trigrams
+# of '^'||lower(text)||'$' (newlines -> spaces), md5_number_lower with
+# the 'ft|' salt (== hashing.md5_hash64), bucket = h % dim, sign = bit
+# 63. The zero-filled 64-dim grid makes argmax ties resolve exactly as
+# np.argmax (first index of the max, including all-zero rows).
+FEATURE_DIM = 64
+
+MULTIMODAL_FEATURES_SQL = f"""WITH s AS (
+  SELECT doc_id, '^' || lower(replace(text, chr(10), ' ')) || '$' AS s
+  FROM documents
+), tri AS (
+  SELECT doc_id,
+    CASE WHEN length(s) <= 3 THEN [s]
+    ELSE list_transform(range(1, length(s) - 1),
+                        i -> substr(s, CAST(i AS BIGINT), 3)) END AS toks
+  FROM s
+), tok AS (
+  SELECT doc_id, md5_number_lower('ft|' || t.tk) AS h
+  FROM tri, unnest(tri.toks) AS t(tk)
+), acc AS (
+  SELECT doc_id, CAST(h % {FEATURE_DIM} AS BIGINT) AS j,
+    CAST(sum(CASE WHEN (h >> 63) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+  FROM tok GROUP BY doc_id, j
+), grid AS (
+  SELECT d.doc_id, CAST(t.j AS BIGINT) AS j
+  FROM (SELECT DISTINCT doc_id FROM documents) d,
+       UNNEST(range(0, {FEATURE_DIM})) AS t(j)
+), dense AS (
+  SELECT g.doc_id, g.j, COALESCE(a.v, 0) AS v
+  FROM grid g LEFT JOIN acc a ON a.doc_id = g.doc_id AND a.j = g.j
+), mx AS (
+  SELECT doc_id, j, v, max(v) OVER (PARTITION BY doc_id) AS mv FROM dense
+)
+SELECT doc_id,
+  CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+  CAST(min(CASE WHEN v = mv THEN j END) AS BIGINT) AS feat_argmax,
+  CAST(sum(abs(v)) AS BIGINT) AS feat_l1
+FROM mx GROUP BY doc_id
+"""
 
 
 # ------------------------------------------------------------- resize

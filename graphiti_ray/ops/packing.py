@@ -15,7 +15,11 @@ Scale shapes:
   (O(n_buckets), not O(rows)), and a broadcast base-offset map lets
   every group compute exact global token offsets independently — no
   sequential scan over the corpus, no full materialization on the
-  driver.
+  driver. Scale bound: the driver table is O(docs / PACK_BUCKET) rows
+  (~250k rows at 10^9 docs — fine); at 10^12 docs it needs a two-level
+  prefix (bucket the buckets, same construction one level up) — a
+  mechanical extension, not a redesign, and out of scope until the
+  corpus grows three orders of magnitude.
 """
 
 from __future__ import annotations

@@ -195,17 +195,22 @@ def build_kg(
         episodes, concurrency=concurrency, client_factory=client_factory,
         with_context=with_context,
     )
+    import time as _time
+
+    _t0 = _time.time()
     if checkpoint_dir:
         extracted = ckpt.stage_checkpoint(
             extracted, os.path.join(checkpoint_dir, "extracted"), resume
         )
     else:
         extracted = extracted.materialize()
+    _t1 = _time.time()
 
     nodes_raw, edges_raw, mentions_raw = extract.split_extracted(extracted)
     nodes, uuid_map, alias = canonicalize.canonicalize_nodes(
         nodes_raw, entity_types=entity_types
     )
+    _t_canon = _time.time()
     # canonical nodes/edges/mentions are orders of magnitude smaller
     # than the input; materializing lets every downstream consumer
     # (triples, communities, search, degree aggregates) reuse them
@@ -214,21 +219,36 @@ def build_kg(
     # the cluster instead of running as back-to-back barriers.
     from concurrent.futures import ThreadPoolExecutor
 
+    def _timed(fn):
+        def run():
+            out = fn()
+            return out, _time.time()
+
+        return run
+
     with ThreadPoolExecutor(max_workers=3) as ex:
-        f_nodes = ex.submit(nodes.materialize)
+        f_nodes = ex.submit(_timed(nodes.materialize))
         f_edges = ex.submit(
-            lambda: edge_stage.resolve_edges(
+            _timed(lambda: edge_stage.resolve_edges(
                 edges_raw, alias, now, uuid_map_ds=uuid_map
-            ).materialize()
+            ).materialize())
         )
         f_mentions = ex.submit(
-            lambda: _dedupe_mentions(
+            _timed(lambda: _dedupe_mentions(
                 mentions_raw, alias, uuid_map_ds=uuid_map
-            ).materialize()
+            ).materialize())
         )
-        nodes = f_nodes.result()
-        edges = f_edges.result()
-        mentions = f_mentions.result()
+        nodes, tn = f_nodes.result()
+        edges, te = f_edges.result()
+        mentions, tm = f_mentions.result()
+    if os.environ.get("GRAFT_BENCH_PHASES"):
+        import sys as _sys
+
+        print(f"# build_kg phases: extract={_t1 - _t0:.1f}s "
+              f"canon-eager={_t_canon - _t1:.1f}s "
+              f"branches={_time.time() - _t_canon:.1f}s "
+              f"(nodes +{tn - _t_canon:.1f}s, edges +{te - _t_canon:.1f}s, "
+              f"mentions +{tm - _t_canon:.1f}s)", file=_sys.stderr)
     triples = build_triples(edges, nodes, nodes_count=nodes.count())
     if embed:
         # A3: fill embedding columns via the actor-pool embed stage

@@ -49,51 +49,152 @@ class SearchConfig:
     limit: int = S.DEFAULT_LIMIT
 
 
-# Prebuilt recipes (search_config_recipes.py analog)
-COMBINED_HYBRID_SEARCH_RRF = SearchConfig()
-NODE_HYBRID_SEARCH_RRF = SearchConfig(edge_config=None)
-EDGE_HYBRID_SEARCH_RRF = SearchConfig(node_config=None)
-NODE_HYBRID_SEARCH_MMR = SearchConfig(
-    node_config=LaneConfig(reranker=Reranker.mmr), edge_config=None
+# Prebuilt recipes — full parity with the reference's 16
+# (search_config_recipes.py:31-202). Lane x reranker matrix: combined /
+# node / edge / community, each with its reference reranker set.
+
+
+def _cfg(node=None, edge=None, community=None) -> SearchConfig:
+    return SearchConfig(
+        node_config=node, edge_config=edge, community_config=community
+    )
+
+
+COMBINED_HYBRID_SEARCH_RRF = SearchConfig(
+    community_config=LaneConfig()
 )
-EDGE_HYBRID_SEARCH_MMR = SearchConfig(
-    node_config=None, edge_config=LaneConfig(reranker=Reranker.mmr)
+COMBINED_HYBRID_SEARCH_MMR = _cfg(
+    node=LaneConfig(reranker=Reranker.mmr),
+    edge=LaneConfig(reranker=Reranker.mmr),
+    community=LaneConfig(reranker=Reranker.mmr),
 )
-COMBINED_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
-    node_config=LaneConfig(reranker=Reranker.cross_encoder),
-    edge_config=LaneConfig(reranker=Reranker.cross_encoder),
+COMBINED_HYBRID_SEARCH_CROSS_ENCODER = _cfg(
+    node=LaneConfig(reranker=Reranker.cross_encoder),
+    edge=LaneConfig(reranker=Reranker.cross_encoder),
+    community=LaneConfig(reranker=Reranker.cross_encoder),
+)
+NODE_HYBRID_SEARCH_RRF = _cfg(node=LaneConfig())
+NODE_HYBRID_SEARCH_MMR = _cfg(node=LaneConfig(reranker=Reranker.mmr))
+NODE_HYBRID_SEARCH_NODE_DISTANCE = _cfg(
+    node=LaneConfig(reranker=Reranker.node_distance)
+)
+NODE_HYBRID_SEARCH_EPISODE_MENTIONS = _cfg(
+    node=LaneConfig(reranker=Reranker.episode_mentions)
+)
+NODE_HYBRID_SEARCH_CROSS_ENCODER = _cfg(
+    node=LaneConfig(reranker=Reranker.cross_encoder)
+)
+EDGE_HYBRID_SEARCH_RRF = _cfg(edge=LaneConfig())
+EDGE_HYBRID_SEARCH_MMR = _cfg(edge=LaneConfig(reranker=Reranker.mmr))
+EDGE_HYBRID_SEARCH_NODE_DISTANCE = _cfg(
+    edge=LaneConfig(reranker=Reranker.node_distance)
+)
+EDGE_HYBRID_SEARCH_EPISODE_MENTIONS = _cfg(
+    edge=LaneConfig(reranker=Reranker.episode_mentions)
+)
+EDGE_HYBRID_SEARCH_CROSS_ENCODER = _cfg(
+    edge=LaneConfig(reranker=Reranker.cross_encoder)
+)
+COMMUNITY_HYBRID_SEARCH_RRF = _cfg(community=LaneConfig())
+COMMUNITY_HYBRID_SEARCH_MMR = _cfg(community=LaneConfig(reranker=Reranker.mmr))
+COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER = _cfg(
+    community=LaneConfig(reranker=Reranker.cross_encoder)
 )
 
 RECIPES = {
     "COMBINED_HYBRID_SEARCH_RRF": COMBINED_HYBRID_SEARCH_RRF,
-    "NODE_HYBRID_SEARCH_RRF": NODE_HYBRID_SEARCH_RRF,
-    "EDGE_HYBRID_SEARCH_RRF": EDGE_HYBRID_SEARCH_RRF,
-    "NODE_HYBRID_SEARCH_MMR": NODE_HYBRID_SEARCH_MMR,
-    "EDGE_HYBRID_SEARCH_MMR": EDGE_HYBRID_SEARCH_MMR,
+    "COMBINED_HYBRID_SEARCH_MMR": COMBINED_HYBRID_SEARCH_MMR,
     "COMBINED_HYBRID_SEARCH_CROSS_ENCODER": COMBINED_HYBRID_SEARCH_CROSS_ENCODER,
+    "NODE_HYBRID_SEARCH_RRF": NODE_HYBRID_SEARCH_RRF,
+    "NODE_HYBRID_SEARCH_MMR": NODE_HYBRID_SEARCH_MMR,
+    "NODE_HYBRID_SEARCH_NODE_DISTANCE": NODE_HYBRID_SEARCH_NODE_DISTANCE,
+    "NODE_HYBRID_SEARCH_EPISODE_MENTIONS": NODE_HYBRID_SEARCH_EPISODE_MENTIONS,
+    "NODE_HYBRID_SEARCH_CROSS_ENCODER": NODE_HYBRID_SEARCH_CROSS_ENCODER,
+    "EDGE_HYBRID_SEARCH_RRF": EDGE_HYBRID_SEARCH_RRF,
+    "EDGE_HYBRID_SEARCH_MMR": EDGE_HYBRID_SEARCH_MMR,
+    "EDGE_HYBRID_SEARCH_NODE_DISTANCE": EDGE_HYBRID_SEARCH_NODE_DISTANCE,
+    "EDGE_HYBRID_SEARCH_EPISODE_MENTIONS": EDGE_HYBRID_SEARCH_EPISODE_MENTIONS,
+    "EDGE_HYBRID_SEARCH_CROSS_ENCODER": EDGE_HYBRID_SEARCH_CROSS_ENCODER,
+    "COMMUNITY_HYBRID_SEARCH_RRF": COMMUNITY_HYBRID_SEARCH_RRF,
+    "COMMUNITY_HYBRID_SEARCH_MMR": COMMUNITY_HYBRID_SEARCH_MMR,
+    "COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER": COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER,
 }
 
 
-def _rerank(uuids: list[str], lane_cfg: LaneConfig, query: str, ds, text_col: str,
-            limit: int) -> list[str]:
-    """Apply the configured reranker to a fused candidate list."""
-    if not uuids or lane_cfg.reranker == Reranker.rrf:
-        return uuids[:limit]
+def _candidate_rows(ds, uuids: list[str], cols: list[str], id_col: str = "uuid"):
+    """Pull the candidate rows (O(k), post-limit) out of a distributed
+    table via a broadcast is_in filter."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     vs = pa.array(uuids)
-    sub = ds.map_batches(
-        lambda t: t.filter(pc.is_in(t.column("uuid"), value_set=vs)),
+    want = [c for c in cols if c is not None]
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column(id_col), value_set=vs)).select(want),
         batch_format="pyarrow",
-    )
-    df = sub.to_pandas()
-    texts = dict(zip(df["uuid"], df[text_col]))
+    ).to_pandas()
+
+
+def _rerank(uuids: list[str], lane_cfg: LaneConfig, query: str, ds, text_col: str,
+            limit: int, *, edges_ds=None, mentions_ds=None,
+            center_node_uuid: str | None = None,
+            source_col: str | None = None,
+            id_col: str = "uuid") -> list[str]:
+    """Apply the configured reranker to a fused candidate list.
+
+    ``source_col``: for EDGE candidates, the column holding the node
+    uuid that graph-based rerankers (node_distance, episode_mentions)
+    score by — the reference reranks edges by their source node
+    (search.py edge_search reranker branches)."""
+    if not uuids or lane_cfg.reranker == Reranker.rrf:
+        return uuids[:limit]
+
+    if lane_cfg.reranker in (Reranker.node_distance, Reranker.episode_mentions):
+        if source_col is not None:
+            df = _candidate_rows(ds, uuids, [id_col, source_col], id_col)
+            node_of = dict(zip(df[id_col], df[source_col]))
+        else:
+            node_of = {u: u for u in uuids}
+        if lane_cfg.reranker == Reranker.node_distance:
+            if edges_ds is None or center_node_uuid is None:
+                return uuids[:limit]
+            from .search import bfs_neighborhood
+
+            hops = bfs_neighborhood(edges_ds, [center_node_uuid])
+            inf = float("inf")
+            ranked = sorted(
+                (u for u in uuids if node_of.get(u) != center_node_uuid),
+                key=lambda u: (hops.get(node_of.get(u), inf), u),
+            )
+            return ranked[:limit]
+        # episode_mentions: degree of the candidate's node in MENTIONS
+        if mentions_ds is None:
+            return uuids[:limit]
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        nodes = pa.array(sorted({str(v) for v in node_of.values()}))
+        m = mentions_ds.map_batches(
+            lambda t: t.filter(
+                pc.is_in(t.column("entity_uuid"), value_set=nodes)
+            ).select(["entity_uuid"]),
+            batch_format="pyarrow",
+        ).to_pandas()
+        counts = m["entity_uuid"].value_counts().to_dict()
+        from .rank import episode_mentions_rank
+
+        scored = episode_mentions_rank(
+            uuids, {u: counts.get(node_of.get(u), 0) for u in uuids}
+        )
+        return scored[:limit]
+
+    df = _candidate_rows(ds, uuids, [id_col, text_col], id_col)
+    texts = dict(zip(df[id_col], df[text_col]))
     if lane_cfg.reranker == Reranker.mmr:
         from .rank import maximal_marginal_relevance
 
         qv = hash_embed_texts([query])[0]
-        cands = {u: hash_embed_texts([texts.get(u, "")])[0] for u in uuids}
+        cands = {u: hash_embed_texts([str(texts.get(u, ""))])[0] for u in uuids}
         return maximal_marginal_relevance(qv, cands)[:limit]
     if lane_cfg.reranker == Reranker.cross_encoder:
         import pyarrow as pa
@@ -120,10 +221,15 @@ def hybrid_search(
     communities_ds=None,
     config: SearchConfig | None = None,
     filters: S.SearchFilters | None = None,
+    center_node_uuid: str | None = None,
+    mentions_ds=None,
 ) -> dict[str, list[str]]:
     """Q1: run the configured lanes over the distributed KG tables.
 
-    Returns {'nodes': [...], 'edges': [...], 'communities': [...]}."""
+    center_node_uuid: required by the *_NODE_DISTANCE recipes (the BFS
+    origin); mentions_ds: required by *_EPISODE_MENTIONS (degree
+    source). Returns {'nodes': [...], 'edges': [...],
+    'communities': [...]}."""
     cfg = config or COMBINED_HYBRID_SEARCH_RRF
     out: dict[str, list[str]] = {"nodes": [], "edges": [], "communities": []}
     if not query.strip():  # empty-query short-circuit (search.py:78-80)
@@ -131,13 +237,20 @@ def hybrid_search(
     if cfg.node_config and nodes_ds is not None:
         fused = S.node_search(nodes_ds, query, limit=cfg.node_config.limit * 2,
                               filters=filters)
-        out["nodes"] = _rerank(fused, cfg.node_config, query, nodes_ds, "name",
-                               cfg.node_config.limit)
+        out["nodes"] = _rerank(
+            fused, cfg.node_config, query, nodes_ds, "name",
+            cfg.node_config.limit, edges_ds=edges_ds, mentions_ds=mentions_ds,
+            center_node_uuid=center_node_uuid,
+        )
     if cfg.edge_config and edges_ds is not None:
         fused = S.edge_search(edges_ds, query, limit=cfg.edge_config.limit * 2,
                               filters=filters)
-        out["edges"] = _rerank(fused, cfg.edge_config, query, edges_ds, "fact",
-                               cfg.edge_config.limit)
+        out["edges"] = _rerank(
+            fused, cfg.edge_config, query, edges_ds, "fact",
+            cfg.edge_config.limit, edges_ds=edges_ds, mentions_ds=mentions_ds,
+            center_node_uuid=center_node_uuid,
+            source_col="source_node_uuid",
+        )
     if cfg.community_config and communities_ds is not None:
         ft = S._fulltext_lane(communities_ds, "community_name", "community_uuid",
                               query, cfg.community_config.limit * 2)
@@ -158,10 +271,15 @@ def hybrid_search(
                     out_ids.append(u)
             return out_ids
 
-        out["communities"] = rrf(
+        fused = rrf(
             [
                 _dedup_keep_best(S._lane_ids(ft, "community_uuid")),
                 _dedup_keep_best(S._lane_ids(cos, "community_uuid")),
             ]
-        )[: cfg.community_config.limit]
+        )
+        out["communities"] = _rerank(
+            fused, cfg.community_config, query, communities_ds,
+            "community_name", cfg.community_config.limit,
+            id_col="community_uuid",
+        )
     return out

@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 from ..schemas import PAGES
 
 
-def _norm_batch(batch: pa.Table) -> pa.Table:
+def _norm_batch(batch: pa.Table, *, empty_html_is_null: bool = False) -> pa.Table:
     cols = {}
     for f in PAGES:
         if f.name not in batch.column_names:
@@ -38,19 +38,27 @@ def _norm_batch(batch: pa.Table) -> pa.Table:
         elif f.name == "warc_ts" and pa.types.is_string(typ):
             cols[f.name] = pc.cast(col, f.type)  # ISO-8601 parse
         elif f.name == "html" and pa.types.is_string(typ):
-            # CSV cannot distinguish null from empty — treat "" as null
-            col = pc.if_else(
-                pc.equal(col, ""), pa.scalar(None, pa.string()), col
-            )
+            if empty_html_is_null:
+                # CSV cannot distinguish null from empty -> "" means
+                # absent. JSONL CAN distinguish them, so its
+                # genuinely-empty-but-present html survives as b"".
+                col = pc.if_else(
+                    pc.equal(col, ""), pa.scalar(None, pa.string()), col
+                )
             cols[f.name] = pc.cast(col, pa.binary())  # utf-8 bytes
         else:
             cols[f.name] = pc.cast(col, f.type)
     return pa.table(cols).cast(PAGES)
 
 
-def normalize_pages(ds):
-    """Any (url, warc_ts, html?, text, lang) dataset -> PAGES schema."""
-    return ds.map_batches(_norm_batch, batch_format="pyarrow")
+def normalize_pages(ds, *, empty_html_is_null: bool = False):
+    """Any (url, warc_ts, html?, text, lang) dataset -> PAGES schema.
+    ``empty_html_is_null``: set for formats that cannot represent null
+    (CSV) so "" reads back as absent html."""
+    import functools
+
+    fn = functools.partial(_norm_batch, empty_html_is_null=empty_html_is_null)
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def read_pages_any(path: str, fmt: str | None = None):
@@ -74,5 +82,5 @@ def read_pages_any(path: str, fmt: str | None = None):
     if fmt == "json":
         return normalize_pages(rd.read_json(path))
     if fmt == "csv":
-        return normalize_pages(rd.read_csv(path))
+        return normalize_pages(rd.read_csv(path), empty_html_is_null=True)
     raise ValueError(f"cannot infer corpus format for {path!r}")

@@ -1,16 +1,23 @@
-"""Join helpers: broadcast lookup vs sharded-broadcast hash join.
+"""Join helpers: broadcast lookup vs distributed parquet-sharded join.
 
 Policy (SURVEY.md §4 / ray_guide joins): a small mapping side is
 ray.put ONCE and read inside the stage (never re-shipped per batch). A
-large mapping is hash-SHARDED into object-store refs; every task
-fetches only the shards its batch's keys hash to, with a per-worker
-shard cache — memory per task is bounded by shard size
-(|mapping| / num_shards), not mapping size. This avoids
-``Dataset.join`` for the pointer-rewrite shape because Arrow acero
-joins reject list-typed payload columns (the edges ``episodes``
-provenance column) and the probe side here is wide.
+large mapping never assembles anywhere: it is written hive-partitioned
+by key-hash shard straight from the cluster, and lookup tasks lazily
+read (and cache per worker) only the shards their batch's keys hash to
+— memory per task is bounded by shard size (|mapping| / num_shards),
+not mapping size. (An earlier middle tier built object-store shard
+dicts ON THE DRIVER via iter_batches — tens of GB of driver heap at
+5M-200M rows — and was removed in favor of the distributed spill.)
+This avoids ``Dataset.join`` for the pointer-rewrite shape because
+Arrow acero joins reject list-typed payload columns (the edges
+``episodes`` provenance column) and the probe side here is wide.
 
-``lookup_column`` picks the path by mapping row count.
+``lookup_column`` picks the path by mapping ROW count and, during the
+broadcast collect, by accumulated value BYTES: a mapping that is small
+in rows but huge in bytes (e.g. full episode bodies) aborts the
+driver-side collect mid-stream and falls back to the distributed
+parquet shards instead of pushing tens of GB through one ray.put.
 """
 
 from __future__ import annotations
@@ -18,9 +25,10 @@ from __future__ import annotations
 import pyarrow as pa
 
 BROADCAST_MAX_ROWS = 5_000_000
-SHARD_TARGET_ROWS = 2_000_000  # mapping rows per shard in the sharded path
-# Past this, shards are spilled to parquet instead of driver-built
-# object-store dicts (driver heap no longer holds the whole mapping).
+# byte cap on a broadcast mapping (keys + values), enforced DURING the
+# driver-side collect: row counts say nothing about payload width
+BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+SHARD_TARGET_ROWS = 2_000_000  # mapping rows per parquet shard
 # The spill dir MUST be cluster-visible storage on a multi-node cluster
 # (shared fs / object store URI) — override via GRAPHITI_RAY_SHARD_DIR;
 # the single-node default is /tmp. _lookup_with_parquet_shards raises
@@ -28,10 +36,13 @@ SHARD_TARGET_ROWS = 2_000_000  # mapping rows per shard in the sharded path
 # resolving every key to None.
 import os as _os
 
-PARQUET_SHARD_MAX_ROWS = 200_000_000
 PARQUET_SHARD_DIR = _os.environ.get(
     "GRAPHITI_RAY_SHARD_DIR", "/tmp/graphiti_ray_lookup_shards"
 )
+
+
+class _BroadcastTooBig(Exception):
+    """Raised mid-collect when a mapping exceeds BROADCAST_MAX_BYTES."""
 
 # per-worker shard cache: (mapping_id, shard_idx) -> dict
 _SHARD_CACHE: dict[tuple[str, int], dict] = {}
@@ -196,23 +207,43 @@ class SortedKV:
         return found
 
 
-def sorted_kv_from_dataset(mapping_ds, key_col: str, val_col: str) -> SortedKV:
-    """Collect a two-column mapping Dataset into a SortedKV (vectorized
-    through pandas — no per-row Python dict building on the driver)."""
-    df = mapping_ds.select_columns([key_col, val_col]).to_pandas()
-    return SortedKV.from_pairs(df[key_col].tolist(), df[val_col].tolist())
-
-
-def broadcast_map(ds, key_col: str, val_col: str) -> dict:
-    """Materialize a two-column mapping to a driver dict for ray.put.
-    Only call when ds.count() is known-small (<= BROADCAST_MAX_ROWS)."""
-    out: dict = {}
+def _iter_mapping_batches(ds, key_col: str, val_col: str, max_bytes: int | None):
+    """iter_batches with a running BYTE budget: raises _BroadcastTooBig
+    the moment the accumulated Arrow buffer size crosses max_bytes, so
+    an oversized mapping never finishes assembling on the driver."""
+    seen = 0
     for batch in ds.select_columns([key_col, val_col]).iter_batches(
         batch_size=65536, batch_format="pyarrow"
     ):
-        ks = batch.column(key_col).to_pylist()
-        vs = batch.column(val_col).to_pylist()
-        out.update(zip(ks, vs))
+        if max_bytes is not None:
+            seen += batch.nbytes
+            if seen > max_bytes:
+                raise _BroadcastTooBig(seen)
+        yield batch
+
+
+def sorted_kv_from_dataset(
+    mapping_ds, key_col: str, val_col: str,
+    max_bytes: int | None = None,
+) -> SortedKV:
+    """Collect a two-column mapping Dataset into a SortedKV (vectorized
+    — no per-row Python dict building on the driver)."""
+    ks: list = []
+    vs: list = []
+    for batch in _iter_mapping_batches(mapping_ds, key_col, val_col, max_bytes):
+        ks.extend(batch.column(key_col).to_pylist())
+        vs.extend(batch.column(val_col).to_pylist())
+    return SortedKV.from_pairs(ks, vs)
+
+
+def broadcast_map(ds, key_col: str, val_col: str,
+                  max_bytes: int | None = None) -> dict:
+    """Materialize a two-column mapping to a driver dict for ray.put.
+    Only call when ds.count() is known-small (<= BROADCAST_MAX_ROWS)."""
+    out: dict = {}
+    for batch in _iter_mapping_batches(ds, key_col, val_col, max_bytes):
+        out.update(zip(batch.column(key_col).to_pylist(),
+                       batch.column(val_col).to_pylist()))
     return out
 
 
@@ -220,42 +251,6 @@ def _shard_of(key: str, num_shards: int) -> int:
     from ..functions.hashing import stable_int
 
     return stable_int(str(key), salt="jshard") % num_shards
-
-
-def _build_shards(mapping_ds, key_col: str, val_col: str, num_shards: int):
-    """Hash-shard the mapping into num_shards object-store dicts.
-    Returns (mapping_id, [refs])."""
-    import uuid
-
-    import ray
-
-    shards: list[dict] = [dict() for _ in range(num_shards)]
-    for batch in mapping_ds.select_columns([key_col, val_col]).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        for k, v in zip(batch.column(key_col).to_pylist(), batch.column(val_col).to_pylist()):
-            shards[_shard_of(k, num_shards)][k] = v
-    refs = [ray.put(s) for s in shards]
-    return uuid.uuid4().hex, refs
-
-
-def _lookup_with_shards(mapping_id: str, refs, num_shards: int, keys: list):
-    """Resolve keys via the shard refs, fetching+caching shards lazily
-    per worker process."""
-    import ray
-
-    out = []
-    for k in keys:
-        si = _shard_of(k, num_shards)
-        ck = (mapping_id, si)
-        shard = _SHARD_CACHE.get(ck)
-        if shard is None:
-            shard = ray.get(refs[si])
-            if len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
-                _SHARD_CACHE.clear()
-            _SHARD_CACHE[ck] = shard
-        out.append(shard.get(k))
-    return out
 
 
 def lookup_column(
@@ -270,10 +265,10 @@ def lookup_column(
 ):
     """Append ``out_col`` = mapping[on] to target_ds (None on miss).
 
-    Whole-map broadcast when small; sharded broadcast otherwise.
-    ``val_type``: Arrow type of the appended column (default: the
-    mapping's value-column type, so non-string payloads — e.g. shingle
-    lists — survive the lookup)."""
+    Whole-map broadcast when small in BOTH rows and bytes; distributed
+    parquet shards otherwise. ``val_type``: Arrow type of the appended
+    column (default: the mapping's value-column type, so non-string
+    payloads — e.g. shingle lists — survive the lookup)."""
     import ray
 
     if val_type is None:
@@ -297,62 +292,54 @@ def lookup_column(
 
         return target_ds.map_batches(f_empty, batch_format="pyarrow")
     if n <= BROADCAST_MAX_ROWS:
-        if pa.types.is_string(val_type) or pa.types.is_large_string(val_type):
-            # zero-copy broadcast + vectorized searchsorted lookup (no
-            # driver dict build, no per-worker unpickle — see SortedKV).
-            # The driver-side collect+sort+put is O(mapping) SERIAL work,
-            # so the resulting ref is cached per (dataset, key, val):
-            # build_triples and the query layer look the same nodes
-            # mapping up 2-4x per run — without the cache each repeat
-            # re-pulls the whole table through the driver.
-            ck = (
-                getattr(mapping_ds, "_uuid", None) or id(mapping_ds),
-                key_col, val_col,
-            )
-            ref = _KV_REF_CACHE.get(ck)
-            if ref is None:
-                kv = sorted_kv_from_dataset(mapping_ds, key_col, val_col)
-                ref = ray.put(kv)
-                if len(_KV_REF_CACHE) >= _KV_REF_CACHE_MAX:
-                    _KV_REF_CACHE.clear()
-                _KV_REF_CACHE[ck] = ref
+        try:
+            if pa.types.is_string(val_type) or pa.types.is_large_string(val_type):
+                # zero-copy broadcast + vectorized searchsorted lookup (no
+                # driver dict build, no per-worker unpickle — see SortedKV).
+                # The driver-side collect+sort+put is O(mapping) SERIAL work,
+                # so the resulting ref is cached per (dataset, key, val):
+                # build_triples and the query layer look the same nodes
+                # mapping up 2-4x per run — without the cache each repeat
+                # re-pulls the whole table through the driver.
+                ck = (
+                    getattr(mapping_ds, "_uuid", None) or id(mapping_ds),
+                    key_col, val_col,
+                )
+                ref = _KV_REF_CACHE.get(ck)
+                if ref is None:
+                    kv = sorted_kv_from_dataset(
+                        mapping_ds, key_col, val_col,
+                        max_bytes=BROADCAST_MAX_BYTES,
+                    )
+                    ref = ray.put(kv)
+                    if len(_KV_REF_CACHE) >= _KV_REF_CACHE_MAX:
+                        _KV_REF_CACHE.clear()
+                    _KV_REF_CACHE[ck] = ref
+
+                def f(t: pa.Table) -> pa.Table:
+                    mm = get_broadcast(ref)
+                    vals = mm.lookup_pa(t.column(on)).cast(val_type)
+                    return t.append_column(out_col, vals)
+
+                return target_ds.map_batches(f, batch_format="pyarrow")
+
+            m = broadcast_map(mapping_ds, key_col, val_col,
+                              max_bytes=BROADCAST_MAX_BYTES)
+            ref = ray.put(m)
 
             def f(t: pa.Table) -> pa.Table:
                 mm = get_broadcast(ref)
-                vals = mm.lookup_pa(t.column(on)).cast(val_type)
-                return t.append_column(out_col, vals)
+                vals = [mm.get(k) for k in t.column(on).to_pylist()]
+                return t.append_column(out_col, pa.array(vals, val_type))
 
             return target_ds.map_batches(f, batch_format="pyarrow")
+        except _BroadcastTooBig:
+            pass  # rows said broadcast, bytes said otherwise -> shards
 
-        m = broadcast_map(mapping_ds, key_col, val_col)
-        ref = ray.put(m)
-
-        def f(t: pa.Table) -> pa.Table:
-            mm = get_broadcast(ref)
-            vals = [mm.get(k) for k in t.column(on).to_pylist()]
-            return t.append_column(out_col, pa.array(vals, val_type))
-
-        return target_ds.map_batches(f, batch_format="pyarrow")
-
-    if n <= PARQUET_SHARD_MAX_ROWS:
-        # shard construction streams through the driver (memory-bounded
-        # per batch, but the shard dicts live in driver heap until
-        # ray.put)
-        num_shards = max(8, n // SHARD_TARGET_ROWS)
-        mapping_id, refs = _build_shards(mapping_ds, key_col, val_col, num_shards)
-
-        def g(t: pa.Table) -> pa.Table:
-            vals = _lookup_with_shards(
-                mapping_id, refs, num_shards, t.column(on).to_pylist()
-            )
-            return t.append_column(out_col, pa.array(vals, val_type))
-
-        return target_ds.map_batches(g, batch_format="pyarrow")
-
-    # largest tier: the mapping never assembles anywhere — it's written
+    # large tier: the mapping never assembles anywhere — it's written
     # hive-partitioned by shard straight from the cluster, and lookup
     # tasks lazily read (and cache) only the shard files their keys hit
-    num_shards = max(64, n // SHARD_TARGET_ROWS)
+    num_shards = max(16, n // SHARD_TARGET_ROWS)
     shard_dir = _write_parquet_shards(mapping_ds, key_col, val_col, num_shards)
 
     def h(t: pa.Table) -> pa.Table:

@@ -169,4 +169,4 @@ def test_engine_add_triplet_resolves_merges_and_sweeps(ray_session):
     e4 = kg4.edges.to_pandas()
     old = e4.query("fact.str.contains('Novel Labs')").iloc[0]
     assert old["invalid_at"] == pd.Timestamp(2025, 9, 1)
-    assert old["expired_at"] is not None
+    assert pd.notna(old["expired_at"])

@@ -254,6 +254,19 @@ def test_rule_library_version_swap_through_actor_pool(ray_session):
     assert "FOUNDED" not in v1
     assert "FOUNDED" in v2
 
+    # USER-registered version: the rows must ride the client's
+    # constructor into the actor process (the driver-side registry is
+    # invisible to a worker's fresh module import) — rules= serializes
+    # them through cloudpickle and self-registers per worker
+    from graphiti_ray.functions.extraction import NAME
+
+    custom = list(get_rules("rules-v1")) + [
+        (rf"({NAME}) founded ({NAME}) in (\d{{4}})\.", "ESTABLISHED", "year3"),
+    ]
+    vx = preds(lambda: DeterministicExtractorClient(
+        version="rules-user-x", rules=custom))
+    assert "ESTABLISHED" in vx
+
     # registry hygiene: unknown version fails loudly; republish rejected
     with pytest.raises(KeyError):
         get_rules("rules-v99")

@@ -129,9 +129,11 @@ def test_store_partition_pruned_load(tmp_path, ray_session):
         assert tri_counts.get(r.partition_id, 0) == r.triples
 
 
-def test_lookup_column_all_three_tiers(ray_session, monkeypatch):
-    """Broadcast, object-store-sharded, and parquet-sharded lookup
-    tiers must produce identical results."""
+def test_lookup_column_all_tiers(ray_session, monkeypatch):
+    """Broadcast and distributed-parquet-shard lookup tiers must
+    produce identical results, whether the shard tier is forced by ROW
+    count or by the BYTE cap (a small-rows/large-bytes mapping must
+    abort the broadcast collect and spill — VERDICT r2 item 7)."""
     import pandas as pd
     import ray.data as rd
 
@@ -156,12 +158,16 @@ def test_lookup_column_all_three_tiers(ray_session, monkeypatch):
     assert base.loc[base["k"] == "id3", "out"].isna().all()
 
     monkeypatch.setattr(joins, "BROADCAST_MAX_ROWS", 0)
-    sharded = run()
-    assert base.equals(sharded)
+    by_rows = run()
+    assert base.equals(by_rows)
 
-    monkeypatch.setattr(joins, "PARQUET_SHARD_MAX_ROWS", 0)
-    parquet_tier = run()
-    assert base.equals(parquet_tier)
+    # byte-forced: rows fit, bytes don't -> broadcast collect must
+    # abort mid-stream and fall back to the parquet-shard tier
+    monkeypatch.setattr(joins, "BROADCAST_MAX_ROWS", 5_000_000)
+    monkeypatch.setattr(joins, "BROADCAST_MAX_BYTES", 1)
+    joins._KV_REF_CACHE.clear()
+    by_bytes = run()
+    assert base.equals(by_bytes)
 
 
 def test_lookup_column_empty_mapping(ray_session):

@@ -10,14 +10,14 @@ import pytest
 SF_DIR = "/root/testdata/sf0.001"
 
 KG_DOCS_QUERIES = [
-    "kg_docs_nodes",
-    "kg_docs_mentions",
-    "kg_docs_uuid_map",
-    "kg_docs_triples",
-    "kg_docs_edges",
-    "kg_docs_mention_degrees",
-    "kg_docs_node_summaries",
-    "kg_docs_communities",
+    "kg_nodes",
+    "kg_mentions",
+    "kg_uuid_map",
+    "kg_triples",
+    "kg_edges",
+    "kg_mention_degrees",
+    "kg_node_summaries",
+    "kg_communities",
 ]
 
 
@@ -79,7 +79,7 @@ def test_kg_docs_corpus_exercises_every_stage(ray_session):
 
     from graphiti_ray import queries as q
 
-    assert q.QUERIES["kg_docs_uuid_map"](SF_DIR).count() > 0
-    edges = q.QUERIES["kg_docs_edges"](SF_DIR).to_pandas()
+    assert q.QUERIES["kg_uuid_map"](SF_DIR).count() > 0
+    edges = q.QUERIES["kg_edges"](SF_DIR).to_pandas()
     assert edges["invalid_at"].notna().sum() > 0
     assert (edges["n_episodes"] > 1).sum() > 0

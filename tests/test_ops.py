@@ -78,6 +78,25 @@ def test_jaccard_pairs_match_bruteforce(ray_session):
     assert got == want
 
 
+def test_jaccard_postings_spread_across_buckets(ray_session):
+    """Scale shape of the distributed exact-Jaccard (VERDICT r2 item 4):
+    no reducer task receives a whole language — a language's postings
+    spread across (nearly) all shingle buckets, so per-task memory is
+    bounded by bucket size, not corpus size."""
+    from graphiti_ray.ops.dedup import (
+        JACCARD_SHINGLE_BUCKETS,
+        _explode_postings,
+        _shingled_corpus,
+    )
+
+    sh = _shingled_corpus(SF)
+    post = sh.map_batches(_explode_postings, batch_format="pyarrow").to_pandas()
+    n_buckets = post["bucket"].nunique()
+    assert n_buckets > 0.9 * JACCARD_SHINGLE_BUCKETS
+    # the largest bucket holds a tiny fraction of the posting table
+    assert post["bucket"].value_counts().iloc[0] < 0.05 * len(post)
+
+
 def test_minhash_lsh_precision_and_recall(ray_session):
     from graphiti_ray.ops.dedup import minhash_lsh_pairs
 
@@ -573,28 +592,42 @@ def test_multimodal_frames_matches_duckdb_oracle(ray_session):
 
 
 def test_multimodal_features_deterministic_and_normalized(ray_session):
-    """Feature extraction is pinned against a direct call of the same
-    deterministic embedder (no SQL oracle: vectors aren't
-    SQL-expressible)."""
+    """Feature extraction pinned against a direct single-process
+    recomputation of the md5-trigram accumulator (the float vector; the
+    integer projections additionally carry the DuckDB oracle in the
+    driver gate)."""
     import numpy as np
 
-    from graphiti_ray import queries as q
-    from graphiti_ray.functions.embed import hash_embed_texts
+    from graphiti_ray.functions.hashing import char_shingles, md5_hash64
+    from graphiti_ray.ops.multimodal import extract_features
 
-    res = q.QUERIES["multimodal_features"]("/root/testdata/sf0.01").to_pandas()
+    res = extract_features("/root/testdata/sf0.01").to_pandas()
     docs = pq.read_table(
         "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
     ).to_pandas()
     assert len(res) == len(docs)
     merged = res.merge(docs, on="doc_id")
     sample = merged.sample(20, random_state=7)
-    want = hash_embed_texts(sample["text"].tolist(), dim=64)
+
+    def ref_acc(text: str) -> np.ndarray:
+        acc = np.zeros(64, dtype=np.int64)
+        for sh in char_shingles(text.replace("\n", " ")):
+            h = md5_hash64(sh, salt="ft|")
+            acc[h % 64] += 1 if (h >> 63) & 1 else -1
+        return acc
+
+    accs = np.stack([ref_acc(t) for t in sample["text"]])
+    want = accs.astype(np.float32)
+    norms = np.linalg.norm(want, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    want /= norms
     got = np.array(sample["feature"].tolist(), dtype=np.float32)
     assert np.allclose(got, want, atol=1e-6)
-    norms = np.linalg.norm(got, axis=1)
-    assert np.allclose(norms[norms > 0], 1.0, atol=1e-5)
-    assert (sample["n_active"].values == (want != 0).sum(axis=1)).all()
-    assert (sample["feat_argmax"].values == want.argmax(axis=1)).all()
+    gn = np.linalg.norm(got, axis=1)
+    assert np.allclose(gn[gn > 0], 1.0, atol=1e-5)
+    assert (sample["n_active"].values == (accs != 0).sum(axis=1)).all()
+    assert (sample["feat_argmax"].values == accs.argmax(axis=1)).all()
+    assert (sample["feat_l1"].values == np.abs(accs).sum(axis=1)).all()
 
 
 def test_lm_score_matches_duckdb_oracle(ray_session):

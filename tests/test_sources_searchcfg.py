@@ -119,6 +119,64 @@ def test_hybrid_search_orchestrator(kg):
     assert "COMBINED_HYBRID_SEARCH_RRF" in RECIPES
 
 
+def test_all_sixteen_recipes_run(kg):
+    """Full recipe parity with the reference's 16
+    (search_config_recipes.py:31-202): every recipe runs through the
+    orchestrator and produces results on its configured lanes; the
+    graph-based rerankers are checked against their definitions."""
+    from graphiti_ray.search.config import (
+        NODE_HYBRID_SEARCH_EPISODE_MENTIONS,
+        NODE_HYBRID_SEARCH_NODE_DISTANCE,
+        RECIPES,
+        hybrid_search,
+    )
+    from graphiti_ray.search.search import bfs_neighborhood
+    from graphiti_ray.stages.communities import build_communities
+
+    nodes = kg.nodes.materialize()
+    edges = kg.edges.materialize()
+    mentions = kg.mentions.materialize()
+    comms = build_communities(kg.nodes, kg.edges).materialize()
+    ndf = nodes.to_pandas()
+    surname = next(n for n in ndf["name"] if " " in n).split()[-1]
+    center = ndf["uuid"].iloc[0]
+    comm_word = comms.to_pandas()["community_name"].iloc[0].split()[0]
+
+    assert len(RECIPES) == 16
+    for name, cfg in RECIPES.items():
+        q = comm_word if name.startswith("COMMUNITY") else surname
+        out = hybrid_search(
+            q, nodes_ds=nodes, edges_ds=edges, communities_ds=comms,
+            config=cfg, center_node_uuid=center, mentions_ds=mentions,
+        )
+        if name.startswith(("NODE", "COMBINED")):
+            assert out["nodes"], f"{name}: empty nodes lane"
+        if name.startswith(("EDGE", "COMBINED")):
+            assert out["edges"], f"{name}: empty edges lane"
+        if name.startswith("COMMUNITY"):
+            assert out["communities"], f"{name}: empty communities lane"
+
+    # node_distance: result order follows BFS hop count from center
+    got = hybrid_search(
+        surname, nodes_ds=nodes, edges_ds=edges,
+        config=NODE_HYBRID_SEARCH_NODE_DISTANCE, center_node_uuid=center,
+    )["nodes"]
+    hops = bfs_neighborhood(edges, [center])
+    inf = float("inf")
+    dists = [hops.get(u, inf) for u in got]
+    assert dists == sorted(dists)
+    assert center not in got  # reference filters the center itself
+
+    # episode_mentions: result order follows MENTIONS degree desc
+    got = hybrid_search(
+        surname, nodes_ds=nodes, config=NODE_HYBRID_SEARCH_EPISODE_MENTIONS,
+        mentions_ds=mentions,
+    )["nodes"]
+    counts = mentions.to_pandas()["entity_uuid"].value_counts().to_dict()
+    degs = [counts.get(u, 0) for u in got]
+    assert degs == sorted(degs, reverse=True)
+
+
 def test_read_pages_any_formats_agree(ray_session, tmp_path):
     """The same corpus round-tripped through parquet, JSONL and CSV
     reads back byte-identical after normalization, and the JSONL path
