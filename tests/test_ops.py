@@ -491,7 +491,8 @@ def _oracle_compare(name: str, sf: str = "/root/testdata/sf0.01"):
     from graphiti_ray import queries as q
 
     con = duckdb.connect()
-    for table in ("documents", "events"):
+    for table in ("documents", "events", "orders", "customer", "nation",
+                  "lineitem"):
         con.execute(
             f"CREATE VIEW {table} AS SELECT * FROM "
             f"read_parquet('{sf}/{table}.parquet')"
@@ -628,6 +629,28 @@ def test_multimodal_features_deterministic_and_normalized(ray_session):
     assert (sample["n_active"].values == (accs != 0).sum(axis=1)).all()
     assert (sample["feat_argmax"].values == accs.argmax(axis=1)).all()
     assert (sample["feat_l1"].values == np.abs(accs).sum(axis=1)).all()
+
+
+def test_join_broadcast_matches_duckdb_oracle(ray_session):
+    """Broadcast equi-join: orders enriched with customer nation, one
+    row per nation; dimension sides ship once through lookup_column."""
+    a = _oracle_compare("join_broadcast")
+    assert a["n_orders"].sum() == pq.read_metadata(
+        "/root/testdata/sf0.01/orders.parquet").num_rows
+
+
+def test_join_shuffle_matches_duckdb_oracle(ray_session):
+    """Large-large bucketed-exchange join: every lineitem matched to
+    its order's priority, integer-exact revenue."""
+    a = _oracle_compare("join_shuffle")
+    assert a["n_items"].sum() == pq.read_metadata(
+        "/root/testdata/sf0.01/lineitem.parquet").num_rows
+
+
+def test_multimodal_features_matches_duckdb_oracle(ray_session):
+    """The integer images of the feature vector (n_active, argmax, L1)
+    hash-match the md5-trigram SQL mirror."""
+    _oracle_compare("multimodal_features")
 
 
 def test_lm_score_matches_duckdb_oracle(ray_session):
