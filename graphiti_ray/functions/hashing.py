@@ -74,6 +74,44 @@ def bucket_array(values, num_buckets: int, *, salt: str = "") -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64 (wrapping mults)."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def bucket_hex40(cols, num_buckets: int, *, salt: str = "") -> np.ndarray:
+    """Bucket ids (int32) for one-or-more HEX40 uuid Arrow columns with
+    zero Python-object materialization: each column's first 16 hex
+    chars parse to uint64 via a numpy view over the Arrow value buffer
+    (stages/joins.fixed_width_matrix), mixed with splitmix64.
+
+    ONLY for columns guaranteed to be content-hash uuids (sha1 hex) —
+    raises on anything else rather than falling back, because a
+    per-batch fallback would bucket the same key differently across
+    batches and break reducer key-completeness."""
+    from ..stages.joins import _col_u64
+
+    if not isinstance(cols, (list, tuple)):
+        cols = [cols]
+    h = np.uint64(stable_int(salt, salt="bh40"))
+    acc = None
+    for col in cols:
+        u, _ = _col_u64(col)
+        if u is None:
+            raise ValueError("bucket_hex40: column is not uniform hex40")
+        acc = u if acc is None else _mix64(acc) ^ u
+    if acc is None or acc.size == 0:
+        return np.empty(0, dtype=np.int32)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        out = _mix64(acc ^ h) % np.uint64(num_buckets)
+    return out.astype(np.int32)
+
+
 # ---------------------------------------------------------------- MinHash
 
 def _token_hashes(tokens: list[str]) -> np.ndarray:

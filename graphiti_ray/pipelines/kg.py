@@ -82,7 +82,7 @@ def _dedupe_mentions(mentions_ds, alias, uuid_map_ds=None):
                 a.rewrite_pa(t.column("entity_uuid")),
             )
 
-    from ..functions.hashing import bucket_array
+    from ..functions.hashing import bucket_hex40
 
     NUM_BUCKETS = 256
 
@@ -94,13 +94,19 @@ def _dedupe_mentions(mentions_ds, alias, uuid_map_ds=None):
             ["episode_uuid", "entity_uuid", "group_id", "created_at", "partition_id"]
         )
         # bucketed exchange + one Arrow group_by per bucket (faster than
-        # the sort-based per-key aggregate at this key cardinality)
-        key_col = pc.binary_join_element_wise(
-            g.column("episode_uuid"), g.column("entity_uuid"), "|"
-        )
+        # the sort-based per-key aggregate at this key cardinality).
+        # Bucket = splitmix64 mix of the two uuid columns' u64 prefixes:
+        # no concatenated key strings, no Python objects in the tag.
         return g.append_column(
             "mb",
-            pa.array(bucket_array(key_col, NUM_BUCKETS, salt="mnb"), pa.int32()),
+            pa.array(
+                bucket_hex40(
+                    [g.column("episode_uuid"), g.column("entity_uuid")],
+                    NUM_BUCKETS,
+                    salt="mnb",
+                ),
+                pa.int32(),
+            ),
         )
 
     def reduce_bucket(t: pa.Table) -> pa.Table:

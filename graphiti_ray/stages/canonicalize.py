@@ -118,13 +118,15 @@ def exact_merge(nodes_raw_ds, prior_nodes_ds=None):
     # aggregation done by ONE Arrow group_by per bucket — measured ~3-4x
     # faster than Dataset.groupby(uuid).aggregate at this shape (the
     # sort-based per-key aggregate pays per-distinct-key overhead; the
-    # bucket reducer pays it once per bucket).
-    from ..functions.hashing import bucket_array
+    # bucket reducer pays it once per bucket). Bucket ids parse the
+    # hex40 uuid to uint64 via a numpy view (bucket_hex40): no per-row
+    # Python objects in the tag stage.
+    from ..functions.hashing import bucket_hex40
 
     def tag(t: pa.Table) -> pa.Table:
         return t.append_column(
             "xb",
-            pa.array(bucket_array(t.column("uuid"), NUM_BUCKETS, salt="xmb"), pa.int32()),
+            pa.array(bucket_hex40(t.column("uuid"), NUM_BUCKETS, salt="xmb"), pa.int32()),
         )
 
     def reduce_bucket(t: pa.Table) -> pa.Table:
@@ -201,6 +203,13 @@ def _pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
     MAX_BLOCK keep only the lexicographically-first MAX_BLOCK names
     (deterministic hot-key guard).
 
+    Each pair row also carries both endpoints' (name_key, group_id):
+    the driver collects pairs anyway for union-find, and those two
+    columns are exactly what it needs to derive the winner-per-component
+    alias map and the uuid_map WITHOUT waiting on the distributed
+    member-merge exchange (driver_alias_and_map) — one full pipeline
+    barrier removed from the critical path.
+
     Implementation note: a bucket holds ~1e5+ TINY blocks, so per-block
     pandas slicing (groupby iteration, sort_values per group) costs
     milliseconds per block and dominated the whole pipeline (measured
@@ -214,9 +223,11 @@ def _pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
     keys = df["block_key"].to_numpy()
     uuids = df["uuid"].to_numpy()
     norms = df["name_norm"].to_numpy()
+    names = df["name"].to_numpy()
+    groups = df["group_id"].to_numpy()
     n = len(keys)
-    out_a: list[str] = []
-    out_b: list[str] = []
+    ia: list[int] = []
+    ib: list[int] = []
     if n:
         bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
         for s, e in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
@@ -228,10 +239,25 @@ def _pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
                 ui, ni = uuids[i], norms[i]
                 for j in range(i + 1, e):
                     if alias_match(ni, norms[j]):
-                        a, b = (ui, uuids[j]) if ui < uuids[j] else (uuids[j], ui)
-                        out_a.append(a)
-                        out_b.append(b)
-    return pd.DataFrame({"a": out_a, "b": out_b}).drop_duplicates()
+                        if ui < uuids[j]:
+                            ia.append(i)
+                            ib.append(j)
+                        else:
+                            ia.append(j)
+                            ib.append(i)
+    iag = np.asarray(ia, dtype=np.int64)
+    ibg = np.asarray(ib, dtype=np.int64)
+    out = pd.DataFrame(
+        {
+            "a": uuids[iag],
+            "b": uuids[ibg],
+            "nka": [name_sort_key(x) for x in names[iag]],
+            "nkb": [name_sort_key(x) for x in names[ibg]],
+            "ga": groups[iag],
+            "gb": groups[ibg],
+        }
+    )
+    return out.drop_duplicates(["a", "b"])
 
 
 def candidate_pairs(nodes_ds):
@@ -377,59 +403,109 @@ def build_uuid_map_and_nodes_ds(nodes_exact_ds, labels_ds, labels_rows=None):
     return nodes, uuid_map, None
 
 
-def build_uuid_map_and_nodes(nodes_exact_ds, comp):
-    """Apply components: merge member nodes, emit canonical nodes + the
-    alias map (old_uuid -> canonical_uuid, flat = already path-compressed
-    per compress_uuid_map, bulk_utils.py:352-361).
+_UUID_MAP_SCHEMA = pa.schema(
+    [
+        ("old_uuid", pa.string()),
+        ("canonical_uuid", pa.string()),
+        ("group_id", pa.string()),
+        ("old_name", pa.string()),
+    ]
+)
 
-    comp (a joins.SortedKV) maps member uuid -> component
+
+def driver_alias_and_map(comp: dict, pairs_df: "pd.DataFrame"):
+    """Derive (alias KV, uuid_map Arrow table) ON THE DRIVER from the
+    union-find components and the already-collected pairs frame.
+
+    The winner of a component is the member with the most complete name
+    (max (name_sort_key, uuid)) — identical to _merge_components_bucket,
+    which still picks the same winner when it merges the node ROWS; the
+    parity is pinned by tests. Every component member appears in >= 1
+    pair (pairs define the components), so the pairs frame carries the
+    (name_key, group_id) of every member.
+
+    Why driver-side: the pairs are on the driver anyway (union-find),
+    both outputs are O(duplicate-candidates) — bounded by
+    cc.DRIVER_THRESHOLD on this path — and deriving them here means
+    edge/mention pointer rewrites start IMMEDIATELY after union-find
+    instead of behind a full member-merge pipeline barrier. The merge
+    exchange itself stays distributed and overlaps with the other
+    branches (pipelines/kg.py)."""
+    from .joins import U64KV
+
+    if not comp:
+        return U64KV.empty(), pa.table(
+            {f.name: pa.array([], f.type) for f in _UUID_MAP_SCHEMA}
+        )
+    name_key: dict[str, str] = {}
+    group_of: dict[str, str] = {}
+    for u_col, k_col, g_col in (("a", "nka", "ga"), ("b", "nkb", "gb")):
+        name_key.update(zip(pairs_df[u_col], pairs_df[k_col]))
+        group_of.update(zip(pairs_df[u_col], pairs_df[g_col]))
+    members_by_root: dict[str, list[str]] = {}
+    for u, r in comp.items():
+        members_by_root.setdefault(r, []).append(u)
+    olds: list[str] = []
+    winners: list[str] = []
+    for r, members in members_by_root.items():
+        win = max(members, key=lambda u: (name_key[u], u))
+        for u in members:
+            if u != win:
+                olds.append(u)
+                winners.append(win)
+    order = sorted(range(len(olds)), key=lambda i: olds[i])
+    olds = [olds[i] for i in order]
+    winners = [winners[i] for i in order]
+    from ..functions.extraction import decode_name_key
+
+    from .joins import make_kv
+
+    uuid_map_tbl = pa.table(
+        {
+            "old_uuid": pa.array(olds, pa.string()),
+            "canonical_uuid": pa.array(winners, pa.string()),
+            "group_id": pa.array([group_of[u] for u in olds], pa.string()),
+            "old_name": pa.array(
+                [decode_name_key(name_key[u]) for u in olds], pa.string()
+            ),
+        }
+    )
+    return make_kv(olds, winners), uuid_map_tbl
+
+
+def build_uuid_map_and_nodes(nodes_exact_ds, comp_kv):
+    """Apply components: merge member nodes into canonical nodes.
+
+    comp_kv (a joins.U64KV/SortedKV) maps member uuid -> component
     representative. The canonical NODE of a component is the member
     with the most complete name (name_sort_key max; ties by uuid),
     matching the reference's keep-the-more-complete-node merge
     (node_operations.py:298-412) — its uuid survives, the others remap
     to it.
 
-    Component MERGING is distributed: member rows (duplicate candidates
-    only — a small fraction of all entities) are tagged with their
-    component id and reduced in a bucketed groupby; the non-member
-    survivor stream never shuffles at all. Only the membership set and
-    the resulting alias map touch the driver (both O(duplicates), held
-    as SortedKV numpy arrays — zero-copy broadcast, no driver pickle /
-    per-worker unpickle — and the alias consumer falls back to a hash
-    join past the broadcast threshold — stages/edges.rewrite_pointers)."""
-    import pandas as pd
+    Returns a LAZY nodes Dataset (survivors ∪ merged): the member-merge
+    exchange executes when the caller materializes nodes, CONCURRENTLY
+    with the edge/mention branches (pipelines/kg.py) instead of as its
+    own barrier. The alias map and uuid_map are no longer derived from
+    this exchange — driver_alias_and_map builds both straight from the
+    collected pairs."""
     import ray
-    import ray.data as rd
 
-    from ..functions.hashing import bucket_array
-
-    if comp is None or len(comp) == 0:  # no duplicate candidates at all
-        empty_map = rd.from_arrow(
-            pa.table(
-                {
-                    "old_uuid": pa.array([], pa.string()),
-                    "canonical_uuid": pa.array([], pa.string()),
-                    "group_id": pa.array([], pa.string()),
-                    "old_name": pa.array([], pa.string()),
-                }
-            )
-        )
-        nodes = nodes_exact_ds.map_batches(
+    if comp_kv is None or len(comp_kv) == 0:  # no duplicate candidates
+        return nodes_exact_ds.map_batches(
             lambda t: t.select(NODE_STAGE_SCHEMA.names).cast(NODE_STAGE_SCHEMA),
             batch_format="pyarrow",
         )
-        from .joins import SortedKV
 
-        return nodes, empty_map, SortedKV.from_pairs([], [])
-
+    from ..functions.hashing import bucket_hex40
     from .joins import get_broadcast
 
-    comp_ref = ray.put(comp)
+    comp_ref = ray.put(comp_kv)
 
     def split(keep_members: bool):
         def f(t: pa.Table) -> pa.Table:
             ms = get_broadcast(comp_ref)
-            mask = pa.array(ms.contains_mask(t.column("uuid").to_pylist()))
+            mask = pa.array(ms.contains_mask(t.column("uuid")))
             return t.filter(mask if keep_members else pc.invert(mask))
 
         return f
@@ -442,40 +518,25 @@ def build_uuid_map_and_nodes(nodes_exact_ds, comp):
         t = t.append_column("comp_id", cids)
         return t.append_column(
             "comp_bucket",
-            pa.array(bucket_array(cids, NUM_BUCKETS, salt="cbkt"), pa.int32()),
+            pa.array(bucket_hex40(cids, NUM_BUCKETS, salt="cbkt"), pa.int32()),
         )
 
     members = nodes_exact_ds.map_batches(split(True), batch_format="pyarrow").map_batches(
         tag, batch_format="pyarrow"
     )
-
-    merged_nodes, uuid_map = _merge_tagged_members(members)
-    # alias map for the broadcast rewrite path — a SortedKV (numpy byte
-    # arrays: zero-copy broadcast, vectorized searchsorted lookups),
-    # built ONLY when the map is broadcastable; past the threshold
-    # alias=None and every consumer takes the uuid_map hash-join path
-    # (rewrite_pointers_join), so the driver never materializes an
-    # O(duplicates) structure it would not use.
-    from .joins import BROADCAST_MAX_ROWS, SortedKV
-
-    # map-row count without a Dataset execution: every component of
-    # size s emits s-1 map rows, so n_map = members - #components —
-    # both known on the driver from the comp SortedKV's numpy arrays.
-    import numpy as np
-
-    n_map = len(comp) - int(len(np.unique(comp.v)))
-    if n_map <= BROADCAST_MAX_ROWS:
-        adf = uuid_map.select_columns(["old_uuid", "canonical_uuid"]).to_pandas()
-        alias = SortedKV.from_pairs(
-            adf["old_uuid"].tolist(), adf["canonical_uuid"].tolist()
-        )
-    else:
-        alias = None
-    nodes = survivors.map_batches(
+    merged = members.groupby("comp_bucket").map_groups(
+        _merge_components_bucket, batch_format="pandas"
+    )
+    merged_nodes = merged.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "node")).select(
+            NODE_STAGE_SCHEMA.names
+        ),
+        batch_format="pyarrow",
+    )
+    return survivors.map_batches(
         lambda t: t.select(NODE_STAGE_SCHEMA.names).cast(NODE_STAGE_SCHEMA),
         batch_format="pyarrow",
     ).union(merged_nodes)
-    return nodes, uuid_map, alias
 
 
 def canonicalize_nodes(nodes_raw_ds, entity_types: dict | None = None,
@@ -500,20 +561,28 @@ def canonicalize_nodes(nodes_raw_ds, entity_types: dict | None = None,
     # ~8x fewer rows than raw extraction would (running the two
     # concurrently on the raw stream was measured slower — the extra
     # shuffled volume beats the overlap win).
-    from .joins import SortedKV
+    from .joins import make_kv
 
     exact = exact_merge(nodes_raw_ds, prior_nodes_ds=prior_nodes_ds).materialize()
     pairs = candidate_pairs(exact)
-    comp = cc.components(pairs)
+    comp, pairs_df = cc.components_with_pairs(pairs)
     if comp is None:  # very large duplicate set: fully distributed path
         labels = cc.connected_components_ds(pairs).materialize()
         nodes, uuid_map, alias = build_uuid_map_and_nodes_ds(
             exact, labels, labels_rows=labels.count()
         )
     else:
-        nodes, uuid_map, alias = build_uuid_map_and_nodes(
-            exact, SortedKV.from_dict(comp)
-        )
+        import ray.data as rd
+
+        # alias + uuid_map derive on the driver from the collected
+        # pairs (driver_alias_and_map): nodes stays LAZY so the
+        # member-merge exchange overlaps the edge/mention branches.
+        # The alias is always broadcastable on this path: members <=
+        # 2 * pairs <= 2 * cc.DRIVER_THRESHOLD < joins.BROADCAST_MAX_ROWS.
+        alias, uuid_map_tbl = driver_alias_and_map(comp, pairs_df)
+        uuid_map = rd.from_arrow(uuid_map_tbl)
+        comp_kv = make_kv(list(comp.keys()), list(comp.values())) if comp else None
+        nodes = build_uuid_map_and_nodes(exact, comp_kv)
 
     def with_labels(t: pa.Table) -> pa.Table:
         # entity-type labels + open-schema attributes (nodes.py:82,

@@ -154,7 +154,14 @@ def compress_uuid_map_ds(uuid_map_ds, max_iters: int = 8):
             uuid_map_ds.map_batches(have_rows, batch_format="pandas")
         )
         resolved = both.groupby("key").map_groups(hop, batch_format="pandas").materialize()
-        any_hop = bool(resolved.to_pandas()["hopped"].any())
+        # fixpoint test as a DISTRIBUTED aggregate: one small row reaches
+        # the driver instead of the whole map (the previous full-map
+        # to_pandas() per iteration was an O(duplicates) driver collect)
+        hops = resolved.map_batches(
+            lambda t: pd.DataFrame({"h": [int(t["hopped"].sum())]}),
+            batch_format="pandas",
+        ).sum("h")
+        any_hop = bool(hops)
         uuid_map_ds = resolved.map_batches(
             lambda t: t[["old_uuid", "canonical_uuid"]], batch_format="pandas"
         )
@@ -166,11 +173,24 @@ def compress_uuid_map_ds(uuid_map_ds, max_iters: int = 8):
 def components(pairs_ds, driver_threshold: int = DRIVER_THRESHOLD) -> dict[str, str] | None:
     """Dispatch: dict (driver path) or None -> caller must use
     connected_components_ds (kept separate so tests can force either)."""
-    pairs_ds = pairs_ds.materialize()  # count + take_all = ONE execution
+    comp, _ = components_with_pairs(pairs_ds, driver_threshold)
+    return comp
+
+
+def components_with_pairs(
+    pairs_ds, driver_threshold: int = DRIVER_THRESHOLD
+) -> tuple[dict[str, str] | None, "pd.DataFrame | None"]:
+    """(component dict, collected pairs frame) on the driver path, or
+    (None, None) past the threshold. The pairs frame rides back to the
+    caller because it carries everything the driver needs to derive the
+    alias map and uuid_map WITHOUT waiting for (or executing) the
+    distributed member-merge exchange — see
+    canonicalize.driver_alias_and_map."""
+    pairs_ds = pairs_ds.materialize()  # count + collect = ONE execution
     n = pairs_ds.count()
     if n == 0:
-        return {}
+        return {}, pd.DataFrame(columns=["a", "b"])
     if n <= driver_threshold:
         df = pairs_ds.to_pandas()  # NOT take_all: per-row collect cost
-        return union_find(list(zip(df["a"], df["b"])))
-    return None
+        return union_find(list(zip(df["a"], df["b"]))), df
+    return None, None

@@ -64,7 +64,6 @@ EDGE_STAGE_FIELDS = [
     ("valid_at", _TS),
     ("invalid_at", _TS),
     ("partition_id", pa.int32()),
-    ("pair_key", pa.string()),
 ]
 PAIR_STAGE_SCHEMA = pa.schema(EDGE_STAGE_FIELDS)
 SWEPT_SCHEMA = pa.schema(EDGE_STAGE_FIELDS + [("expired_at", _TS)])
@@ -148,19 +147,25 @@ NUM_BUCKETS = 256
 
 
 def _bucket_of_col(values) -> pa.Array:
-    from ..functions.hashing import bucket_array
+    """Bucket ids for a canonical-uuid column: u64-prefix parse + mix,
+    no per-row Python objects (functions/hashing.bucket_hex40)."""
+    from ..functions.hashing import bucket_hex40
 
-    return pa.array(bucket_array(values, NUM_BUCKETS, salt="ebkt"), pa.int32())
+    return pa.array(bucket_hex40(values, NUM_BUCKETS, salt="ebkt"), pa.int32())
 
 
 def add_pair_key(edges_ds):
-    """J4: drop self-loops, add direction-agnostic sorted pair key.
+    """J4: drop self-loops, tag the exchange bucket.
 
     The SHUFFLE key is hash(source_node_uuid): the merge key
     (src,tgt,pred,fact_norm), the marker-fold key (src,tgt,pred) and
     the sweep key (group,src,pred) are all functions of the source
     uuid, so ONE src-bucketed exchange feeds the fused
-    dedupe+invalidate reducer (two chained all-to-alls collapsed)."""
+    dedupe+invalidate reducer (two chained all-to-alls collapsed).
+    The direction-agnostic pair key itself (bulk_utils.py:417-434) is
+    NOT materialized as a column: it was an 81-byte string per row
+    riding through the all-to-all purely as dead weight — the reducer
+    groups on (src,tgt,pred,fact_norm) directly."""
 
     import pyarrow.compute as pc
 
@@ -170,15 +175,8 @@ def add_pair_key(edges_ds):
                 t.column("source_node_uuid"), t.column("target_node_uuid")
             )
         )
-        src_a = t.column("source_node_uuid")
-        tgt_a = t.column("target_node_uuid")
-        lo = pc.min_element_wise(src_a, tgt_a)
-        hi = pc.max_element_wise(src_a, tgt_a)
-        t = t.append_column(
-            "pair_key", pc.binary_join_element_wise(lo, hi, "|")
-        )
         return t.append_column(
-            "pair_bucket", _bucket_of_col(src_a)
+            "pair_bucket", _bucket_of_col(t.column("source_node_uuid"))
         )
 
     return edges_ds.map_batches(f, batch_format="pyarrow")
@@ -205,7 +203,6 @@ def _merge_pair_group(g: pd.DataFrame) -> pa.Table:
         valid_at=("valid_at", "min"),  # min skips NaT
         invalid_at=("invalid_at", "min"),
         partition_id=("partition_id", "first"),
-        pair_key=("pair_key", "first"),
     ).reset_index()
     # provenance union (sorted distinct episodes) via ONE global sort +
     # numpy boundary scan — a per-group lambda here paid ~1 ms per

@@ -77,6 +77,251 @@ def get_broadcast(ref):
     return v
 
 
+def fixed_width_matrix(col, width: int = 40):
+    """Arrow string column -> zero-copy (n, width) uint8 view of its
+    value buffer, or None when the column has nulls / varying widths.
+
+    This is the no-Python-objects bridge between Arrow string columns
+    and numpy: content-hash uuids are uniformly 40 ASCII chars, so the
+    value buffer IS an (n, 40) byte matrix once offsets check uniform."""
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, width), np.uint8)
+    if col.null_count:
+        return None
+    t = col.type
+    if pa.types.is_string(t):
+        off_dt = np.int32
+    elif pa.types.is_large_string(t):
+        off_dt = np.int64
+    else:
+        return None
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dt)[col.offset : col.offset + n + 1]
+    if offs[-1] - offs[0] != n * width or not (np.diff(offs) == width).all():
+        return None
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data[offs[0] : offs[-1]].reshape(n, width)
+
+
+def hex_matrix_to_u64(mat):
+    """(n, >=16) ASCII-hex byte matrix -> uint64 of the first 16 nibbles
+    (the high 64 bits of the sha1 digest); None when any char is not
+    lowercase hex. Fully vectorized."""
+    import numpy as np
+
+    m = mat[:, :16]
+    if m.size == 0:
+        return np.empty(0, np.uint64)
+    digit = (m >= 48) & (m <= 57)
+    alpha = (m >= 97) & (m <= 102)
+    if not (digit | alpha).all():
+        return None
+    nib = (m - 48 - alpha * np.uint8(39)).astype(np.uint8)
+    b = (nib[:, 0::2] << np.uint8(4)) | nib[:, 1::2]
+    return np.ascontiguousarray(b).view(">u8").ravel().astype(np.uint64)
+
+
+def _col_u64(col, width: int = 40):
+    """Arrow string column -> (u64 keys, byte matrix) or (None, None)."""
+    mat = fixed_width_matrix(col, width)
+    if mat is None:
+        return None, None
+    u = hex_matrix_to_u64(mat)
+    if u is None:
+        return None, None
+    return u, mat
+
+
+def _strings_from_matrix(mat) -> pa.Array:
+    """(n, w) uint8 matrix -> Arrow StringArray, no Python objects."""
+    import numpy as np
+
+    n, w = mat.shape
+    offsets = np.arange(0, (n + 1) * w, w, dtype=np.int32)
+    data = np.ascontiguousarray(mat).reshape(-1)
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())
+    )
+
+
+class U64KV:
+    """Broadcastable uuid->value mapping keyed on uint64.
+
+    Content-hash uuids are 40 lowercase-hex chars; their first 16 chars
+    carry 64 uniformly-distributed bits. Keying the broadcast map on
+    that uint64 instead of the 40-byte string shrinks the searchsorted
+    hot array 5x (8 B vs 40 B per key) and turns every comparison in
+    the O(log n) probe loop into one integer instruction instead of a
+    40-byte memcmp — the exchange-phase working set was outgrowing the
+    LLC and going DRAM-bandwidth-bound on S40 keys (BASELINE.md round-3
+    phase analysis). EXACTNESS is preserved two ways: the constructor
+    refuses (returns None) when two distinct full keys share a u64
+    prefix, and every probe hit is verified against the full 40-byte
+    key (kfull) before it counts — a prefix-colliding probe is a miss,
+    never a wrong value.
+
+    Values are held as an Arrow StringArray gathered with pc.take —
+    zero-copy through plasma, no per-worker deserialization."""
+
+    __slots__ = ("k", "kfull", "v")
+
+    def __init__(self, k, kfull, v: pa.Array):
+        self.k = k
+        self.kfull = kfull
+        self.v = v
+
+    def __len__(self) -> int:
+        return len(self.k)
+
+    @classmethod
+    def from_arrow(cls, keys: pa.Array, vals: pa.Array):
+        """Build from Arrow columns; None when keys are not uniform
+        40-char lowercase hex or a u64 prefix collision exists."""
+        import numpy as np
+
+        u, mat = _col_u64(keys)
+        if u is None:
+            return None
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        order = np.argsort(u, kind="stable")
+        k = u[order]
+        if len(k) > 1:
+            dup = k[1:] == k[:-1]
+            if dup.any():
+                # distinct full keys sharing a prefix -> not representable
+                kf = mat[order]
+                di = np.flatnonzero(dup)
+                if (kf[di] != kf[di + 1]).any():
+                    return None
+        kfull = np.ascontiguousarray(mat[order])
+        v = vals.take(pa.array(order, pa.int64()))
+        return cls(k, kfull, v)
+
+    @classmethod
+    def from_pylist(cls, keys: list, vals: list):
+        if len(keys) == 0:
+            return cls.empty()
+        karr = pa.array(keys, pa.string())
+        varr = pa.array(vals, pa.string())
+        return cls.from_arrow(karr, varr)
+
+    @classmethod
+    def empty(cls):
+        import numpy as np
+
+        return cls(
+            np.empty(0, np.uint64),
+            np.empty((0, 40), np.uint8),
+            pa.array([], pa.string()),
+        )
+
+    def _probe(self, col):
+        """(clipped idx, verified found mask, probe matrix) for an Arrow
+        string column; (None, None, None) when the column is not
+        uniform hex40 — callers fall back to treating that as all-miss
+        only when the map's key domain is exclusively hex40 (it is:
+        this class only ever holds content-hash uuids)."""
+        import numpy as np
+
+        q, qmat = _col_u64(col)
+        if q is None:
+            return None, None, None
+        if len(self.k) == 0 or len(q) == 0:
+            return (
+                np.zeros(len(q), np.int64),
+                np.zeros(len(q), bool),
+                qmat,
+            )
+        idx = np.searchsorted(self.k, q)
+        idxc = np.minimum(idx, len(self.k) - 1)
+        found = self.k[idxc] == q
+        if found.any():
+            sel = np.flatnonzero(found)
+            ok = (self.kfull[idxc[sel]] == qmat[sel]).all(axis=1)
+            if not ok.all():
+                found[sel[~ok]] = False
+        return idxc, found, qmat
+
+    def rewrite_pa(self, col) -> pa.Array:
+        """Vectorized map.get(k, k): mapped value where found, original
+        key otherwise."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        idx, found, _ = self._probe(col)
+        if idx is None:
+            # non-uniform probe column: every non-hex40 value is a
+            # guaranteed miss (keys are all hex40) -> row-wise fallback
+            return self._rewrite_slow(col)
+        if not found.any():
+            return col
+        import pyarrow.compute as pc
+
+        vals = self.v.take(pa.array(idx, pa.int64()))
+        return pc.if_else(pa.array(found), vals, col)
+
+    def _rewrite_slow(self, col) -> pa.Array:
+        vals = self.lookup_pylist(col.to_pylist(), default_identity=True)
+        return pa.array(vals, pa.string())
+
+    def lookup_pa(self, col) -> pa.Array:
+        """Vectorized mapping[k]; misses become nulls."""
+        import pyarrow.compute as pc
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        idx, found, _ = self._probe(col)
+        if idx is None:
+            vals = self.lookup_pylist(col.to_pylist())
+            return pa.array(vals, pa.string())
+        vals = self.v.take(pa.array(idx, pa.int64()))
+        return pc.if_else(pa.array(found), vals, pa.scalar(None, self.v.type))
+
+    def lookup_pylist(self, keys: list, default_identity: bool = False):
+        import numpy as np
+
+        if not keys:
+            return []
+        out: list = []
+        # per-key path: split hex40 keys (vector probe) from the rest
+        mats = []
+        ok_rows = []
+        for i, s in enumerate(keys):
+            if isinstance(s, str) and len(s) == 40:
+                ok_rows.append(i)
+                mats.append(s)
+        res = [s if default_identity else None for s in keys]
+        if mats:
+            col = pa.array(mats, pa.string())
+            idx, found, _ = self._probe(col)
+            if idx is not None and found.any():
+                vals = self.v.take(pa.array(idx, pa.int64()))
+                for j in np.flatnonzero(found).tolist():
+                    res[ok_rows[j]] = vals[j].as_py()
+        return res
+
+    def contains_mask(self, keys):
+        """Vectorized membership mask; accepts an Arrow column or list."""
+        import numpy as np
+
+        if not isinstance(keys, (pa.Array, pa.ChunkedArray)):
+            if len(keys) == 0:
+                return np.zeros(0, bool)
+            keys = pa.array(keys, pa.string())
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        idx, found, _ = self._probe(keys)
+        if idx is None:
+            vals = self.lookup_pylist(keys.to_pylist())
+            return np.array([v is not None for v in vals], bool)
+        return found
+
+
 class SortedKV:
     """A broadcastable string->string mapping stored as SORTED parallel
     numpy byte arrays instead of a Python dict.
@@ -197,14 +442,32 @@ class SortedKV:
             return [v if v is not None else k for v, k in zip(vals, keys)]
         return vals
 
-    def contains_mask(self, keys: list) -> "np.ndarray":
-        """Vectorized membership mask for a list of keys."""
+    def contains_mask(self, keys) -> "np.ndarray":
+        """Vectorized membership mask (list or Arrow column)."""
         import numpy as np
 
+        if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+            keys = keys.to_pylist()
         if len(keys) == 0:
             return np.zeros(0, dtype=bool)
         _, found = self._indices(self._encode(keys))
         return found
+
+
+def make_kv(keys: list, vals: list):
+    """U64KV when the keys are uniform hex40 uuids (the hot case for
+    every alias / component / pointer map), SortedKV otherwise."""
+    kv = U64KV.from_pylist(keys, vals)
+    if kv is not None:
+        return kv
+    return SortedKV.from_pairs(keys, vals)
+
+
+def kv_from_arrow(keys: pa.Array, vals: pa.Array):
+    kv = U64KV.from_arrow(keys, vals)
+    if kv is not None:
+        return kv
+    return SortedKV.from_pairs(keys.to_pylist(), vals.to_pylist())
 
 
 def _iter_mapping_batches(ds, key_col: str, val_col: str, max_bytes: int | None):
@@ -225,15 +488,32 @@ def _iter_mapping_batches(ds, key_col: str, val_col: str, max_bytes: int | None)
 def sorted_kv_from_dataset(
     mapping_ds, key_col: str, val_col: str,
     max_bytes: int | None = None,
-) -> SortedKV:
-    """Collect a two-column mapping Dataset into a SortedKV (vectorized
-    — no per-row Python dict building on the driver)."""
-    ks: list = []
-    vs: list = []
+):
+    """Collect a two-column mapping Dataset into a U64KV (hex40-uuid
+    keys — the hot case) or SortedKV, WITHOUT building Python row
+    objects on the driver: batches stay Arrow end-to-end and the u64
+    key parse is a numpy view over the concatenated value buffer. The
+    driver-side collect is part of the pipeline's serial fraction, so
+    this path's constant matters for scaling efficiency."""
+    kt = []
+    vt = []
     for batch in _iter_mapping_batches(mapping_ds, key_col, val_col, max_bytes):
-        ks.extend(batch.column(key_col).to_pylist())
-        vs.extend(batch.column(val_col).to_pylist())
-    return SortedKV.from_pairs(ks, vs)
+        kt.append(batch.column(key_col))
+        vt.append(batch.column(val_col))
+    if not kt:
+        return U64KV.empty()
+    keys = pa.concat_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in kt]
+    )
+    vals = pa.concat_arrays(
+        [
+            (c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c).cast(
+                pa.string()
+            )
+            for c in vt
+        ]
+    )
+    return kv_from_arrow(keys, vals)
 
 
 def broadcast_map(ds, key_col: str, val_col: str,

@@ -232,7 +232,7 @@ def test_canonicalize_distributed_components_path(ray_session, monkeypatch):
     na, ma = snap(nodes_a, map_a)
     assert alias_a is not None and len(ma) > 0
 
-    monkeypatch.setattr(cc, "components", lambda pairs, **k: None)
+    monkeypatch.setattr(cc, "components_with_pairs", lambda pairs, **k: (None, None))
     nodes_b, map_b, alias_b = canon.canonicalize_nodes(nodes_raw)
     assert alias_b is None
     nb, mb = snap(nodes_b, map_b)

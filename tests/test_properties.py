@@ -59,7 +59,6 @@ def _frame(rows):
                 "valid_at": va,
                 "invalid_at": iv,
                 "partition_id": 0,
-                "pair_key": "|".join(sorted((src, tgt))),
             }
         )
     return pd.DataFrame(recs)

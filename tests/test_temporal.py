@@ -27,7 +27,6 @@ def mk(uuid, tgt, valid_at=None, invalid_at=None, created=None, fact_norm=None):
         "valid_at": valid_at,
         "invalid_at": invalid_at,
         "partition_id": 0,
-        "pair_key": "pk",
     }
 
 
