@@ -120,7 +120,9 @@ def _dedupe_mentions(mentions_ds, alias, uuid_map_ds=None):
     rewritten = mentions_ds.map_batches(rewrite, batch_format="pyarrow").map_batches(
         partial, batch_format="pyarrow"
     )
-    return rewritten.groupby("mb").map_groups(reduce_bucket, batch_format="pyarrow")
+    from ..functions.exchange import bounded_group_map
+
+    return bounded_group_map(rewritten, "mb", reduce_bucket, batch_format="pyarrow")
 
 
 def build_triples(edges_ds, nodes_ds, nodes_count: int | None = None):

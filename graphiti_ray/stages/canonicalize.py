@@ -148,10 +148,11 @@ def exact_merge(nodes_raw_ds, prior_nodes_ds=None):
         g = g.append_column("name", pa.array(names, pa.string()))
         return g.drop_columns(["name_key"])
 
-    return (
-        partial.map_batches(tag, batch_format="pyarrow")
-        .groupby("xb")
-        .map_groups(reduce_bucket, batch_format="pyarrow")
+    from ..functions.exchange import bounded_group_map
+
+    return bounded_group_map(
+        partial.map_batches(tag, batch_format="pyarrow"),
+        "xb", reduce_bucket, batch_format="pyarrow",
     )
 
 
@@ -284,8 +285,10 @@ def candidate_pairs(nodes_ds):
     # different buckets, but downstream union-find / label propagation
     # is idempotent on duplicate pairs — a dedupe shuffle would cost an
     # extra all-to-all for nothing.
-    return blocks.groupby("block_bucket").map_groups(
-        _pairs_in_bucket, batch_format="pandas"
+    from ..functions.exchange import bounded_group_map
+
+    return bounded_group_map(
+        blocks, "block_bucket", _pairs_in_bucket, batch_format="pandas"
     )
 
 
@@ -335,8 +338,11 @@ def _merge_components_bucket(df: "pd.DataFrame") -> pa.Table:
 def _merge_tagged_members(members_tagged_ds):
     """members (rows carrying comp_id + comp_bucket) -> (merged canonical
     nodes, uuid_map) via ONE bucketed exchange."""
-    merged = members_tagged_ds.groupby("comp_bucket").map_groups(
-        _merge_components_bucket, batch_format="pandas"
+    from ..functions.exchange import bounded_group_map
+
+    merged = bounded_group_map(
+        members_tagged_ds, "comp_bucket", _merge_components_bucket,
+        batch_format="pandas",
     ).materialize()
 
     merged_nodes = merged.map_batches(
@@ -524,8 +530,10 @@ def build_uuid_map_and_nodes(nodes_exact_ds, comp_kv):
     members = nodes_exact_ds.map_batches(split(True), batch_format="pyarrow").map_batches(
         tag, batch_format="pyarrow"
     )
-    merged = members.groupby("comp_bucket").map_groups(
-        _merge_components_bucket, batch_format="pandas"
+    from ..functions.exchange import bounded_group_map
+
+    merged = bounded_group_map(
+        members, "comp_bucket", _merge_components_bucket, batch_format="pandas"
     )
     merged_nodes = merged.map_batches(
         lambda t: t.filter(pc.equal(t.column("kind"), "node")).select(

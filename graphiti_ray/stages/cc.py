@@ -72,6 +72,10 @@ def connected_components_ds(pairs_ds, max_iters: int = 8):
         ),
         batch_format="pandas",
     )
+    from ..functions.exchange import exchange_width
+
+    k = exchange_width()
+    both = both.repartition(k)
     # initial label(x) = min(x, min neighbor)
     labels = (
         both.map_batches(
@@ -96,6 +100,7 @@ def connected_components_ds(pairs_ds, max_iters: int = 8):
         )
         labels = (
             nbr_labels.union(labels)
+            .repartition(k)
             .groupby("uuid")
             .min("label")
             .map_batches(
@@ -150,9 +155,11 @@ def compress_uuid_map_ds(uuid_map_ds, max_iters: int = 8):
         )
 
     for _ in range(max_iters):
+        from ..functions.exchange import exchange_width
+
         both = uuid_map_ds.map_batches(probe_rows, batch_format="pandas").union(
             uuid_map_ds.map_batches(have_rows, batch_format="pandas")
-        )
+        ).repartition(exchange_width())
         resolved = both.groupby("key").map_groups(hop, batch_format="pandas").materialize()
         # fixpoint test as a DISTRIBUTED aggregate: one small row reaches
         # the driver instead of the whole map (the previous full-map
