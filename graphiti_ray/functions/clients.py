@@ -142,6 +142,17 @@ class DeterministicExtractorClient:
 
             if version not in RULE_VERSIONS:  # fresh worker import
                 RULE_VERSIONS[version] = list(rules)
+            elif RULE_VERSIONS[version] != list(rules):
+                # The registry, not the argument, is what compile_rules
+                # reads — silently proceeding would let the response
+                # cache (keyed on model_id == version) serve one rule
+                # set's output for another. Same-name same-rules is fine
+                # (two actors constructing the same client); same-name
+                # different-rules is the poisoning this guards against.
+                raise ValueError(
+                    f"rule version {version!r} is already registered with "
+                    "different rules; pick a distinct version name"
+                )
             self.model_id = version
             self.patterns = compile_rules(version)
         elif version is None:

@@ -162,9 +162,14 @@ def _rerank(uuids: list[str], lane_cfg: LaneConfig, query: str, ds, text_col: st
 
             hops = bfs_neighborhood(edges_ds, [center_node_uuid])
             inf = float("inf")
+            # Tie-break equal distances by the candidate's position in
+            # the fused RRF list: the reference's node_distance_reranker
+            # uses a stable sort over the fused order (search_utils.py:
+            # 758-795), so same-hop candidates keep their fused ranking.
+            fused_index = {u: i for i, u in enumerate(uuids)}
             ranked = sorted(
                 (u for u in uuids if node_of.get(u) != center_node_uuid),
-                key=lambda u: (hops.get(node_of.get(u), inf), u),
+                key=lambda u: (hops.get(node_of.get(u), inf), fused_index[u]),
             )
             return ranked[:limit]
         # episode_mentions: degree of the candidate's node in MENTIONS

@@ -85,6 +85,13 @@ def node_distance_scores(
 
 
 def episode_mentions_rank(candidate_uuids: list[str], mention_counts: dict[str, int]) -> list[str]:
-    """Rank candidates by MENTIONS degree (search_utils.py:798-822 —
-    D11); count comes from a mentions groupby upstream."""
+    """Rank candidates by MENTIONS degree, MOST-mentioned first; count
+    comes from a mentions groupby upstream.
+
+    DELIBERATE DEVIATION from the reference: episode_mentions_reranker
+    (search_utils.py:798-822) sorts by raw count ascending (no
+    ``reverse``), returning the LEAST-mentioned candidates first — at
+    odds with its own docstring ("rank by how many episodes mention
+    them", used to surface salient entities). We rank descending, with
+    uuid as a deterministic tie-break the reference also lacks."""
     return sorted(candidate_uuids, key=lambda u: (-mention_counts.get(u, 0), u))
