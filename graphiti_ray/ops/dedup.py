@@ -34,6 +34,7 @@ sketch candidates — SURVEY.md §2.5 D1/D2.
 from __future__ import annotations
 
 import hashlib
+import os
 from collections import defaultdict
 
 import numpy as np
@@ -195,14 +196,23 @@ def exact_dedup(sf_dir: str):
 # task. Same-lang semantics are kept by XOR-folding a lang hash into
 # the shingle key (cross-lang docs can never co-occur; collision odds
 # are the same ~1e-9 class as the 61-bit shingle hashing itself).
-# Known bound: a pathological stop-shingle with a huge posting list
-# costs O(|postings|^2) pairs in its reducer — inherent to EXACT
-# all-pairs Jaccard; the approximate path for that regime is
-# minhash_lsh_pairs (bounded bands), which fuzzy_dedup_keep can consume
-# instead when exactness is not required.
+# Stop-shingle bound: a shingle shared by p documents contributes
+# O(p^2) pairs in its reducer, so without a cap one boilerplate
+# 3-gram ("all rights reserved") makes a single reducer quadratic in
+# corpus size. JACCARD_DF_CAP is therefore part of the OPERATOR
+# CONTRACT, not an approximation knob: shingles with document
+# frequency > cap are excluded from intersection counts (they still
+# count toward each document's set size), which bounds every reducer
+# at O(cap^2) pairs per shingle. The effect is one-sided — measured
+# Jaccard can only DROP (inter shrinks, union grows), and only for
+# pairs whose similarity hinges on shingles shared by >cap documents,
+# which at j >= 0.6 means near-boilerplate. The oracle SQL
+# (queries.DEDUP_JACCARD_SQL) applies the identical df filter, so the
+# hash gate pins the capped semantics end to end.
 
 JACCARD_SHINGLE_BUCKETS = 256
 JACCARD_PAIR_BUCKETS = 64
+JACCARD_DF_CAP = int(os.environ.get("GRAFT_JACCARD_DF_CAP", "256"))
 
 
 def _explode_postings(batch: pa.Table) -> pa.Table:
@@ -230,42 +240,68 @@ def _explode_postings(batch: pa.Table) -> pa.Table:
     )
 
 
-def _bucket_pair_partials(df) -> "pa.Table":
-    """One shingle bucket: h-sorted boundary scan enumerates each
-    posting run's co-occurring doc pairs and counts them (complete per
-    shingle — the whole posting list is in this bucket)."""
+def _bucket_pair_partials(df, df_cap: int | None = None) -> "pa.Table":
+    """One shingle bucket: h-sorted boundary scan finds each posting
+    run (= one shingle's complete posting list), then pair enumeration
+    is fully vectorized — runs are grouped BY LENGTH so each distinct
+    length L gets one (R, L) gather + one np.triu_indices expansion
+    (the per-run Python loop cost the old version paid is gone; the
+    Python loop here is over distinct run lengths, <= df_cap values).
+    Runs longer than ``df_cap`` are stop-shingles and are dropped per
+    the operator contract documented above."""
+    cap = JACCARD_DF_CAP if df_cap is None else df_cap
     h = df["h"].to_numpy()
     order = np.argsort(h, kind="stable")
     h = h[order]
     ids = df["doc_id"].to_numpy()[order]
     ns = df["n_sh"].to_numpy()[order]
     starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
-    ends = np.r_[starts[1:], len(h)]
-    counts: dict[tuple[int, int], int] = {}
-    n_of: dict[int, int] = {}
-    for s, e in zip(starts.tolist(), ends.tolist()):
-        if e - s < 2:
-            continue
-        run_ids = ids[s:e].tolist()
-        for i, a in enumerate(run_ids):
-            n_of[a] = int(ns[s + i])
-            for b in run_ids[i + 1:]:
-                key = (a, b) if a < b else (b, a)
-                counts[key] = counts.get(key, 0) + 1
-    a_arr = np.fromiter((k[0] for k in counts), dtype=np.int64, count=len(counts))
-    b_arr = np.fromiter((k[1] for k in counts), dtype=np.int64, count=len(counts))
-    c_arr = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    lens = np.diff(np.r_[starts, len(h)])
+    valid = (lens >= 2) & (lens <= cap)
+    empty = pa.table(
+        {
+            "pair_bucket": pa.array([], pa.int32()),
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "inter": pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+        }
+    )
+    if not valid.any():
+        return empty
+    # per-doc set size lookup (n_sh rides every posting row, so the
+    # first occurrence per doc id carries it)
+    uids, first_pos = np.unique(ids, return_index=True)
+    usizes = ns[first_pos].astype(np.int64)
+    vstarts, vlens = starts[valid], lens[valid]
+    a_parts: list[np.ndarray] = []
+    b_parts: list[np.ndarray] = []
+    for length in np.unique(vlens):
+        rs = vstarts[vlens == length]
+        mat = ids[rs[:, None] + np.arange(int(length))]
+        iu, ju = np.triu_indices(int(length), 1)
+        a_parts.append(mat[:, iu].ravel())
+        b_parts.append(mat[:, ju].ravel())
+    x = np.concatenate(a_parts)
+    y = np.concatenate(b_parts)
+    lo = np.minimum(x, y)
+    hi = np.maximum(x, y)
+    upairs, c_arr = np.unique(np.stack([lo, hi], axis=1), axis=0,
+                              return_counts=True)
+    if not len(upairs):
+        return empty
+    a_arr = upairs[:, 0]
+    b_arr = upairs[:, 1]
     pb = ((a_arr * 1_000_003) ^ b_arr) % JACCARD_PAIR_BUCKETS
     return pa.table(
         {
             "pair_bucket": pa.array(pb.astype(np.int32)),
-            "a_id": pa.array(a_arr),
-            "b_id": pa.array(b_arr),
-            "inter": pa.array(c_arr),
-            "n_a": pa.array(np.fromiter((n_of[a] for a in a_arr.tolist()),
-                                        dtype=np.int64, count=len(a_arr))),
-            "n_b": pa.array(np.fromiter((n_of[b] for b in b_arr.tolist()),
-                                        dtype=np.int64, count=len(b_arr))),
+            "a_id": pa.array(a_arr, pa.int64()),
+            "b_id": pa.array(b_arr, pa.int64()),
+            "inter": pa.array(c_arr.astype(np.int64)),
+            "n_a": pa.array(usizes[np.searchsorted(uids, a_arr)]),
+            "n_b": pa.array(usizes[np.searchsorted(uids, b_arr)]),
         }
     )
 

@@ -1323,17 +1323,45 @@ list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
   END)
 """
 
-DEDUP_JACCARD_SQL = _with_docs_dups(f"""
-, sh AS (
+def _jaccard_scored_ctes() -> str:
+    """Lang-blocked, df-capped exact-Jaccard ``scored`` CTE chain —
+    the SQL mirror of ops/dedup.jaccard_pairs: shingles with document
+    frequency > JACCARD_DF_CAP (within a language) are excluded from
+    intersection counts but still count toward set sizes (the
+    stop-shingle contract documented at ops/dedup.py's jaccard block).
+    Shared by the jaccard-pairs and fuzzy-keep oracles, which both sit
+    on the same pair graph."""
+    from .ops.dedup import JACCARD_DF_CAP
+
+    return f"""
+sh AS (
   SELECT doc_id, lang, {_SHINGLE_EXPR} AS shingles
   FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM corpus)
-), scored AS (
+), shr AS (
+  SELECT doc_id, lang, unnest(shingles) AS s FROM sh
+), keepsh AS (
+  SELECT lang, s FROM shr GROUP BY lang, s
+  HAVING count(*) >= 2 AND count(*) <= {JACCARD_DF_CAP}
+), shk AS (
+  SELECT shr.doc_id, shr.lang, shr.s FROM shr JOIN keepsh USING (lang, s)
+), co AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         len(list_intersect(a.shingles, b.shingles)) AS inter,
-         len(a.shingles) + len(b.shingles)
-           - len(list_intersect(a.shingles, b.shingles)) AS un
-  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-)
+         CAST(count(*) AS BIGINT) AS inter
+  FROM shk a JOIN shk b ON a.lang = b.lang AND a.s = b.s
+                        AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n FROM sh
+), scored AS (
+  SELECT co.a_id, co.b_id, co.inter,
+         CAST(sa.n + sb.n - co.inter AS BIGINT) AS un
+  FROM co JOIN sizes sa ON sa.doc_id = co.a_id
+          JOIN sizes sb ON sb.doc_id = co.b_id
+)"""
+
+
+DEDUP_JACCARD_SQL = _with_docs_dups(f"""
+, {_jaccard_scored_ctes()}
 SELECT a_id, b_id, inter, un FROM scored WHERE 5*inter >= 3*un
 """)
 
@@ -1346,16 +1374,7 @@ def _DEDUP_FUZZY_KEEP_SQL() -> str:
     from .ops.corpus import DOCS_WITH_DUPS_CTE
 
     return f"""WITH RECURSIVE {DOCS_WITH_DUPS_CTE},
-sh AS (
-  SELECT doc_id, lang, {_SHINGLE_EXPR} AS shingles
-  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM corpus)
-), scored AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         len(list_intersect(a.shingles, b.shingles)) AS inter,
-         len(a.shingles) + len(b.shingles)
-           - len(list_intersect(a.shingles, b.shingles)) AS un
-  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-), pairs AS (
+{_jaccard_scored_ctes()}, pairs AS (
   SELECT a_id, b_id FROM scored WHERE 5*inter >= 3*un
 ), edges AS (
   SELECT a_id AS u, b_id AS v FROM pairs
