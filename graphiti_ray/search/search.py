@@ -149,9 +149,41 @@ def _corpus_stats(ds, text_col: str, terms: list[str]) -> tuple[int, float, dict
     return n_docs, avgdl, dfs
 
 
+def _topk_scores(scored, id_col: str, limit: int):
+    """Distributed top-k WITHOUT an all-to-all sort: each block keeps
+    its own best ``limit`` rows (vectorized Arrow sort per block), then
+    ONE single-group finalize orders the <= limit x num_blocks
+    survivors — the domain_cap pattern (ops/packing.py:60-95). A global
+    ``sort().limit(k)`` here would shuffle the entire scored corpus to
+    produce 10-20 rows."""
+    import numpy as np
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t, sort_keys=[("score", "descending"), (id_col, "ascending")]
+        )
+        t = t.take(order[:limit])
+        return t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int32)))
+
+    def finalize(df: "pd.DataFrame") -> "pd.DataFrame":
+        return (
+            df.sort_values(["score", id_col], ascending=[False, True])
+            .head(limit)
+            .drop(columns=["_g"])
+            .reset_index(drop=True)
+        )
+
+    return (
+        scored.map_batches(partial, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
 def _fulltext_lane(ds, text_col: str, id_col: str, query: str, limit: int):
     """BM25 lane (k1=1.5, b=0.75) with true global IDF: a cheap stats
-    pass, then distributed scoring -> sort -> limit."""
+    pass, then distributed scoring -> per-block top-k."""
     import math
 
     import numpy as np
@@ -181,9 +213,9 @@ def _fulltext_lane(ds, text_col: str, id_col: str, query: str, limit: int):
         )
         return out.filter(pc.greater(out.column("score"), 0.0))
 
-    return ds.map_batches(score, batch_format="pyarrow").sort(
-        ["score", id_col], descending=[True, False]
-    ).limit(limit)
+    return _topk_scores(
+        ds.map_batches(score, batch_format="pyarrow"), id_col, limit
+    )
 
 
 def _cosine_lane(ds, text_col: str, id_col: str, query: str, limit: int,
@@ -198,7 +230,16 @@ def _cosine_lane(ds, text_col: str, id_col: str, query: str, limit: int,
 
     def score(t: pa.Table) -> pa.Table:
         if emb_col in t.schema.names:
-            emb = np.array(t.column(emb_col).to_pylist(), dtype=np.float32)
+            col = t.column(emb_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            # FixedSizeList values -> zero-copy numpy view
+            emb = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(t.num_rows, -1)
+                .astype(np.float32, copy=False)
+            )
         else:
             emb = hash_embed_texts(t.column(text_col).to_pylist())
         s = emb @ qv
@@ -207,9 +248,9 @@ def _cosine_lane(ds, text_col: str, id_col: str, query: str, limit: int,
         )
         return out.filter(pc.greater_equal(out.column("score"), min_score))
 
-    return ds.map_batches(score, batch_format="pyarrow").sort(
-        ["score", id_col], descending=[True, False]
-    ).limit(limit)
+    return _topk_scores(
+        ds.map_batches(score, batch_format="pyarrow"), id_col, limit
+    )
 
 
 def _lane_ids(lane, id_col: str) -> list[str]:
