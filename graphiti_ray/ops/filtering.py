@@ -106,33 +106,61 @@ PLANT_MOD, PLANT_RES = 13, 5  # docs with doc_id % 13 == 5 get contaminated
 PLANT_PICK = 4  # ...with the n-gram of bench doc 97 * (doc_id % 4)
 
 
-def _bench_ngrams(sf_dir: str) -> dict[int, str]:
-    """The benchmark n-gram table: tiny by construction (an eval suite,
-    not a corpus) — one pruned+filtered read, collected on the driver."""
+def _pick_bench(t: pa.Table) -> pa.Table:
+    ids_np = np.asarray(t.column("doc_id"))
+    t = t.filter(pa.array(ids_np % BENCH_MOD == 0))
+    ids, grams = [], []
+    for i, txt in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        ws = txt.split(" ")
+        if len(ws) >= NGRAM_N:
+            ids.append(i)
+            grams.append(" ".join(ws[:NGRAM_N]))
+    return pa.table(
+        {"bench_id": pa.array(ids, pa.int64()),
+         "ngram": pa.array(grams, pa.string())}
+    )
+
+
+def benchmark_ngrams_ds(sf_dir: str, benchmark_path: str | None = None):
+    """The benchmark n-gram table as a Dataset of (bench_id, ngram).
+
+    ``benchmark_path``: parquet of an EXTERNAL benchmark suite with that
+    schema — the production shape (a real eval suite lives outside the
+    corpus). Default: the deterministic 1/97 carve of the corpus itself
+    (the synthetic stand-in, mirrored by the oracle CTE). Either way the
+    table stays distributed — nothing collects here."""
     import ray.data as rd
 
-    def pick(t: pa.Table) -> pa.Table:
-        ids_np = np.asarray(t.column("doc_id"))
-        t = t.filter(pa.array(ids_np % BENCH_MOD == 0))
-        ids, grams = [], []
-        for i, txt in zip(
-            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-        ):
-            ws = txt.split(" ")
-            if len(ws) >= NGRAM_N:
-                ids.append(i)
-                grams.append(" ".join(ws[:NGRAM_N]))
-        return pa.table(
-            {"bench_id": pa.array(ids, pa.int64()),
-             "ngram": pa.array(grams, pa.string())}
-        )
-
-    df = (
-        read_documents(sf_dir, ["doc_id", "text"])
-        .map_batches(pick, batch_format="pyarrow")
-        .to_pandas()
+    if benchmark_path is not None:
+        return rd.read_parquet(benchmark_path, columns=["bench_id", "ngram"])
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _pick_bench, batch_format="pyarrow"
     )
-    return dict(zip(df["bench_id"], df["ngram"]))
+
+
+def write_benchmark_parquet(sf_dir: str, out_dir: str | None = None) -> str:
+    """Materialize the synthetic benchmark carve to parquet so callers
+    can exercise the external-benchmark path (queries() does this)."""
+    import os
+    import shutil
+
+    from ..functions.hashing import sha1_hex
+
+    if out_dir is None:
+        out_dir = os.path.join(
+            "/tmp/graphiti_ray_benchmarks", sha1_hex("bench", sf_dir)
+        )
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    benchmark_ngrams_ds(sf_dir).write_parquet(out_dir)
+    with open(marker, "w"):
+        pass
+    return out_dir
 
 
 # per-worker cache of the deserialized benchmark state: stateless TASKS
@@ -150,8 +178,9 @@ def _decon_batch(batch: pa.Table, bench_ref) -> pa.Table:
     key = bench_ref.hex()
     state = _BENCH_CACHE.get(key)
     if state is None:
-        bench = ray.get(bench_ref)
-        state = (bench, {tuple(g.split(" ")) for g in bench.values()})
+        ids_np, grams = ray.get(bench_ref)
+        by_id = dict(zip(ids_np.tolist(), grams))
+        state = (by_id, {tuple(g.split(" ")) for g in grams})
         _BENCH_CACHE.clear()  # one benchmark live at a time
         _BENCH_CACHE[key] = state
     by_id, tuples = state
@@ -179,21 +208,233 @@ def _decon_batch(batch: pa.Table, bench_ref) -> pa.Table:
     )
 
 
-def decontaminate(sf_dir: str):
+def _collect_benchmark(bench_ds, max_bytes: int):
+    """Byte-capped driver collect of the benchmark table: raises
+    _BroadcastTooBig mid-stream if the benchmark is not actually the
+    tiny eval suite it is supposed to be (the round-3 version built an
+    UN-capped driver dict that grew with the synthetic carve's corpus
+    — the exact anti-pattern stages/joins documents)."""
+    from ..stages.joins import _iter_mapping_batches
+
+    ids: list[np.ndarray] = []
+    grams: list[str] = []
+    for batch in _iter_mapping_batches(bench_ds, "bench_id", "ngram", max_bytes):
+        ids.append(np.asarray(batch.column("bench_id"), dtype=np.int64))
+        grams.extend(batch.column("ngram").to_pylist())
+    ids_np = np.concatenate(ids) if ids else np.empty(0, np.int64)
+    return ids_np, grams
+
+
+def decontaminate(
+    sf_dir: str,
+    benchmark_path: str | None = None,
+    force_distributed: bool = False,
+):
     """Benchmark decontamination: flag docs sharing any word-boundary
     8-gram with the benchmark set (the Brown et al. GPT-3 appendix-C
-    recipe). Benchmark side broadcast once via ray.put; corpus side one
-    streaming pass of stateless tasks with a per-worker benchmark
-    cache."""
+    recipe).
+
+    ``benchmark_path``: external benchmark parquet (bench_id, ngram);
+    default is the synthetic corpus carve. Two tiers, same policy as
+    stages/joins.lookup_column: a benchmark that passes the byte cap is
+    broadcast ONCE via ray.put and intersected exactly per task; one
+    that exceeds it (or ``force_distributed``) never assembles anywhere
+    — corpus and benchmark are exploded to 64-bit gram hashes and
+    semi-joined through ONE bucketed exchange (see
+    _decontaminate_distributed)."""
     import ray
+
+    from ..stages.joins import BROADCAST_MAX_BYTES, _BroadcastTooBig
+
+    bench_ds = benchmark_ngrams_ds(sf_dir, benchmark_path)
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    if not force_distributed:
+        try:
+            bench_state = _collect_benchmark(bench_ds, BROADCAST_MAX_BYTES)
+            bench_ref = ray.put(bench_state)
+            return docs.map_batches(
+                _decon_batch, fn_args=(bench_ref,), batch_format="pyarrow"
+            )
+        except _BroadcastTooBig:
+            pass
+    return _decontaminate_distributed(docs, bench_ds)
+
+
+_DECON_BUCKETS = 64
+_POLY = np.uint64(1099511628211)  # FNV-64 prime, wrapping-uint64 polynomial
+
+
+def _token_poly_hashes(texts: list[str]):
+    """texts -> (doc_of, gram_hash) for every word-boundary NGRAM_N
+    window, vectorized: tokens hash once per DISTINCT token in the
+    batch (Python loop over the vocabulary only), then the 8-window
+    polynomial is 8 shifted uint64 multiply-adds over the flat token
+    array + a splitmix64 finalizer. Windows never cross doc boundaries
+    (doc_of[j] == doc_of[j + N - 1] mask)."""
+    import warnings
+
+    from ..functions.hashing import _mix64, stable_int
+
+    toks = [t.split(" ") for t in texts]
+    counts = np.fromiter((len(w) for w in toks), np.int64, count=len(toks))
+    flat = np.asarray([w for ws in toks for w in ws], dtype=object)
+    if flat.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    vocab, inv = np.unique(flat, return_inverse=True)
+    vh = np.fromiter(
+        (stable_int(t, salt="decon") for t in vocab.tolist()),
+        np.uint64, count=len(vocab),
+    )
+    th = vh[inv]
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    n, w = len(th), NGRAM_N
+    if n < w:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    gh = np.zeros(n - w + 1, np.uint64)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        for k in range(w):
+            gh = gh * _POLY + th[k : n - w + 1 + k]
+        gh = _mix64(gh)
+    valid = doc_of[: n - w + 1] == doc_of[w - 1 :]
+    return doc_of[: n - w + 1][valid], gh[valid]
+
+
+def _decontaminate_distributed(docs, bench_ds):
+    """Scale tier: neither side assembles anywhere. The corpus explodes
+    to DISTINCT-per-doc 64-bit gram hashes, the benchmark to gram
+    hashes, and contamination is a hash semi-join through ONE bucketed
+    exchange (bucket = gh % B, so each reducer sees a complete hash
+    range). Counts fold back onto the corpus through lookup_column's
+    tiered machinery. Exactness caveat, documented: two DISTINCT grams
+    colliding on 64 bits could miscount n_hits by 1 — P ≈ n²/2⁶⁴, the
+    standard decontamination trade (the broadcast tier compares exact
+    token tuples); the forced-tier test pins equality of both tiers on
+    the synthetic corpus."""
+    import pandas as pd
     import ray.data as rd
 
-    bench_ref = ray.put(_bench_ngrams(sf_dir))
-    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        _decon_batch,
-        fn_args=(bench_ref,),
-        batch_format="pyarrow",
+    from ..stages.joins import lookup_column
+
+    def add_plant_key(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id"))
+        keys = np.where(
+            ids % PLANT_MOD == PLANT_RES, BENCH_MOD * (ids % PLANT_PICK), -1
+        )
+        return t.append_column(
+            "plant_key", pc.cast(pa.array(keys, pa.int64()), pa.string())
+        )
+
+    def bench_keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bkey": pc.cast(t.column("bench_id"), pa.string()),
+                "ngram": t.column("ngram"),
+            }
+        )
+
+    planted = lookup_column(
+        docs.map_batches(add_plant_key, batch_format="pyarrow"),
+        "plant_key",
+        bench_ds.map_batches(bench_keyed, batch_format="pyarrow"),
+        "bkey",
+        "ngram",
+        "planted_ngram",
     )
+
+    def doc_grams(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id"))
+        texts = t.column("text").to_pylist()
+        plant = t.column("planted_ngram").to_pylist()
+        texts = [
+            txt if p is None else f"{txt} {p}" for txt, p in zip(texts, plant)
+        ]
+        doc_of, gh = _token_poly_hashes(texts)
+        pairs = np.unique(  # distinct (doc, gram) — n_hits is DISTINCT
+            np.stack([ids[doc_of].astype(np.uint64), gh], axis=1), axis=0
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(pairs[:, 0].astype(np.int64)),
+                "gh": pa.array(pairs[:, 1], pa.uint64()),
+                "bucket": pa.array(
+                    (pairs[:, 1] % np.uint64(_DECON_BUCKETS)).astype(np.int32)
+                ),
+            }
+        )
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        grams = t.column("ngram").to_pylist()
+        # a gram that is not exactly NGRAM_N tokens can never match an
+        # NGRAM_N window — drop it rather than hash a non-window
+        grams = [g for g in grams if len(g.split(" ")) == NGRAM_N]
+        _, gh = _token_poly_hashes(grams)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(len(gh), -1, np.int64)),
+                "gh": pa.array(gh, pa.uint64()),
+                "bucket": pa.array(
+                    (gh % np.uint64(_DECON_BUCKETS)).astype(np.int32)
+                ),
+            }
+        )
+
+    corpus_side = planted.map_batches(doc_grams, batch_format="pyarrow")
+    bench_side = bench_ds.map_batches(bench_grams, batch_format="pyarrow")
+
+    def hits_in_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        bench_gh = df.loc[df["doc_id"] < 0, "gh"].unique()
+        d = df[df["doc_id"] >= 0]
+        m = d["gh"].isin(bench_gh)
+        hits = d.loc[m].groupby("doc_id").size()
+        return pd.DataFrame(
+            {"doc_id": hits.index.to_numpy(), "hits": hits.to_numpy(np.int64)}
+        )
+
+    per_bucket = (
+        corpus_side.union(bench_side)
+        .groupby("bucket")
+        .map_groups(hits_in_bucket, batch_format="pandas")
+    )
+    totals = per_bucket.groupby("doc_id").sum("hits")
+
+    def count_key(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ck": pc.cast(t.column("doc_id"), pa.string()),
+                "n": pc.cast(t.column("sum(hits)"), pa.int64()),
+            }
+        )
+
+    def doc_key(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "dk": pc.cast(t.column("doc_id"), pa.string()),
+            }
+        )
+
+    joined = lookup_column(
+        docs.map_batches(doc_key, batch_format="pyarrow"),
+        "dk",
+        totals.map_batches(count_key, batch_format="pyarrow"),
+        "ck",
+        "n",
+        "n_hits_raw",
+        val_type=pa.int64(),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_hits = pc.coalesce(t.column("n_hits_raw"), pa.scalar(0, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_hits": n_hits,
+                "contaminated": pc.greater(n_hits, 0),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 DECONTAMINATE_SQL = f"""WITH w AS (

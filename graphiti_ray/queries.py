@@ -625,12 +625,15 @@ def quality_filter(sf_dir: str):
 
 
 def decontaminate(sf_dir: str):
-    """Benchmark n-gram decontamination: broadcast tiny benchmark set,
-    one streaming pass flags word-boundary 8-gram overlap
+    """Benchmark n-gram decontamination with the benchmark supplied as
+    an EXTERNAL parquet table (the production shape): the suite is
+    materialized once, read back as (bench_id, ngram), byte-cap-checked
+    and broadcast — or semi-joined distributed when it exceeds the cap
     (ops/filtering.py)."""
     from .ops.filtering import decontaminate as dc
+    from .ops.filtering import write_benchmark_parquet
 
-    return dc(sf_dir)
+    return dc(sf_dir, benchmark_path=write_benchmark_parquet(sf_dir))
 
 
 def domain_cap(sf_dir: str):

@@ -550,6 +550,52 @@ def test_decontaminate_flags_planted_overlap(ray_session):
     assert 0 < a["contaminated"].sum() < 0.25 * n_docs
 
 
+def _decon_df(res):
+    return (
+        res.to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "n_hits", "contaminated"]]
+    )
+
+
+def test_decontaminate_distributed_tier_matches_broadcast(ray_session):
+    """The forced hash-semi-join tier (the path a too-big-to-broadcast
+    benchmark takes) produces the identical flags and hit counts as the
+    exact broadcast tier, including the planted contamination."""
+    from graphiti_ray.ops.filtering import decontaminate
+
+    want = _decon_df(decontaminate(SF))
+    got = _decon_df(decontaminate(SF, force_distributed=True))
+    assert got.equals(want)
+    assert want["contaminated"].sum() > 0  # non-vacuous
+
+
+def test_decontaminate_large_benchmark_falls_back(ray_session, monkeypatch):
+    """A benchmark exceeding the broadcast byte cap must NEVER assemble
+    on the driver: the collect aborts mid-stream (_BroadcastTooBig) and
+    the operator transparently takes the distributed tier — same
+    output."""
+    from graphiti_ray.ops import filtering
+    from graphiti_ray.stages import joins
+
+    want = _decon_df(filtering.decontaminate(SF))
+    monkeypatch.setattr(joins, "BROADCAST_MAX_BYTES", 64)  # force overflow
+    got = _decon_df(filtering.decontaminate(SF))
+    assert got.equals(want)
+    assert want["contaminated"].sum() > 0
+
+
+def test_decontaminate_external_benchmark_table(ray_session, tmp_path):
+    """Benchmark supplied as an external parquet table (the production
+    shape) matches the in-corpus carve byte for byte."""
+    from graphiti_ray.ops.filtering import decontaminate, write_benchmark_parquet
+
+    path = write_benchmark_parquet(SF, str(tmp_path / "bench"))
+    want = _decon_df(decontaminate(SF))
+    got = _decon_df(decontaminate(SF, benchmark_path=path))
+    assert got.equals(want)
+
+
 def test_domain_cap_topk_semantics(ray_session):
     from graphiti_ray.ops.packing import DOMAIN_CAP_K
 
