@@ -278,6 +278,23 @@ def kg_docs_edges(sf_dir: str):
     return _kg_docs_edges_named(sf_dir).map_batches(proj, batch_format="pyarrow")
 
 
+def eval_qa(sf_dir: str):
+    """Offline QA eval over the hash-checked KG (evals.py — the batch
+    analog of the reference's eval prompt surface,
+    graphiti_core/prompts/eval.py): questions synthesized per subject
+    ("Who does X work for?" / "Where does X live?"), answered by the
+    deterministic temporal-aware QA client from the subject's fact
+    context through ONE (group, subj) exchange + an actor-pool stage.
+    Rows-only in the driver (the QA loop is not a SQL aggregate);
+    pinned by tests/test_evals.py, which grades every answer against a
+    DuckDB-derived expected set (accuracy == 1.0) and exercises the
+    grader's discrimination on planted-wrong answers."""
+    from .evals import qa_over_edges, questions_from_edges
+
+    edges = kg_docs_edges(sf_dir)
+    return qa_over_edges(edges, questions_from_edges(edges))
+
+
 def kg_docs_nodes(sf_dir: str):
     """Canonical entities after alias merge: (group, name, n_mentions)."""
     import pyarrow as pa
@@ -1093,12 +1110,12 @@ def _KG_DOCS_COMMUNITIES_SQL():
     from .stages.communities import MAX_LP_ITERS
 
     return f"""WITH RECURSIVE {KG_DOCS_CTE},
-nd AS (
+nd AS MATERIALIZED (
   SELECT e.grp, c.cname AS name, count(*) AS n_mentions
   FROM ent_d e JOIN canon c ON c.grp = e.grp AND c.comp = e.comp
   GROUP BY e.grp, e.comp, c.cname
 ),
-ew AS (  -- weighted undirected edges + zero-weight self rows
+ew AS MATERIALIZED (  -- weighted undirected edges + zero-weight self rows
   SELECT grp, u, v, CAST(count(*) AS BIGINT) AS w, false AS self
   FROM (
     SELECT grp, subj AS u, obj AS v FROM swept WHERE subj <> obj
@@ -1160,19 +1177,19 @@ def _KG_DOCS_COMMUNITIES_INCR_SQL():
 
     return f"""WITH RECURSIVE {KG_DOCS_CTE},
 -- half-corpus image (even doc_ids): canonicalization + LP membership
-ent_d_h AS (SELECT * FROM ent_d WHERE doc_id % 2 = 0),
-canon_h AS (
+ent_d_h AS MATERIALIZED (SELECT * FROM ent_d WHERE doc_id % 2 = 0),
+canon_h AS MATERIALIZED (
   SELECT grp, comp,
     substr(max(lpad(CAST(length(name) AS VARCHAR),4,'0') || '|' || name), 6)
       AS cname
   FROM ent_d_h GROUP BY grp, comp
 ),
-nd_h AS (
+nd_h AS MATERIALIZED (
   SELECT e.grp, c.cname AS name, count(*) AS n_mentions
   FROM ent_d_h e JOIN canon_h c ON c.grp = e.grp AND c.comp = e.comp
   GROUP BY e.grp, e.comp, c.cname
 ),
-merged_h AS (
+merged_h AS MATERIALIZED (
   SELECT e0.grp, c.cname AS subj, e0.pred,
     COALESCE(c2.cname, e0.obj) AS obj, e0.fact,
     min(e0.valid_at) AS valid_at, min(e0.invalid_at) AS invalid_at
@@ -1184,7 +1201,7 @@ merged_h AS (
 ),
 -- post-fold canonical edge rows of the half KG: matched 'ended'
 -- markers drop (their invalidation effect is irrelevant to LP)
-kept_h AS (
+kept_h AS MATERIALIZED (
   SELECT grp, subj, pred, obj, fact FROM merged_h
   WHERE valid_at IS NOT NULL OR invalid_at IS NULL
   UNION ALL
@@ -1197,7 +1214,7 @@ kept_h AS (
         AND f.valid_at < m.invalid_at
     )
 ),
-ew_h AS (
+ew_h AS MATERIALIZED (
   SELECT grp, u, v, CAST(count(*) AS BIGINT) AS w, false AS self
   FROM (
     SELECT grp, subj AS u, obj AS v FROM kept_h WHERE subj <> obj
@@ -1224,7 +1241,7 @@ lp_h(iter, grp, node, label) AS (
     GROUP BY s.iter, s.grp, s.node
   ) WHERE iter < {MAX_LP_ITERS}
 ),
-mem_lbl_h AS (
+mem_lbl_h AS MATERIALIZED (
   SELECT l.grp, l.label, l.node AS name, nd_h.n_mentions
   FROM lp_h l JOIN nd_h ON nd_h.grp = l.grp AND nd_h.name = l.node
   WHERE l.iter = {MAX_LP_ITERS}
@@ -1236,7 +1253,7 @@ tops_h AS (
                        ORDER BY n_mentions DESC, name ASC) AS rk
   FROM mem_lbl_h
 ),
-memh AS (
+memh AS MATERIALIZED (
   SELECT m.grp, m.name, t.top_name || ' community' AS community_name,
     t.n_members
   FROM mem_lbl_h m
@@ -1245,7 +1262,7 @@ memh AS (
 -- full graph: canonical nodes + canonical edges over ALL docs
 nodes_f AS (SELECT DISTINCT grp, cname AS name FROM canon),
 -- full-corpus post-fold canonical edges == the pre_sweep rows
-merged_f AS (
+merged_f AS MATERIALIZED (
   SELECT grp, subj, pred, obj, fact FROM pre_sweep
 ),
 new_ents AS (
@@ -1253,7 +1270,7 @@ new_ents AS (
   LEFT JOIN memh m ON m.grp = n.grp AND m.name = n.name
   WHERE m.name IS NULL
 ),
-nbr AS (
+nbr AS MATERIALIZED (
   SELECT p.grp, p.e, m.community_name
   FROM (
     SELECT grp, subj AS e, obj AS nbr FROM merged_f
@@ -1804,6 +1821,9 @@ QUERIES = {
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
     "knn_ivf_indexed": knn_ivf_indexed,
+    # offline QA eval harness (prompts/eval.py analog; accuracy==1.0
+    # vs a DuckDB-derived expected set in tests/test_evals.py)
+    "eval_qa": eval_qa,
 }
 
 ORACLE_SQL = {

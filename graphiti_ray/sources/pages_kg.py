@@ -265,10 +265,10 @@ ent AS (
     FROM pf WHERE doc_id % 6 = 4
   UNION ALL SELECT doc_id, grp, url, prev_org, 'o|' || prev_org
     FROM pf WHERE doc_id % 8 = 6 AND bucket > 0
-), ent_d AS (SELECT DISTINCT doc_id, grp, url, name, comp FROM ent),
+), ent_d AS MATERIALIZED (SELECT DISTINCT doc_id, grp, url, name, comp FROM ent),
 -- canonical name per component: length-then-lexicographic max
 -- (name_sort_key of functions/extraction.py, string-encoded)
-canon AS (
+canon AS MATERIALIZED (
   SELECT grp, comp,
     substr(max(lpad(CAST(length(name) AS VARCHAR),4,'0') || '|' || name), 6)
       AS cname
@@ -276,7 +276,7 @@ canon AS (
 ),
 -- raw extracted edges (subject surname keys the subject's component;
 -- obj_comp, when set, canonicalizes a PERSON object the same way)
-edges0 AS (
+edges0 AS MATERIALIZED (
   SELECT grp, last, 'WORKS_FOR' AS pred, org AS obj,
     CAST(NULL AS VARCHAR) AS obj_comp,
     form || ' works for ' || org || '.' AS fact,
@@ -325,7 +325,7 @@ merged AS (
   JOIN canon c ON c.grp = e0.grp AND c.comp = 'p|' || e0.last
   LEFT JOIN canon c2 ON c2.grp = e0.grp AND c2.comp = e0.obj_comp
   GROUP BY 1, 2, 3, 4, 5
-), mfn AS (
+), mfn AS MATERIALIZED (
   SELECT *, trim(regexp_replace(regexp_replace(lower(fact),
     '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS fnorm
   FROM merged
@@ -336,9 +336,9 @@ merged AS (
 -- marker time — last in (valid_at, fact_norm) order, the merge_asof
 -- backward-strict tie-break — setting that fact's invalid_at to the
 -- min marker time; matched markers drop, unmatched ones stay as rows
-mk AS (SELECT * FROM mfn WHERE valid_at IS NULL AND invalid_at IS NOT NULL),
-fx AS (SELECT * FROM mfn WHERE valid_at IS NOT NULL),
-oth AS (SELECT * FROM mfn WHERE valid_at IS NULL AND invalid_at IS NULL),
+mk AS MATERIALIZED (SELECT * FROM mfn WHERE valid_at IS NULL AND invalid_at IS NOT NULL),
+fx AS MATERIALIZED (SELECT * FROM mfn WHERE valid_at IS NOT NULL),
+oth AS MATERIALIZED (SELECT * FROM mfn WHERE valid_at IS NULL AND invalid_at IS NULL),
 asg AS (
   SELECT mk.grp, mk.subj, mk.pred, mk.obj, mk.fact AS mfact,
     mk.invalid_at AS m_inv, fx.fact AS tfact,
@@ -348,12 +348,12 @@ asg AS (
   FROM mk JOIN fx ON fx.grp = mk.grp AND fx.subj = mk.subj
     AND fx.pred = mk.pred AND fx.obj = mk.obj
     AND fx.valid_at < mk.invalid_at
-), fold AS (SELECT * FROM asg WHERE rn = 1),
-fold_agg AS (
+), fold AS MATERIALIZED (SELECT * FROM asg WHERE rn = 1),
+fold_agg AS MATERIALIZED (
   SELECT grp, subj, pred, obj, tfact, min(m_inv) AS m_inv
   FROM fold GROUP BY 1, 2, 3, 4, 5
 ),
-pre_sweep AS (
+pre_sweep AS MATERIALIZED (
   SELECT f.grp, f.subj, f.pred, f.obj, f.fact, f.valid_at, f.created_at,
     CASE WHEN fa.m_inv IS NOT NULL
          THEN least(COALESCE(f.invalid_at, fa.m_inv), fa.m_inv)
@@ -373,7 +373,7 @@ pre_sweep AS (
 ),
 -- provenance after the fold: folded markers' episodes re-point to
 -- their target fact (n_episodes of kg_edges counts the union)
-edoc AS (
+edoc AS MATERIALIZED (
   SELECT e0.grp, c.cname AS subj, e0.pred,
     COALESCE(c2.cname, e0.obj) AS obj,
     COALESCE(fold.tfact, e0.fact) AS fact, e0.doc_id
@@ -383,7 +383,7 @@ edoc AS (
   LEFT JOIN fold ON fold.grp = e0.grp AND fold.subj = c.cname
     AND fold.pred = e0.pred AND fold.obj = COALESCE(c2.cname, e0.obj)
     AND fold.mfact = e0.fact
-), eps AS (
+), eps AS MATERIALIZED (
   SELECT grp, subj, pred, obj, fact, count(DISTINCT doc_id) AS n_episodes
   FROM edoc GROUP BY 1, 2, 3, 4, 5
 ),
@@ -391,7 +391,7 @@ edoc AS (
 -- contradicting valid_at, bounded by e's own (post-fold) invalid_at,
 -- skipping candidates whose interval ended at/before e starts; markers
 -- (valid NULL) neither close nor get closed
-swept AS (
+swept AS MATERIALIZED (
   SELECT p.grp, p.subj, p.pred, p.obj, p.fact, p.valid_at, p.created_at,
     e.n_episodes,
     CASE WHEN p.pred IN ('WORKS_FOR','LIVES_IN','HOLDS_ROLE')
