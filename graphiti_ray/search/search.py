@@ -150,35 +150,40 @@ def _corpus_stats(ds, text_col: str, terms: list[str]) -> tuple[int, float, dict
 
 
 def _topk_scores(scored, id_col: str, limit: int):
-    """Distributed top-k WITHOUT an all-to-all sort: each block keeps
-    its own best ``limit`` rows (vectorized Arrow sort per block), then
-    ONE single-group finalize orders the <= limit x num_blocks
-    survivors — the domain_cap pattern (ops/packing.py:60-95). A global
-    ``sort().limit(k)`` here would shuffle the entire scored corpus to
-    produce 10-20 rows."""
-    import numpy as np
-    import pandas as pd
+    """Distributed top-k without an all-to-all: each block keeps its
+    own best ``limit`` rows (vectorized Arrow sort per block — the
+    map-side-truncation half of the domain_cap pattern,
+    ops/packing.py:60-95), then the <= limit x num_blocks survivors
+    finalize ON THE DRIVER — a deliberate small-result collect
+    (limit is 10-20; even 10k blocks is trailing kilobytes). Both a
+    ``ds.sort().limit()`` and a single-group ``groupby`` finalize were
+    measured at ~1.5-2 s of fixed shuffle overhead PER LANE CALL on a
+    2.6k-row corpus; lane latency is interactive-search wall time, so
+    the tiny collect is the right trade."""
+    import ray.data as rd
 
     def partial(t: pa.Table) -> pa.Table:
         order = pc.sort_indices(
             t, sort_keys=[("score", "descending"), (id_col, "ascending")]
         )
-        t = t.take(order[:limit])
-        return t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int32)))
+        return t.take(order[:limit])
 
-    def finalize(df: "pd.DataFrame") -> "pd.DataFrame":
-        return (
-            df.sort_values(["score", id_col], ascending=[False, True])
-            .head(limit)
-            .drop(columns=["_g"])
-            .reset_index(drop=True)
-        )
-
-    return (
-        scored.map_batches(partial, batch_format="pyarrow")
-        .groupby("_g")
-        .map_groups(finalize, batch_format="pandas")
+    survivors = scored.map_batches(partial, batch_format="pyarrow")
+    parts = [
+        pa.Table.from_pydict(b)
+        if not isinstance(b, pa.Table) else b
+        for b in survivors.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    t = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table({id_col: pa.array([], pa.string()),
+                       "score": pa.array([], pa.float64())})
     )
+    order = pc.sort_indices(
+        t, sort_keys=[("score", "descending"), (id_col, "ascending")]
+    )
+    return rd.from_arrow(t.take(order[:limit]))
 
 
 def _fulltext_lane(ds, text_col: str, id_col: str, query: str, limit: int):

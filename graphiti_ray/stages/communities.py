@@ -348,20 +348,30 @@ def _lp_distributed(
             }
         )
 
+    # Both per-iteration exchanges run behind a CLUSTER-width block
+    # coalesce (bounded_group_map): a sync round costs two K-wide sort
+    # shuffles regardless of how many blocks the upstream union emits.
+    # Without the bound each round schedules O(blocks^2) shuffle
+    # objects and map_groups fans out one task per kb/ub bucket (256),
+    # which at low parallelism turns a tiny corpus into minutes of
+    # pure task-scheduling per iteration (the round-4 "hang").
+    from ..functions.exchange import bounded_group_map
+
     for _ in range(max_iters):
-        msgs = (
+        msgs = bounded_group_map(
             labels.map_batches(tag_label_by_uuid, batch_format="pyarrow")
-            .union(edges2.map_batches(tag_edge_by_v, batch_format="pyarrow"))
-            .groupby("kb")
-            .map_groups(attach, batch_format="pandas")
+            .union(edges2.map_batches(tag_edge_by_v, batch_format="pyarrow")),
+            "kb",
+            attach,
+            batch_format="pandas",
         )
-        new_labels = (
+        new_labels = bounded_group_map(
             labels.map_batches(tag_self, batch_format="pyarrow")
-            .union(msgs.map_batches(tag_msg_by_u, batch_format="pyarrow"))
-            .groupby("ub")
-            .map_groups(update, batch_format="pandas")
-            .materialize()
-        )
+            .union(msgs.map_batches(tag_msg_by_u, batch_format="pyarrow")),
+            "ub",
+            update,
+            batch_format="pandas",
+        ).materialize()
         changed = new_labels.sum("changed")
         labels = new_labels.drop_columns(["changed"]).materialize()
         if not changed:
@@ -384,10 +394,11 @@ def _lp_distributed(
             rows.extend(_community_rows(grp, list(info.keys()), info))
         return pd.DataFrame(rows, columns=OUT_COLUMNS)
 
-    return (
-        labels.map_batches(tag_by_label, batch_format="pyarrow")
-        .groupby("cb")
-        .map_groups(emit, batch_format="pandas")
+    return bounded_group_map(
+        labels.map_batches(tag_by_label, batch_format="pyarrow"),
+        "cb",
+        emit,
+        batch_format="pandas",
     )
 
 
