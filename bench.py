@@ -85,6 +85,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "dedup_fuzzy_keep",
         "dedup_simhash",
         "dedup_embedding_pairs",
+        "kmeans_clusters",
+        "semantic_dedup",
         "knn_bruteforce",
         "knn_lsh",
         "knn_ivf",

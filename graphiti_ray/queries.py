@@ -562,6 +562,22 @@ def dedup_embedding_pairs(sf_dir: str):
     return embedding_cosine_pairs(sf_dir)
 
 
+def kmeans_clusters(sf_dir: str):
+    """Spherical k-means over the embeddings table (broadcast
+    centroids, map-side partial sums, K-row driver state)."""
+    from .ops.clustering import kmeans_assignments
+
+    return kmeans_assignments(sf_dir)
+
+
+def semantic_dedup(sf_dir: str):
+    """SemDeDup: k-means partition + within-cluster cosine drop rule
+    over the planted-dup corpus."""
+    from .ops.clustering import semantic_dedup as sd
+
+    return sd(sf_dir)
+
+
 def knn_bruteforce(sf_dir: str):
     from .ops.simsearch import knn_bruteforce as knn
 
@@ -1316,6 +1332,12 @@ def _FILTERING_SQL(name: str) -> str:
     return getattr(filtering, name)
 
 
+def _CLUSTERING_SQL(name: str) -> str:
+    from .ops import clustering
+
+    return getattr(clustering, name)
+
+
 def _PACKING_SQL(name: str) -> str:
     from .ops import packing
 
@@ -1824,6 +1846,13 @@ QUERIES = {
     # offline QA eval harness (prompts/eval.py analog; accuracy==1.0
     # vs a DuckDB-derived expected set in tests/test_evals.py)
     "eval_qa": eval_qa,
+    # embedding clustering + SemDeDup (oracle-backed — the SQL mirrors
+    # live in ORACLE_SQL below and are pytest-gated by
+    # tests/test_clustering.py with the driver's exact compare; they
+    # sit outside the driver's 50-query window only because the window
+    # is full of greens)
+    "kmeans_clusters": kmeans_clusters,
+    "semantic_dedup": semantic_dedup,
 }
 
 ORACLE_SQL = {
@@ -1879,7 +1908,12 @@ ORACLE_SQL = {
     "join_broadcast": _RELATIONAL_SQL("JOIN_BROADCAST_SQL"),
     "join_shuffle": _RELATIONAL_SQL("JOIN_SHUFFLE_SQL"),
     "corpus_prep": CORPUS_PREP_SQL,
-    # The rows-only tail of QUERIES (episodic chain, approximate ANN
+    # Oracle-backed but outside the driver's 50-query window (window
+    # full): unrolled-Lloyd k-means + SemDeDup; pytest runs the exact
+    # driver compare on these (tests/test_clustering.py).
+    "kmeans_clusters": _CLUSTERING_SQL("KMEANS_SQL"),
+    "semantic_dedup": _CLUSTERING_SQL("SEMANTIC_DEDUP_SQL"),
+    # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.
 }
