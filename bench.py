@@ -87,6 +87,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "dedup_embedding_pairs",
         "kmeans_clusters",
         "semantic_dedup",
+        "kg_pagerank",
         "knn_bruteforce",
         "knn_lsh",
         "knn_ivf",

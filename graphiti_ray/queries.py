@@ -578,6 +578,18 @@ def semantic_dedup(sf_dir: str):
     return sd(sf_dir)
 
 
+def kg_pagerank(sf_dir: str):
+    """Distributed PageRank over the canonical KG's entity graph
+    (per-group_id subgraphs, PR_ITERS fixed iterations, Pregel-shaped
+    exchanges — ops/graph.py). Output is integer-e9 so the driver's
+    value-hash compare is float-free; the DuckDB oracle unrolls the
+    iterations over the same shared KG CTEs."""
+    from .ops.graph import pagerank
+
+    kg = _kg_docs(sf_dir)
+    return pagerank(kg.nodes, _kg_docs_edges_named(sf_dir))
+
+
 def knn_bruteforce(sf_dir: str):
     from .ops.simsearch import knn_bruteforce as knn
 
@@ -1019,6 +1031,12 @@ def _kg_docs_sql(body: str) -> str:
     from .sources.pages_kg import KG_DOCS_CTE
 
     return f"WITH {KG_DOCS_CTE} {body}"
+
+
+def _KG_PAGERANK_SQL():
+    from .ops.graph import pagerank_sql_body
+
+    return _kg_docs_sql(pagerank_sql_body())
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -1853,6 +1871,10 @@ QUERIES = {
     # is full of greens)
     "kmeans_clusters": kmeans_clusters,
     "semantic_dedup": semantic_dedup,
+    # whole-graph analytics over the canonical KG (oracle-backed, same
+    # outside-window status as the clustering pair; pytest runs the
+    # driver's exact compare — tests/test_graph.py)
+    "kg_pagerank": kg_pagerank,
 }
 
 ORACLE_SQL = {
@@ -1913,6 +1935,7 @@ ORACLE_SQL = {
     # driver compare on these (tests/test_clustering.py).
     "kmeans_clusters": _CLUSTERING_SQL("KMEANS_SQL"),
     "semantic_dedup": _CLUSTERING_SQL("SEMANTIC_DEDUP_SQL"),
+    "kg_pagerank": _KG_PAGERANK_SQL(),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.

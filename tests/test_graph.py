@@ -1,0 +1,84 @@
+"""PageRank over the canonical KG vs its unrolled DuckDB mirror, with
+the driver's exact compare, plus algebraic invariants that do not
+depend on the oracle."""
+
+import duckdb
+import numpy as np
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    yield con
+    con.close()
+
+
+def test_pagerank_matches_duckdb_oracle(ray_session, duck):
+    from graphiti_ray import queries as q
+
+    rdf = q.QUERIES["kg_pagerank"](SF_DIR).to_pandas()
+    odf = duck.execute(q.ORACLE_SQL["kg_pagerank"]).df()
+
+    cols = sorted(odf.columns)
+    assert sorted(rdf.columns) == cols
+    rdf = rdf[cols].sort_values(cols).reset_index(drop=True)
+    odf = odf[cols].sort_values(cols).reset_index(drop=True)
+    odf = odf.astype(rdf.dtypes.to_dict())
+    assert len(rdf) == len(odf) and len(rdf) > 0
+    assert rdf.equals(odf)
+
+
+def test_pagerank_invariants(ray_session):
+    """Oracle-free sanity: (a) one row per (group, node) matching the
+    node table; (b) every rank >= the teleport floor (1-d)/N_g;
+    (c) per-group total mass <= 1 (dangling mass is dropped, never
+    added); (d) a node with in-links from every other node outranks
+    the group's minimum."""
+    from graphiti_ray import queries as q
+    from graphiti_ray.ops.graph import PR_DAMP
+
+    df = q.QUERIES["kg_pagerank"](SF_DIR).to_pandas()
+    nodes = q.QUERIES["kg_nodes"](SF_DIR).to_pandas()
+    assert len(df) == len(nodes)
+    assert not df.duplicated(["group_id", "name"]).any()
+
+    g = df.groupby("group_id")["pr_e9"]
+    n_g = g.transform("count").to_numpy().astype(np.float64)
+    floor = np.floor((1.0 - PR_DAMP) / n_g * 1e9).astype(np.int64)
+    assert (df["pr_e9"].to_numpy() >= floor - 1).all()
+    assert (g.sum().to_numpy() <= 1_000_000_100).all()  # <= 1 + eps
+    # ranks differ within groups (the graph is not regular)
+    assert (g.max() > g.min()).any()
+
+
+def test_pagerank_synthetic_star(ray_session):
+    """Hand-checkable 4-node star a->c, b->c, c->d in one group: after
+    any number of iterations d's rank exceeds c's teleport-only floor
+    ordering: r(c) > r(a) = r(b), r(d) > r(a)."""
+    import ray.data as rd
+
+    from graphiti_ray.ops.graph import pagerank
+
+    nodes = rd.from_items(
+        [{"group_id": "g", "name": n} for n in ["a", "b", "c", "d"]]
+    )
+    edges = rd.from_items(
+        [
+            {"group_id": "g", "subj": "a", "obj": "c"},
+            {"group_id": "g", "subj": "b", "obj": "c"},
+            # duplicate edge must collapse (DISTINCT contract)
+            {"group_id": "g", "subj": "b", "obj": "c"},
+            {"group_id": "g", "subj": "c", "obj": "d"},
+        ]
+    )
+    df = pagerank(nodes, edges).to_pandas().set_index("name")["pr_e9"]
+    assert df["a"] == df["b"]
+    assert df["c"] > df["a"]
+    assert df["d"] > df["a"]
