@@ -88,6 +88,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "kmeans_clusters",
         "semantic_dedup",
         "kg_pagerank",
+        "kg_triangles",
+        "kg_degree_hist",
         "knn_bruteforce",
         "knn_lsh",
         "knn_ivf",

@@ -191,7 +191,223 @@ def pagerank(nodes_ds, edges_ds):
     return final.map_batches(out, batch_format="pyarrow")
 
 
-# ------------------------------------------------------- SQL mirror
+def _undirected_edges(edges_ds):
+    """DISTINCT undirected edge set per group: (group_id, u, v) with
+    u < v (name order), self-loops dropped — the standard graph-ified
+    view of the multi-digraph."""
+
+    def orient(t: pa.Table) -> pa.Table:
+        s = t.column("subj").cast(pa.string())
+        o = t.column("obj").cast(pa.string())
+        keep = pc.not_equal(s, o)
+        t2 = pa.table(
+            {
+                "group_id": pc.filter(t.column("group_id"), keep),
+                "u": pc.filter(pc.min_element_wise(s, o), keep),
+                "v": pc.filter(pc.max_element_wise(s, o), keep),
+            }
+        )
+        return t2
+
+    return _distinct_by_key(
+        edges_ds.map_batches(orient, batch_format="pyarrow"),
+        ["group_id", "u", "v"],
+        "uk",
+    )
+
+
+def triangle_count(edges_ds):
+    """(group_id, n_triangles) over the undirected distinct edge set.
+
+    Distributed shape (the 100-TB story): the name-order orientation
+    (u < v) means each triangle {x<y<z} is counted exactly once as the
+    wedge (x-y, y-z) closed by the edge (x, z). Wedges are generated
+    per PIVOT node (one groupby(group, mid) exchange; per-group kernel
+    is a vectorized triu_indices pair expansion), then closed by ONE
+    more exchange that co-locates wedges with the edge set on the
+    (group, endpoints) key — count = wedges landing on a real edge.
+    Hot pivots are the known skew (a celebrity entity's wedge set is
+    O(deg^2)); production would cap/bucketize pivot degree — at this
+    corpus's degrees the exact path is the right default.
+    """
+    und = _undirected_edges(edges_ds).materialize()
+
+    # wedges pivoted at the LOWER endpoint u: for u's neighbor set
+    # {n1 < n2 < ...}, every pair (ni, nj) is a candidate closing edge
+    def mid_key(t: pa.Table) -> pa.Table:
+        return t.append_column("mk", _key2(t, "group_id", "u"))
+
+    def wedges(g: pa.Table) -> pa.Table:
+        grp = g.column("group_id")[0].as_py()
+        nbrs = np.sort(
+            np.asarray(g.column("v").to_numpy(zero_copy_only=False), dtype=object)
+        )
+        m = len(nbrs)
+        if m < 2:
+            return pa.table(
+                {
+                    "group_id": pa.array([], pa.string()),
+                    "u": pa.array([], pa.string()),
+                    "v": pa.array([], pa.string()),
+                }
+            )
+        i, j = np.triu_indices(m, k=1)
+        return pa.table(
+            {
+                "group_id": pa.array([grp] * len(i), pa.string()),
+                "u": pa.array(nbrs[i], pa.string()),
+                "v": pa.array(nbrs[j], pa.string()),
+            }
+        )
+
+    w = (
+        und.map_batches(mid_key, batch_format="pyarrow")
+        .groupby("mk")
+        .map_groups(wedges, batch_format="pyarrow")
+    )
+
+    def tag(is_edge: bool):
+        def f(t: pa.Table) -> pa.Table:
+            k = pc.binary_join_element_wise(
+                t.column("group_id").cast(pa.string()),
+                t.column("u").cast(pa.string()),
+                t.column("v").cast(pa.string()),
+                _SEP,
+            )
+            n = t.num_rows
+            out = pa.table(
+                {
+                    "k": k,
+                    "group_id": t.column("group_id"),
+                    "w": pa.array(np.full(n, 0 if is_edge else 1), pa.int64()),
+                    "e": pa.array(np.full(n, 1 if is_edge else 0), pa.int64()),
+                }
+            )
+            # map-side combine: per-block wedge multiplicity is 1 by
+            # construction, but blocks of wedges from different pivots
+            # can repeat a key
+            return out.group_by(["k", "group_id"]).aggregate(
+                [("w", "sum"), ("e", "sum")]
+            )
+
+        return f
+
+    both = w.map_batches(tag(False), batch_format="pyarrow").union(
+        und.map_batches(tag(True), batch_format="pyarrow")
+    )
+
+    def close(g: pa.Table) -> pa.Table:
+        w_n = int(np.sum(g.column("w_sum").to_numpy(zero_copy_only=False)))
+        e_n = int(np.sum(g.column("e_sum").to_numpy(zero_copy_only=False)))
+        tri = w_n if e_n > 0 else 0
+        return pa.table(
+            {
+                "group_id": pa.array([g.column("group_id")[0].as_py()], pa.string()),
+                "tri": pa.array([tri], pa.int64()),
+            }
+        )
+
+    per_key = both.groupby("k").map_groups(close, batch_format="pyarrow")
+    agg = per_key.groupby("group_id").sum("tri")
+
+    def out(t: pa.Table) -> pa.Table:
+        n = t.column("sum(tri)").cast(pa.int64())
+        keep = pc.greater(n, 0)
+        return pa.table(
+            {
+                "group_id": pc.filter(t.column("group_id"), keep),
+                "n_triangles": pc.filter(n, keep),
+            }
+        )
+
+    return agg.map_batches(out, batch_format="pyarrow")
+
+
+def degree_histogram(edges_ds):
+    """(group_id, degree, n_nodes) over the undirected distinct edge
+    set — degree distribution per group. Two tiny exchanges (node
+    degree, then histogram)."""
+    und = _undirected_edges(edges_ds)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        gcol = t.column("group_id").cast(pa.string())
+        halves = [
+            pa.table({"group_id": gcol, "name": t.column(c).cast(pa.string())})
+            for c in ("u", "v")
+        ]
+        out = pa.concat_tables(halves)
+        out = out.append_column(
+            "nk",
+            pc.binary_join_element_wise(
+                out.column("group_id"), out.column("name"), _SEP
+            ),
+        )
+        # map-side combine (access by NAME — pyarrow group_by column
+        # order is an implementation detail)
+        g = out.group_by("nk").aggregate([([], "count_all")])
+        return pa.table(
+            {"nk": g.column("nk"), "d": g.column("count_all").cast(pa.int64())}
+        )
+
+    deg = (
+        und.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("nk")
+        .sum("d")
+    )
+
+    def gk(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("nk"), _SEP)
+        return pa.table(
+            {
+                "group_id": pc.list_element(parts, 0),
+                "degree": t.column("sum(d)").cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        deg.map_batches(gk, batch_format="pyarrow")
+        .groupby(["group_id", "degree"])
+        .count()
+    )
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "group_id": t.column("group_id"),
+                "degree": t.column("degree"),
+                "n_nodes": t.column("count()").cast(pa.int64()),
+            }
+        )
+
+    return hist.map_batches(out, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- SQL mirrors
+
+TRIANGLES_SQL_BODY = """
+, tri_und AS (
+  SELECT DISTINCT grp, least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM swept WHERE subj <> obj)
+SELECT a.grp AS group_id, count(*) AS n_triangles
+FROM tri_und a
+JOIN tri_und b ON b.grp = a.grp AND b.u = a.v
+JOIN tri_und c ON c.grp = a.grp AND c.u = a.u AND c.v = b.v
+GROUP BY a.grp
+"""
+
+DEGREE_HIST_SQL_BODY = """
+, dh_und AS (
+  SELECT DISTINCT grp, least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM swept WHERE subj <> obj),
+dh_deg AS (
+  SELECT grp, name, count(*) AS degree FROM (
+    SELECT grp, u AS name FROM dh_und
+    UNION ALL SELECT grp, v FROM dh_und)
+  GROUP BY grp, name)
+SELECT grp AS group_id, degree, count(*) AS n_nodes
+FROM dh_deg GROUP BY grp, degree
+"""
+
 
 def pagerank_sql_body() -> str:
     """Unrolled-iteration PageRank over the shared KG oracle CTEs

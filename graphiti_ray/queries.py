@@ -590,6 +590,22 @@ def kg_pagerank(sf_dir: str):
     return pagerank(kg.nodes, _kg_docs_edges_named(sf_dir))
 
 
+def kg_triangles(sf_dir: str):
+    """Triangle count per group over the canonical KG's undirected
+    distinct edge set (degree-oriented wedge join, ops/graph.py)."""
+    from .ops.graph import triangle_count
+
+    return triangle_count(_kg_docs_edges_named(sf_dir))
+
+
+def kg_degree_hist(sf_dir: str):
+    """Degree distribution per group over the canonical KG's
+    undirected distinct edge set (ops/graph.py)."""
+    from .ops.graph import degree_histogram
+
+    return degree_histogram(_kg_docs_edges_named(sf_dir))
+
+
 def knn_bruteforce(sf_dir: str):
     from .ops.simsearch import knn_bruteforce as knn
 
@@ -1037,6 +1053,12 @@ def _KG_PAGERANK_SQL():
     from .ops.graph import pagerank_sql_body
 
     return _kg_docs_sql(pagerank_sql_body())
+
+
+def _KG_GRAPH_SQL(attr: str):
+    from .ops import graph
+
+    return _kg_docs_sql(getattr(graph, attr))
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -1875,6 +1897,8 @@ QUERIES = {
     # outside-window status as the clustering pair; pytest runs the
     # driver's exact compare — tests/test_graph.py)
     "kg_pagerank": kg_pagerank,
+    "kg_triangles": kg_triangles,
+    "kg_degree_hist": kg_degree_hist,
 }
 
 ORACLE_SQL = {
@@ -1936,6 +1960,8 @@ ORACLE_SQL = {
     "kmeans_clusters": _CLUSTERING_SQL("KMEANS_SQL"),
     "semantic_dedup": _CLUSTERING_SQL("SEMANTIC_DEDUP_SQL"),
     "kg_pagerank": _KG_PAGERANK_SQL(),
+    "kg_triangles": _KG_GRAPH_SQL("TRIANGLES_SQL_BODY"),
+    "kg_degree_hist": _KG_GRAPH_SQL("DEGREE_HIST_SQL_BODY"),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.

@@ -20,11 +20,14 @@ def duck():
     con.close()
 
 
-def test_pagerank_matches_duckdb_oracle(ray_session, duck):
+@pytest.mark.parametrize(
+    "name", ["kg_pagerank", "kg_triangles", "kg_degree_hist"]
+)
+def test_graph_matches_duckdb_oracle(ray_session, duck, name):
     from graphiti_ray import queries as q
 
-    rdf = q.QUERIES["kg_pagerank"](SF_DIR).to_pandas()
-    odf = duck.execute(q.ORACLE_SQL["kg_pagerank"]).df()
+    rdf = q.QUERIES[name](SF_DIR).to_pandas()
+    odf = duck.execute(q.ORACLE_SQL[name]).df()
 
     cols = sorted(odf.columns)
     assert sorted(rdf.columns) == cols
@@ -82,3 +85,30 @@ def test_pagerank_synthetic_star(ray_session):
     assert df["a"] == df["b"]
     assert df["c"] > df["a"]
     assert df["d"] > df["a"]
+
+
+def test_triangles_synthetic(ray_session):
+    """K4 minus one edge = 2 triangles; direction and multi-edges must
+    not matter; self-loops ignored."""
+    import ray.data as rd
+
+    from graphiti_ray.ops.graph import degree_histogram, triangle_count
+
+    def e(s, o):
+        return {"group_id": "g", "subj": s, "obj": o}
+
+    edges = rd.from_items(
+        [
+            e("a", "b"), e("b", "c"), e("c", "a"),      # triangle abc
+            e("a", "c"),                                  # reverse dup of c->a
+            e("a", "d"), e("d", "c"),                     # triangle acd
+            e("d", "d"),                                  # self-loop ignored
+        ]
+    )
+    tri = triangle_count(edges).to_pandas()
+    assert len(tri) == 1 and tri["n_triangles"].iloc[0] == 2
+
+    hist = degree_histogram(edges).to_pandas()
+    # degrees: a=3, b=2, c=3, d=2 -> {2: 2 nodes, 3: 2 nodes}
+    got = dict(zip(hist["degree"], hist["n_nodes"]))
+    assert got == {2: 2, 3: 2}
