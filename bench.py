@@ -90,6 +90,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "kg_pagerank",
         "kg_triangles",
         "kg_degree_hist",
+        "repeated_spans",
         "knn_bruteforce",
         "knn_lsh",
         "knn_ivf",

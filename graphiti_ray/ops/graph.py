@@ -102,14 +102,23 @@ def _distinct_nodes(nodes_ds):
     return ded.map_batches(keys, batch_format="pyarrow")
 
 
-def pagerank(nodes_ds, edges_ds):
+def pagerank(nodes_ds, edges_ds, force_dataset_tier: bool = False):
     """PageRank over (group_id, name) nodes / (group_id, subj, obj)
     edges -> Dataset (group_id, name, pr_e9:int64). Each group_id is an
     independent graph; see the module docstring for the exact contract.
-    """
-    import ray
 
-    from ..stages.joins import broadcast_map, get_broadcast, lookup_column
+    Two tiers, same contract (forced-tier equality is pytest-pinned):
+    - broadcast tier (node count <= joins.BROADCAST_MAX_ROWS): the
+      O(nodes) rank vector lives on the driver/object store like the
+      k-means centroids — each iteration is ONE streaming pass over
+      the edge table (broadcast ranks in, per-block partial sums out)
+      + one tiny groupby whose O(nodes) result returns to the driver.
+      3 exchanges total for 3 iterations.
+    - dataset tier (above the cap): ranks stay a Dataset; the
+      per-iteration join runs through lookup_column's tiered
+      broadcast/shard machinery and one groupby(target) exchange.
+    """
+    from ..stages.joins import BROADCAST_MAX_ROWS, lookup_column
 
     nodes = _distinct_nodes(nodes_ds).materialize()
     ed = _distinct_edges(edges_ds)
@@ -119,6 +128,72 @@ def pagerank(nodes_ds, edges_ds):
     ed = lookup_column(
         ed, "sk", deg, "sk", "count()", "deg", val_type=pa.int64()
     ).materialize()
+
+    n_nodes = nodes.count()
+    if not force_dataset_tier and n_nodes <= BROADCAST_MAX_ROWS:
+        return _pagerank_broadcast(nodes, ed)
+    return _pagerank_dataset(nodes, ed)
+
+
+def _pagerank_broadcast(nodes, ed):
+    import ray
+
+    from ..stages.joins import get_broadcast
+
+    # O(nodes) driver state: sorted node keys, group sizes, rank vector
+    nd = nodes.to_pandas()
+    order = np.argsort(nd["nk"].to_numpy())
+    nk = nd["nk"].to_numpy()[order]
+    grp = nd["group_id"].to_numpy()[order]
+    n_of_grp = nd.groupby("group_id")["nk"].size()
+    n = n_of_grp.reindex(grp).to_numpy().astype(np.float64)
+    r = np.round(1.0 / n, PR_ROUND)
+
+    def partials(t: pa.Table, rref) -> pa.Table:
+        keys, rank = get_broadcast(rref)
+        sk = t.column("sk").to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(keys, sk), 0, max(len(keys) - 1, 0))
+        ok = keys[idx] == sk  # edges from unknown sources contribute 0
+        d = t.column("deg").to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.where(ok, rank[idx] / d, 0.0)
+        part = pa.table({"tk": t.column("tk"), "w": pa.array(w)})
+        return part.group_by("tk").aggregate([("w", "sum")])
+
+    for _ in range(PR_ITERS):
+        rref = ray.put((nk, r))
+        rows = (
+            ed.map_batches(partials, fn_args=(rref,), batch_format="pyarrow")
+            .groupby("tk")
+            .sum("w_sum")
+            .to_pandas()
+        )  # O(nodes) rows — the only driver traffic of the iteration
+        s = np.zeros(len(nk))
+        tks = rows["tk"].to_numpy()
+        idx = np.clip(np.searchsorted(nk, tks), 0, max(len(nk) - 1, 0))
+        ok = nk[idx] == tks  # mass flowing to non-node targets is dropped
+        s[idx[ok]] = rows["sum(w_sum)"].to_numpy()[ok]
+        r = np.round((1.0 - PR_DAMP) / n + PR_DAMP * s, PR_ROUND)
+
+    fref = ray.put((nk, r))
+
+    def out(t: pa.Table, rref) -> pa.Table:
+        keys, rank = get_broadcast(rref)
+        idx = np.searchsorted(keys, t.column("nk").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "group_id": t.column("group_id"),
+                "name": t.column("name"),
+                "pr_e9": pa.array(np.rint(rank[idx] * 1e9).astype(np.int64)),
+            }
+        )
+
+    return nodes.map_batches(out, fn_args=(fref,), batch_format="pyarrow")
+
+
+def _pagerank_dataset(nodes, ed):
+    import ray
+
+    from ..stages.joins import broadcast_map, get_broadcast, lookup_column
 
     # per-group node count: #groups rows -> driver dict -> object store
     ng = nodes.groupby("group_id").count()
@@ -278,7 +353,6 @@ def triangle_count(edges_ds):
             out = pa.table(
                 {
                     "k": k,
-                    "group_id": t.column("group_id"),
                     "w": pa.array(np.full(n, 0 if is_edge else 1), pa.int64()),
                     "e": pa.array(np.full(n, 1 if is_edge else 0), pa.int64()),
                 }
@@ -286,9 +360,7 @@ def triangle_count(edges_ds):
             # map-side combine: per-block wedge multiplicity is 1 by
             # construction, but blocks of wedges from different pivots
             # can repeat a key
-            return out.group_by(["k", "group_id"]).aggregate(
-                [("w", "sum"), ("e", "sum")]
-            )
+            return out.group_by("k").aggregate([("w", "sum"), ("e", "sum")])
 
         return f
 
@@ -296,19 +368,29 @@ def triangle_count(edges_ds):
         und.map_batches(tag(True), batch_format="pyarrow")
     )
 
-    def close(g: pa.Table) -> pa.Table:
-        w_n = int(np.sum(g.column("w_sum").to_numpy(zero_copy_only=False)))
-        e_n = int(np.sum(g.column("e_sum").to_numpy(zero_copy_only=False)))
-        tri = w_n if e_n > 0 else 0
+    from ray.data.aggregate import Sum
+
+    per_key = both.groupby("k").aggregate(Sum("w_sum"), Sum("e_sum"))
+
+    def close(t: pa.Table) -> pa.Table:
+        # vectorized: a wedge key contributes its wedge count iff the
+        # closing edge exists; group_id is the key's first component
+        parts = pc.split_pattern(t.column("k"), _SEP)
+        wn = t.column("sum(w_sum)").to_numpy(zero_copy_only=False)
+        en = t.column("sum(e_sum)").to_numpy(zero_copy_only=False)
+        tri = np.where(en > 0, wn, 0).astype(np.int64)
         return pa.table(
             {
-                "group_id": pa.array([g.column("group_id")[0].as_py()], pa.string()),
-                "tri": pa.array([tri], pa.int64()),
+                "group_id": pc.list_element(parts, 0),
+                "tri": pa.array(tri),
             }
         )
 
-    per_key = both.groupby("k").map_groups(close, batch_format="pyarrow")
-    agg = per_key.groupby("group_id").sum("tri")
+    agg = (
+        per_key.map_batches(close, batch_format="pyarrow")
+        .groupby("group_id")
+        .sum("tri")
+    )
 
     def out(t: pa.Table) -> pa.Table:
         n = t.column("sum(tri)").cast(pa.int64())

@@ -234,17 +234,25 @@ def build_kg(
 
         return run
 
+    from ..functions.exchange import coalesced
+
     with ThreadPoolExecutor(max_workers=3) as ex:
-        f_nodes = ex.submit(_timed(nodes.materialize))
+        # coalesced(): the canonical tables are orders of magnitude
+        # smaller than the extraction output but inherit its BLOCK
+        # COUNT — rebounding to cluster width here keeps every
+        # downstream exchange (communities, summaries, search lanes,
+        # degree aggregates) at O(width^2) scheduling instead of
+        # O(extraction_blocks^2)
+        f_nodes = ex.submit(_timed(lambda: coalesced(nodes.materialize())))
         f_edges = ex.submit(
-            _timed(lambda: edge_stage.resolve_edges(
+            _timed(lambda: coalesced(edge_stage.resolve_edges(
                 edges_raw, alias, now, uuid_map_ds=uuid_map
-            ).materialize())
+            ).materialize()))
         )
         f_mentions = ex.submit(
-            _timed(lambda: _dedupe_mentions(
+            _timed(lambda: coalesced(_dedupe_mentions(
                 mentions_raw, alias, uuid_map_ds=uuid_map
-            ).materialize())
+            ).materialize()))
         )
         nodes, tn = f_nodes.result()
         edges, te = f_edges.result()

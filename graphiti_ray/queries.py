@@ -590,6 +590,14 @@ def kg_pagerank(sf_dir: str):
     return pagerank(kg.nodes, _kg_docs_edges_named(sf_dir))
 
 
+def repeated_spans(sf_dir: str):
+    """Cross-document repeated-span statistics (windowed exact
+    substring dedup, Lee et al. 2107.06499) — ops/spans.py."""
+    from .ops.spans import repeated_spans as rs
+
+    return rs(sf_dir)
+
+
 def kg_triangles(sf_dir: str):
     """Triangle count per group over the canonical KG's undirected
     distinct edge set (degree-oriented wedge join, ops/graph.py)."""
@@ -1059,6 +1067,12 @@ def _KG_GRAPH_SQL(attr: str):
     from .ops import graph
 
     return _kg_docs_sql(getattr(graph, attr))
+
+
+def _REPEATED_SPANS_SQL():
+    from .ops.spans import REPEATED_SPANS_SQL
+
+    return REPEATED_SPANS_SQL
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -1899,6 +1913,7 @@ QUERIES = {
     "kg_pagerank": kg_pagerank,
     "kg_triangles": kg_triangles,
     "kg_degree_hist": kg_degree_hist,
+    "repeated_spans": repeated_spans,
 }
 
 ORACLE_SQL = {
@@ -1962,6 +1977,7 @@ ORACLE_SQL = {
     "kg_pagerank": _KG_PAGERANK_SQL(),
     "kg_triangles": _KG_GRAPH_SQL("TRIANGLES_SQL_BODY"),
     "kg_degree_hist": _KG_GRAPH_SQL("DEGREE_HIST_SQL_BODY"),
+    "repeated_spans": _REPEATED_SPANS_SQL(),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.

@@ -461,7 +461,9 @@ def build_communities(
             lambda t: t.filter(pc.is_in(t.column("group_id"), value_set=want)),
             batch_format="pyarrow",
         )
-    proj = proj.materialize()
+    from ..functions.exchange import coalesced
+
+    proj = coalesced(proj.materialize())
     counts = proj.groupby("group_id").count().to_pandas()
     hot = sorted(counts[counts["count()"] > hot_group_rows]["group_id"])
     if not hot:
