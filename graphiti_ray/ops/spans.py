@@ -87,26 +87,52 @@ def repeated_spans(sf_dir: str):
             }
         )
 
-    from ray.data.aggregate import Sum
+    def doc_bucket(t: pa.Table) -> pa.Table:
+        db = pc.cast(
+            pc.bit_wise_and(t.column("doc_id"), pa.scalar(63, pa.int64())),
+            pa.int32(),
+        )
+        return t.append_column("db", db)
 
+    def doc_reduce(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("doc_id")[["rep_pos", "rep_grams"]].sum()
+        return pd.DataFrame(
+            {
+                "doc_id": g.index.to_numpy(np.int64),
+                "rep_pos": g["rep_pos"].to_numpy(np.int64),
+                "rep_grams": g["rep_grams"].to_numpy(np.int64),
+            }
+        )
+
+    # doc totals: one bucketed exchange with a vectorized per-bucket
+    # reducer (Dataset.aggregate's per-distinct-key sort path measured
+    # ~12x slower on this shape)
     totals = (
         docs.map_batches(grams, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_reduce, batch_format="pandas")
-        .groupby("doc_id")
-        .aggregate(Sum("rep_pos"), Sum("rep_grams"))
+        .map_batches(doc_bucket, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(doc_reduce, batch_format="pandas")
     )
 
     def count_key(t: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "ck": pc.cast(t.column("doc_id"), pa.string()),
-                "pos": pc.cast(t.column("sum(rep_pos)"), pa.int64()),
-                "grm": pc.cast(t.column("sum(rep_grams)"), pa.int64()),
+                "pos": pc.cast(t.column("rep_pos"), pa.int64()),
+                "grm": pc.cast(t.column("rep_grams"), pa.int64()),
             }
         )
 
-    keyed = totals.map_batches(count_key, batch_format="pyarrow")
+    # materialize ONCE: lookup_column consumes its mapping twice
+    # (count + collect) and we look up two columns — a lazy `keyed`
+    # would re-run the whole gram exchange up to 4x
+    from ..functions.exchange import coalesced
+
+    keyed = coalesced(
+        totals.map_batches(count_key, batch_format="pyarrow").materialize()
+    )
 
     def doc_side(t: pa.Table) -> pa.Table:
         ntok = pc.list_value_length(pc.split_pattern(t.column("text"), " "))
