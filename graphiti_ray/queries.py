@@ -578,6 +578,16 @@ def semantic_dedup(sf_dir: str):
     return sd(sf_dir)
 
 
+def classifier_lr(sf_dir: str):
+    """Trainable quality classifier: logistic regression by full-batch
+    GD, each step one streaming map-reduce pass over a materialized
+    ~40-byte/doc feature table (ops/classify_lr.py). The DuckDB oracle
+    unrolls the whole training run."""
+    from .ops.classify_lr import classifier_lr as clr
+
+    return clr(sf_dir)
+
+
 def kg_pagerank(sf_dir: str):
     """Distributed PageRank over the canonical KG's entity graph
     (per-group_id subgraphs, PR_ITERS fixed iterations, Pregel-shaped
@@ -1073,6 +1083,12 @@ def _REPEATED_SPANS_SQL():
     from .ops.spans import REPEATED_SPANS_SQL
 
     return REPEATED_SPANS_SQL
+
+
+def _CLASSIFIER_LR_SQL():
+    from .ops.classify_lr import CLASSIFIER_LR_SQL
+
+    return CLASSIFIER_LR_SQL
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -1914,6 +1930,10 @@ QUERIES = {
     "kg_triangles": kg_triangles,
     "kg_degree_hist": kg_degree_hist,
     "repeated_spans": repeated_spans,
+    # trainable quality classifier (oracle-backed, same outside-window
+    # status as the clustering pair; exact driver compare in
+    # tests/test_classify_lr.py)
+    "classifier_lr": classifier_lr,
 }
 
 ORACLE_SQL = {
@@ -1978,6 +1998,7 @@ ORACLE_SQL = {
     "kg_triangles": _KG_GRAPH_SQL("TRIANGLES_SQL_BODY"),
     "kg_degree_hist": _KG_GRAPH_SQL("DEGREE_HIST_SQL_BODY"),
     "repeated_spans": _REPEATED_SPANS_SQL(),
+    "classifier_lr": _CLASSIFIER_LR_SQL(),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.

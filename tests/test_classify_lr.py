@@ -1,0 +1,67 @@
+"""Trainable logistic-regression classifier vs its unrolled-GD DuckDB
+mirror, with the driver's exact compare, plus learning-curve and
+determinism sanity."""
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    yield con
+    con.close()
+
+
+def test_classifier_lr_matches_duckdb_oracle(ray_session, duck):
+    from graphiti_ray import queries as q
+
+    rdf = q.QUERIES["classifier_lr"](SF_DIR).to_pandas()
+    odf = duck.execute(q.ORACLE_SQL["classifier_lr"]).df()
+
+    cols = sorted(odf.columns)
+    assert sorted(rdf.columns) == cols
+    rdf = rdf[cols].sort_values(cols).reset_index(drop=True)
+    odf = odf[cols].sort_values(cols).reset_index(drop=True)
+    odf = odf.astype(rdf.dtypes.to_dict())
+    assert len(rdf) == len(odf) and len(rdf) > 0
+    assert rdf.equals(odf)
+
+
+def test_classifier_lr_learning_curve(ray_session):
+    """Each GD step must not increase the full-batch log-loss on this
+    corpus (w=0 gives exactly ln 2), i.e. the distributed gradient is a
+    real gradient."""
+    import math
+
+    from graphiti_ray.ops.classify_lr import LR_ITERS, logloss
+
+    losses = [logloss(SF_DIR, i) for i in range(LR_ITERS + 1)]
+    assert abs(losses[0] - math.log(2)) < 1e-12
+    for a, b in zip(losses, losses[1:]):
+        assert b <= a + 1e-12
+    assert losses[-1] < losses[0]
+
+
+def test_classifier_lr_output_contract(ray_session):
+    """pred == (prob >= 0.5), label is the lang=='en' indicator, one
+    row per document, probs inside (0, 1)."""
+    import pyarrow.parquet as pq
+
+    from graphiti_ray import queries as q
+
+    df = q.QUERIES["classifier_lr"](SF_DIR).to_pandas()
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"]
+    ).to_pandas()
+    assert len(df) == len(t) and df["doc_id"].is_unique
+    m = df.merge(t, on="doc_id")
+    assert (m["label"] == (m["lang"] == "en").astype("int64")).all()
+    assert (df["pred"] == (df["prob"] >= 0.5)).all()
+    assert ((df["prob"] > 0) & (df["prob"] < 1)).all()
