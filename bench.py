@@ -91,6 +91,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "kg_triangles",
         "kg_degree_hist",
         "repeated_spans",
+        "classifier_lr",
+        "perplexity_buckets",
         "knn_bruteforce",
         "knn_lsh",
         "knn_ivf",

@@ -202,3 +202,153 @@ SELECT t.doc_id,
 FROM tok t JOIN model m USING (word)
 GROUP BY t.doc_id
 """
+
+
+# ------------------------------------------------- CCNet-style buckets
+
+PPL_BUCKETS = ("head", "middle", "tail")
+
+# Per-token rarity cap: bounds the per-doc int64 sum even for a doc
+# made entirely of hapaxes at web scale (1e4 tokens x 1e12 = 1e16,
+# well inside int64). No word approaches it at test scales, so the
+# oracle is unaffected; it exists for the 100-TB regime.
+RARITY_CAP = 1_000_000_000_000
+
+
+def _ppl_milli(score: np.ndarray, n_words: np.ndarray) -> np.ndarray:
+    """Mean per-token rarity: score // n_words — pure int64 ops, so
+    numpy and DuckDB's ``//`` agree bit-for-bit (all values
+    non-negative; n_words >= 1 because splitting an empty string
+    yields one empty token on both engines). 'milli' because the
+    rarity unit already carries a x1000 scale factor."""
+    return score // np.maximum(n_words, 1)
+
+
+def perplexity_buckets(sf_dir: str):
+    """(doc_id, lang, ppl_milli, bucket): CCNet-style per-language
+    perplexity bucketing (Wenzek et al. 2019, arXiv:1911.00359 §4.4) —
+    score every doc with a corpus unigram rarity model, then split
+    each language into head/middle/tail at the 1/3 and 2/3
+    k-th-order-statistic thresholds.
+
+    The per-token score is integer IDF-style rarity
+    ``min((1000*total_tokens) // corpus_count(word), RARITY_CAP)`` —
+    monotone in true unigram surprisal -log(count/total) but computed
+    entirely in int64, so the engine and the DuckDB oracle agree
+    bit-for-bit (log-based scores quantize too coarsely: on a
+    near-uniform vocabulary floor(log2(count)) is a constant and the
+    bucketing degenerates). ppl_milli = doc rarity sum // n_words;
+    HIGH = rare-token-heavy = high perplexity, so head (CCNet's
+    lowest-perplexity third) is the BOTTOM third by value
+    (ppl_milli <= t1).
+
+    Ties sit entirely on one side of a threshold VALUE (CCNet's
+    value-threshold semantics), so bucket sizes are ntile-approximate,
+    never split mid-value — deterministic without any doc_id ranking.
+
+    Scale shape: ONE text pass scores (broadcast unigram model — see
+    lm_score's Heaps'-law argument); the threshold state is a
+    (lang, ppl) VALUE histogram — bounded by #langs x #distinct
+    integer ppl values, so collecting it on the driver is
+    O(value-grid), not O(corpus); assignment is a second streaming
+    pass against the broadcast {lang: (t1, t2)} dict (tiny)."""
+    import ray
+
+    df = _counts_ds(sf_dir).to_pandas()
+    counts = df["sum(n)"].to_numpy(np.int64)
+    total = int(counts.sum())
+    rarity = np.minimum((1000 * total) // counts, RARITY_CAP)
+    model_ref = ray.put(dict(zip(df["word"], rarity)))
+
+    def score_with_lang(batch: pa.Table) -> pa.Table:
+        out = _score_batch(batch, model_ref)
+        s = np.asarray(out.column("lm_score"), np.int64)
+        n = np.asarray(out.column("n_words"), np.int64)
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id"),
+                "lang": batch.column("lang"),
+                "ppl_milli": pa.array(_ppl_milli(s, n), pa.int64()),
+            }
+        )
+
+    scored = (
+        read_documents(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(score_with_lang, batch_format="pyarrow")
+        .materialize()  # 3 small columns; scored once, read twice
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["lang", "ppl_milli"])
+            .group_by(["lang", "ppl_milli"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["lang", "ppl_milli", "n"])
+
+    hist = (
+        scored.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang", "ppl_milli"])
+        .sum("n")
+        .to_pandas()  # value-histogram-sized (see docstring)
+    )
+
+    thresholds: dict[str, tuple[int, int]] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("ppl_milli")  # head = LOW value (low perplexity)
+        cum = g["sum(n)"].cumsum().to_numpy()
+        vals = g["ppl_milli"].to_numpy()
+        n = int(cum[-1])
+        k1 = -(-n // 3)  # ceil(n/3)
+        k2 = -(-2 * n // 3)
+        t1 = int(vals[np.searchsorted(cum, k1)])
+        t2 = int(vals[np.searchsorted(cum, k2)])
+        thresholds[str(lang)] = (t1, t2)
+
+    def assign(t: pa.Table, thr=thresholds) -> pa.Table:
+        langs = t.column("lang").to_pylist()
+        ppl = np.asarray(t.column("ppl_milli"), np.int64)
+        t1 = np.fromiter((thr[l][0] for l in langs), np.int64, len(langs))
+        t2 = np.fromiter((thr[l][1] for l in langs), np.int64, len(langs))
+        bucket = np.where(ppl <= t1, "head", np.where(ppl <= t2, "middle", "tail"))
+        return t.append_column("bucket", pa.array(bucket.tolist(), pa.string()))
+
+    return scored.map_batches(assign, batch_format="pyarrow")
+
+
+PERPLEXITY_BUCKETS_SQL = """WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+model AS (
+  SELECT word,
+         least((1000 * (SELECT count(*) FROM tok)) // count(*),
+               1000000000000) AS rarity
+  FROM tok GROUP BY word
+),
+p AS (
+  SELECT t.doc_id, d.lang,
+         CAST(sum(m.rarity) // count(*) AS BIGINT) AS ppl_milli
+  FROM tok t JOIN model m USING (word)
+  JOIN documents d ON d.doc_id = t.doc_id
+  GROUP BY t.doc_id, d.lang
+),
+r AS (
+  SELECT lang, ppl_milli,
+         row_number() OVER (PARTITION BY lang ORDER BY ppl_milli ASC) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM p
+),
+thr AS (
+  SELECT lang,
+         min(CASE WHEN rn >= CAST(ceil(n / 3.0) AS BIGINT)
+                  THEN ppl_milli END) AS t1,
+         min(CASE WHEN rn >= CAST(ceil(2 * n / 3.0) AS BIGINT)
+                  THEN ppl_milli END) AS t2
+  FROM r GROUP BY lang
+)
+SELECT p.doc_id, p.lang, p.ppl_milli,
+       CASE WHEN p.ppl_milli <= t.t1 THEN 'head'
+            WHEN p.ppl_milli <= t.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM p JOIN thr t USING (lang)
+"""

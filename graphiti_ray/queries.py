@@ -578,6 +578,16 @@ def semantic_dedup(sf_dir: str):
     return sd(sf_dir)
 
 
+def perplexity_buckets(sf_dir: str):
+    """CCNet-style per-language head/middle/tail perplexity bucketing
+    (Wenzek et al. 1911.00359): one scoring pass under the broadcast
+    unigram model, value-histogram threshold selection, one assignment
+    pass (ops/lmscore.py)."""
+    from .ops.lmscore import perplexity_buckets as pb
+
+    return pb(sf_dir)
+
+
 def classifier_lr(sf_dir: str):
     """Trainable quality classifier: logistic regression by full-batch
     GD, each step one streaming map-reduce pass over a materialized
@@ -1089,6 +1099,12 @@ def _CLASSIFIER_LR_SQL():
     from .ops.classify_lr import CLASSIFIER_LR_SQL
 
     return CLASSIFIER_LR_SQL
+
+
+def _PERPLEXITY_BUCKETS_SQL():
+    from .ops.lmscore import PERPLEXITY_BUCKETS_SQL
+
+    return PERPLEXITY_BUCKETS_SQL
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -1934,6 +1950,9 @@ QUERIES = {
     # status as the clustering pair; exact driver compare in
     # tests/test_classify_lr.py)
     "classifier_lr": classifier_lr,
+    # CCNet perplexity bucketing (oracle-backed; exact driver compare
+    # in tests/test_classify_lr.py)
+    "perplexity_buckets": perplexity_buckets,
 }
 
 ORACLE_SQL = {
@@ -1999,6 +2018,7 @@ ORACLE_SQL = {
     "kg_degree_hist": _KG_GRAPH_SQL("DEGREE_HIST_SQL_BODY"),
     "repeated_spans": _REPEATED_SPANS_SQL(),
     "classifier_lr": _CLASSIFIER_LR_SQL(),
+    "perplexity_buckets": _PERPLEXITY_BUCKETS_SQL(),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.

@@ -65,3 +65,40 @@ def test_classifier_lr_output_contract(ray_session):
     assert (m["label"] == (m["lang"] == "en").astype("int64")).all()
     assert (df["pred"] == (df["prob"] >= 0.5)).all()
     assert ((df["prob"] > 0) & (df["prob"] < 1)).all()
+
+
+def test_perplexity_buckets_matches_duckdb_oracle(ray_session, duck):
+    from graphiti_ray import queries as q
+
+    rdf = q.QUERIES["perplexity_buckets"](SF_DIR).to_pandas()
+    odf = duck.execute(q.ORACLE_SQL["perplexity_buckets"]).df()
+
+    cols = sorted(odf.columns)
+    assert sorted(rdf.columns) == cols
+    rdf = rdf[cols].sort_values(cols).reset_index(drop=True)
+    odf = odf[cols].sort_values(cols).reset_index(drop=True)
+    odf = odf.astype(rdf.dtypes.to_dict())
+    assert len(rdf) == len(odf) and len(rdf) > 0
+    assert rdf.equals(odf)
+
+
+def test_perplexity_buckets_contract(ray_session):
+    """Per language: head holds at least ceil(n/3) docs (the boundary
+    tie group lands entirely in head), buckets are a value partition
+    (every head ppl >= every middle ppl >= every tail ppl), one row
+    per doc."""
+    from graphiti_ray import queries as q
+
+    df = q.QUERIES["perplexity_buckets"](SF_DIR).to_pandas()
+    assert df["doc_id"].is_unique
+    assert set(df["bucket"]) <= {"head", "middle", "tail"}
+    for lang, g in df.groupby("lang"):
+        n = len(g)
+        assert (g["bucket"] == "head").sum() >= -(-n // 3)
+        lo = {"head": 0, "middle": 1, "tail": 2}
+        ranked = g.assign(r=g["bucket"].map(lo))
+        for ra, rb in ((0, 1), (1, 2), (0, 2)):
+            a = ranked.loc[ranked["r"] == ra, "ppl_milli"]
+            b = ranked.loc[ranked["r"] == rb, "ppl_milli"]
+            if len(a) and len(b):
+                assert a.max() < b.min()
