@@ -93,6 +93,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "repeated_spans",
         "classifier_lr",
         "perplexity_buckets",
+        "paragraph_dedup",
         "knn_bruteforce",
         "knn_lsh",
         "knn_ivf",

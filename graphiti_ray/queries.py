@@ -588,6 +588,15 @@ def perplexity_buckets(sf_dir: str):
     return pb(sf_dir)
 
 
+def paragraph_dedup(sf_dir: str):
+    """CCNet-style corpus-wide first-occurrence paragraph dedup
+    (boilerplate scrub): map-side min-combined winner exchange + one
+    doc-bucket reassembly exchange (ops/paragraphs.py)."""
+    from .ops.paragraphs import paragraph_dedup as pdd
+
+    return pdd(sf_dir)
+
+
 def classifier_lr(sf_dir: str):
     """Trainable quality classifier: logistic regression by full-batch
     GD, each step one streaming map-reduce pass over a materialized
@@ -1105,6 +1114,12 @@ def _PERPLEXITY_BUCKETS_SQL():
     from .ops.lmscore import PERPLEXITY_BUCKETS_SQL
 
     return PERPLEXITY_BUCKETS_SQL
+
+
+def _PARAGRAPH_DEDUP_SQL():
+    from .ops.paragraphs import PARAGRAPH_DEDUP_SQL
+
+    return PARAGRAPH_DEDUP_SQL
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -1953,6 +1968,9 @@ QUERIES = {
     # CCNet perplexity bucketing (oracle-backed; exact driver compare
     # in tests/test_classify_lr.py)
     "perplexity_buckets": perplexity_buckets,
+    # CCNet corpus-wide paragraph dedup (oracle-backed; exact driver
+    # compare in tests/test_paragraphs.py)
+    "paragraph_dedup": paragraph_dedup,
 }
 
 ORACLE_SQL = {
@@ -2019,6 +2037,7 @@ ORACLE_SQL = {
     "repeated_spans": _REPEATED_SPANS_SQL(),
     "classifier_lr": _CLASSIFIER_LR_SQL(),
     "perplexity_buckets": _PERPLEXITY_BUCKETS_SQL(),
+    "paragraph_dedup": _PARAGRAPH_DEDUP_SQL(),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.
