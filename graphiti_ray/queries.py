@@ -607,6 +607,17 @@ def classifier_lr(sf_dir: str):
     return clr(sf_dir)
 
 
+def dsir_select(sf_dir: str):
+    """DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169):
+    one two-model count pass, broadcast integer likelihood-ratio
+    model, streaming scoring, value-histogram top-quantile selection
+    (ops/dsir.py). The DuckDB oracle mirrors the integer arithmetic
+    exactly."""
+    from .ops.dsir import dsir_select as ds
+
+    return ds(sf_dir)
+
+
 def kg_pagerank(sf_dir: str):
     """Distributed PageRank over the canonical KG's entity graph
     (per-group_id subgraphs, PR_ITERS fixed iterations, Pregel-shaped
@@ -1120,6 +1131,12 @@ def _PARAGRAPH_DEDUP_SQL():
     from .ops.paragraphs import PARAGRAPH_DEDUP_SQL
 
     return PARAGRAPH_DEDUP_SQL
+
+
+def _DSIR_SELECT_SQL():
+    from .ops.dsir import DSIR_SELECT_SQL
+
+    return DSIR_SELECT_SQL
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -1971,6 +1988,9 @@ QUERIES = {
     # CCNet corpus-wide paragraph dedup (oracle-backed; exact driver
     # compare in tests/test_paragraphs.py)
     "paragraph_dedup": paragraph_dedup,
+    # DSIR importance selection (oracle-backed; exact driver compare
+    # in tests/test_classify_lr.py)
+    "dsir_select": dsir_select,
 }
 
 ORACLE_SQL = {
@@ -2038,6 +2058,7 @@ ORACLE_SQL = {
     "classifier_lr": _CLASSIFIER_LR_SQL(),
     "perplexity_buckets": _PERPLEXITY_BUCKETS_SQL(),
     "paragraph_dedup": _PARAGRAPH_DEDUP_SQL(),
+    "dsir_select": _DSIR_SELECT_SQL(),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.

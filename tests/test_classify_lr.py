@@ -102,3 +102,46 @@ def test_perplexity_buckets_contract(ray_session):
             b = ranked.loc[ranked["r"] == rb, "ppl_milli"]
             if len(a) and len(b):
                 assert a.max() < b.min()
+
+
+def test_dsir_select_matches_duckdb_oracle(ray_session, duck):
+    from graphiti_ray import queries as q
+
+    rdf = q.QUERIES["dsir_select"](SF_DIR).to_pandas()
+    odf = duck.execute(q.ORACLE_SQL["dsir_select"]).df()
+
+    cols = sorted(odf.columns)
+    assert sorted(rdf.columns) == cols
+    rdf = rdf[cols].sort_values(cols).reset_index(drop=True)
+    odf = odf[cols].sort_values(cols).reset_index(drop=True)
+    odf = odf.astype(rdf.dtypes.to_dict())
+    assert len(rdf) == len(odf) and len(rdf) > 0
+    assert rdf.equals(odf)
+
+
+def test_dsir_select_contract(ray_session):
+    """Selection is a value threshold (every selected score >= every
+    unselected score), covers at least ceil(n/SELECT_FRAC) docs (the
+    boundary tie group is kept whole), one row per doc, and selected
+    docs skew toward the target language (the whole point of DSIR)."""
+    import pyarrow.parquet as pq
+
+    from graphiti_ray import queries as q
+    from graphiti_ray.ops.dsir import SELECT_FRAC, TARGET_LANG
+
+    df = q.QUERIES["dsir_select"](SF_DIR).to_pandas()
+    assert df["doc_id"].is_unique
+    n = len(df)
+    k = -(-n // SELECT_FRAC)
+    sel = df[df["selected"]]
+    uns = df[~df["selected"]]
+    assert len(sel) >= k
+    if len(uns):
+        assert sel["dsir_milli"].min() > uns["dsir_milli"].max()
+    langs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"]
+    ).to_pandas()
+    m = df.merge(langs, on="doc_id")
+    tgt_rate_sel = (m.loc[m["selected"], "lang"] == TARGET_LANG).mean()
+    tgt_rate_all = (m["lang"] == TARGET_LANG).mean()
+    assert tgt_rate_sel > tgt_rate_all
