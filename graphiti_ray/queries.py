@@ -618,6 +618,16 @@ def dsir_select(sf_dir: str):
     return ds(sf_dir)
 
 
+def curriculum_order(sf_dir: str):
+    """Training-output curriculum ordering (length-octave easy->hard,
+    deterministic within-octave shuffle): dense global rank via a
+    fixed-grid prefix sum + per-cell argsort — no global sort
+    (ops/curriculum.py)."""
+    from .ops.curriculum import curriculum_order as co
+
+    return co(sf_dir)
+
+
 def kg_pagerank(sf_dir: str):
     """Distributed PageRank over the canonical KG's entity graph
     (per-group_id subgraphs, PR_ITERS fixed iterations, Pregel-shaped
@@ -1137,6 +1147,12 @@ def _DSIR_SELECT_SQL():
     from .ops.dsir import DSIR_SELECT_SQL
 
     return DSIR_SELECT_SQL
+
+
+def _CURRICULUM_ORDER_SQL():
+    from .ops.curriculum import CURRICULUM_ORDER_SQL
+
+    return CURRICULUM_ORDER_SQL
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -1991,6 +2007,9 @@ QUERIES = {
     # DSIR importance selection (oracle-backed; exact driver compare
     # in tests/test_classify_lr.py)
     "dsir_select": dsir_select,
+    # curriculum ordering (oracle-backed; exact driver compare in
+    # tests/test_curriculum.py)
+    "curriculum_order": curriculum_order,
 }
 
 ORACLE_SQL = {
@@ -2059,6 +2078,7 @@ ORACLE_SQL = {
     "perplexity_buckets": _PERPLEXITY_BUCKETS_SQL(),
     "paragraph_dedup": _PARAGRAPH_DEDUP_SQL(),
     "dsir_select": _DSIR_SELECT_SQL(),
+    "curriculum_order": _CURRICULUM_ORDER_SQL(),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.
