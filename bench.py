@@ -94,6 +94,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "classifier_lr",
         "perplexity_buckets",
         "paragraph_dedup",
+        "dsir_select",
+        "curriculum_order",
         "knn_bruteforce",
         "knn_lsh",
         "knn_ivf",
