@@ -96,6 +96,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "paragraph_dedup",
         "dsir_select",
         "curriculum_order",
+        "bpe_merges",
+        "bpe_vocab",
         "knn_bruteforce",
         "knn_lsh",
         "knn_ivf",

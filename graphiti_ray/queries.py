@@ -628,6 +628,27 @@ def curriculum_order(sf_dir: str):
     return co(sf_dir)
 
 
+def bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909): BPE_ITERS merge rules learned corpus-wide —
+    per-iteration pair-count exchange over the Heaps-bounded
+    distinct-word table, per-block top-1 + driver pick, streaming
+    vectorized merge application (ops/bpe.py). The DuckDB oracle
+    unrolls every iteration; the double-space symbol encoding makes
+    greedy merge application a plain literal replace in both engines."""
+    from .ops.bpe import bpe_merges as bm
+
+    return bm(sf_dir)
+
+
+def bpe_vocab(sf_dir: str):
+    """Symbol vocabulary + corpus frequencies after all BPE merges
+    (the trained tokenizer's unit inventory) — ops/bpe.py."""
+    from .ops.bpe import bpe_vocab as bv
+
+    return bv(sf_dir)
+
+
 def kg_pagerank(sf_dir: str):
     """Distributed PageRank over the canonical KG's entity graph
     (per-group_id subgraphs, PR_ITERS fixed iterations, Pregel-shaped
@@ -1153,6 +1174,12 @@ def _CURRICULUM_ORDER_SQL():
     from .ops.curriculum import CURRICULUM_ORDER_SQL
 
     return CURRICULUM_ORDER_SQL
+
+
+def _BPE_SQL(name: str):
+    from .ops import bpe
+
+    return getattr(bpe, name)
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -2010,6 +2037,10 @@ QUERIES = {
     # curriculum ordering (oracle-backed; exact driver compare in
     # tests/test_curriculum.py)
     "curriculum_order": curriculum_order,
+    # BPE tokenizer training (oracle-backed, unrolled-iteration SQL;
+    # exact driver compare in tests/test_bpe.py)
+    "bpe_merges": bpe_merges,
+    "bpe_vocab": bpe_vocab,
 }
 
 ORACLE_SQL = {
@@ -2079,6 +2110,8 @@ ORACLE_SQL = {
     "paragraph_dedup": _PARAGRAPH_DEDUP_SQL(),
     "dsir_select": _DSIR_SELECT_SQL(),
     "curriculum_order": _CURRICULUM_ORDER_SQL(),
+    "bpe_merges": _BPE_SQL("BPE_MERGES_SQL"),
+    "bpe_vocab": _BPE_SQL("BPE_VOCAB_SQL"),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.
