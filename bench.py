@@ -98,6 +98,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "curriculum_order",
         "bpe_merges",
         "bpe_vocab",
+        "url_canonical",
+        "url_dedup",
         "knn_bruteforce",
         "knn_lsh",
         "knn_ivf",

@@ -649,6 +649,23 @@ def bpe_vocab(sf_dir: str):
     return bv(sf_dir)
 
 
+def url_canonical(sf_dir: str):
+    """Crawl front-door URL canonicalization (fragment/scheme/host/
+    port/utm/trailing-slash rules, all vectorized regex) over messy
+    URL variants derived deterministically from doc_id — ops/urls.py."""
+    from .ops.urls import url_canonical as uc
+
+    return uc(sf_dir)
+
+
+def url_dedup(sf_dir: str):
+    """Keep-first dedup on the canonical URL (min doc_id wins):
+    map-side partial min/count, ONE key-sized groupby — ops/urls.py."""
+    from .ops.urls import url_dedup as ud
+
+    return ud(sf_dir)
+
+
 def kg_pagerank(sf_dir: str):
     """Distributed PageRank over the canonical KG's entity graph
     (per-group_id subgraphs, PR_ITERS fixed iterations, Pregel-shaped
@@ -1180,6 +1197,12 @@ def _BPE_SQL(name: str):
     from .ops import bpe
 
     return getattr(bpe, name)
+
+
+def _URLS_SQL(name: str):
+    from .ops import urls
+
+    return getattr(urls, name)
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -2041,6 +2064,10 @@ QUERIES = {
     # exact driver compare in tests/test_bpe.py)
     "bpe_merges": bpe_merges,
     "bpe_vocab": bpe_vocab,
+    # URL canonicalization + keep-first URL dedup (oracle-backed;
+    # exact driver compare in tests/test_urls.py)
+    "url_canonical": url_canonical,
+    "url_dedup": url_dedup,
 }
 
 ORACLE_SQL = {
@@ -2112,6 +2139,8 @@ ORACLE_SQL = {
     "curriculum_order": _CURRICULUM_ORDER_SQL(),
     "bpe_merges": _BPE_SQL("BPE_MERGES_SQL"),
     "bpe_vocab": _BPE_SQL("BPE_VOCAB_SQL"),
+    "url_canonical": _URLS_SQL("URL_CANONICAL_SQL"),
+    "url_dedup": _URLS_SQL("URL_DEDUP_SQL"),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.

@@ -1,0 +1,76 @@
+"""URL canonicalization + URL dedup vs their DuckDB mirrors (the
+driver's exact compare) plus rule-level unit checks."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    yield con
+    con.close()
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True).astype(str)
+
+
+@pytest.mark.parametrize("name", ["url_canonical", "url_dedup"])
+def test_urls_match_duckdb_oracle(ray_session, duck, name):
+    from graphiti_ray import queries as q
+
+    rdf = q.QUERIES[name](SF_DIR).to_pandas()
+    odf = duck.execute(q.ORACLE_SQL[name]).df()
+    assert sorted(rdf.columns) == sorted(odf.columns)
+    a, b = _canon(rdf), _canon(odf)
+    assert len(a) == len(b) and len(a) > 0
+    assert a.equals(b)
+
+
+def test_canonicalize_rules():
+    from graphiti_ray.ops.urls import canonicalize
+
+    cases = {
+        "https://a.example/p#frag": "https://a.example/p",
+        "HTTP://WWW.A.EXAMPLE:80/p/": "https://a.example/p",
+        "https://m.a.example:443/p": "https://a.example/p",
+        "https://a.example/p?utm_source=x&b=2&a=1": "https://a.example/p?a=1&b=2",
+        "https://a.example/p?utm_source=x": "https://a.example/p",
+        "https://a.example/": "https://a.example",
+        # non-default port and non-utm params survive
+        "https://a.example:8443/p?z=1": "https://a.example:8443/p?z=1",
+    }
+    got = canonicalize(pd.Series(list(cases))).tolist()
+    assert got == list(cases.values())
+
+
+def test_url_dedup_groups_variants(ray_session):
+    """All mess-class variants of a logical page without surviving
+    params collapse to one canonical row whose keeper is the smallest
+    doc_id in the group."""
+    from graphiti_ray import queries as q
+
+    can = q.QUERIES["url_canonical"](SF_DIR).to_pandas()
+    ded = q.QUERIES["url_dedup"](SF_DIR).to_pandas()
+    expect = (
+        can.groupby("canonical_url")["doc_id"]
+        .agg(["min", "size"])
+        .reset_index()
+        .rename(columns={"min": "canonical_doc_id", "size": "n_dups"})
+    )
+    a = _canon(ded)
+    b = _canon(
+        expect.astype({"canonical_doc_id": "int64", "n_dups": "int64"})
+    )
+    assert a.equals(b)
+    # the synthesis really produces collisions
+    assert (ded["n_dups"] > 1).any()
