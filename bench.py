@@ -100,6 +100,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "bpe_vocab",
         "url_canonical",
         "url_dedup",
+        "snapshot_delta",
         "knn_bruteforce",
         "knn_lsh",
         "knn_ivf",

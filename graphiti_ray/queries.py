@@ -666,6 +666,15 @@ def url_dedup(sf_dir: str):
     return ud(sf_dir)
 
 
+def snapshot_delta(sf_dir: str):
+    """Incremental crawl delta: new-crawl rows whose content hash is
+    absent from the previous snapshot — ONE sha-bucketed anti-join
+    exchange, no side broadcast/collected (ops/snapshot.py)."""
+    from .ops.snapshot import snapshot_delta as sd
+
+    return sd(sf_dir)
+
+
 def kg_pagerank(sf_dir: str):
     """Distributed PageRank over the canonical KG's entity graph
     (per-group_id subgraphs, PR_ITERS fixed iterations, Pregel-shaped
@@ -1203,6 +1212,12 @@ def _URLS_SQL(name: str):
     from .ops import urls
 
     return getattr(urls, name)
+
+
+def _SNAPSHOT_SQL():
+    from .ops.snapshot import SNAPSHOT_DELTA_SQL
+
+    return SNAPSHOT_DELTA_SQL
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -2068,6 +2083,9 @@ QUERIES = {
     # exact driver compare in tests/test_urls.py)
     "url_canonical": url_canonical,
     "url_dedup": url_dedup,
+    # incremental crawl snapshot delta (oracle-backed; exact driver
+    # compare in tests/test_urls.py)
+    "snapshot_delta": snapshot_delta,
 }
 
 ORACLE_SQL = {
@@ -2141,6 +2159,7 @@ ORACLE_SQL = {
     "bpe_vocab": _BPE_SQL("BPE_VOCAB_SQL"),
     "url_canonical": _URLS_SQL("URL_CANONICAL_SQL"),
     "url_dedup": _URLS_SQL("URL_DEDUP_SQL"),
+    "snapshot_delta": _SNAPSHOT_SQL(),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.

@@ -53,6 +53,31 @@ def test_canonicalize_rules():
     assert got == list(cases.values())
 
 
+def test_snapshot_delta_matches_duckdb_oracle(ray_session, duck):
+    from graphiti_ray import queries as q
+
+    rdf = q.QUERIES["snapshot_delta"](SF_DIR).to_pandas()
+    odf = duck.execute(q.ORACLE_SQL["snapshot_delta"]).df()
+    assert sorted(rdf.columns) == sorted(odf.columns)
+    a, b = _canon(rdf), _canon(odf)
+    assert len(a) == len(b) and len(a) > 0
+    assert a.equals(b)
+
+
+def test_snapshot_delta_is_content_keyed(ray_session):
+    """The delta is exactly the even-id docs with ids divisible by 6
+    (their content was never in the old snapshot), reported under
+    fresh fetch ids — an id-based anti-join would return every even
+    id instead."""
+    from graphiti_ray import queries as q
+    from graphiti_ray.ops.snapshot import _NEW_ID_BASE
+
+    df = q.QUERIES["snapshot_delta"](SF_DIR).to_pandas()
+    orig = df["doc_id"].to_numpy() - _NEW_ID_BASE
+    assert (orig % 6 == 0).all()
+    assert len(df) > 0
+
+
 def test_url_dedup_groups_variants(ray_session):
     """All mess-class variants of a logical page without surviving
     params collapse to one canonical row whose keeper is the smallest
