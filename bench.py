@@ -98,6 +98,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "curriculum_order",
         "bpe_merges",
         "bpe_vocab",
+        "bpe_tokenize",
         "url_canonical",
         "url_dedup",
         "snapshot_delta",

@@ -210,6 +210,67 @@ def bpe_vocab(sf_dir: str):
     )
 
 
+# per-worker cache of the deserialized (word -> token count) map
+_TOKMAP_CACHE: dict[str, dict] = {}
+
+
+def bpe_tokenize(sf_dir: str):
+    """(doc_id, n_words, n_bpe_tokens): apply the trained merges to the
+    whole corpus. The word -> token-count map is the trained tokenizer
+    itself (Heaps'-law bounded); it rides the object store via ray.put
+    with a per-worker deserialized cache — the same broadcast-tier
+    argument as ops/lmscore.py, whose explode->join distributed tier is
+    the escape hatch for junk-token vocabularies. Scoring is one
+    streaming vectorized pass."""
+    import ray
+
+    _, words = _train(sf_dir)
+    wdf = words.map_batches(
+        lambda t: pa.table(
+            {
+                "word": t.column("word"),
+                "ntok": pc.cast(
+                    pc.list_value_length(
+                        pc.split_pattern(t.column("seq"), "  ")
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()  # tokenizer-sized (broadcast tier)
+    ref = ray.put(dict(zip(wdf["word"], wdf["ntok"].astype(np.int64))))
+
+    def score(batch: pa.Table) -> pa.Table:
+        key = ref.hex()
+        if key not in _TOKMAP_CACHE:
+            _TOKMAP_CACHE.clear()
+            _TOKMAP_CACHE[key] = ray.get(ref)
+        model = _TOKMAP_CACHE[key]
+        toks = pc.split_pattern(batch.column("text"), " ")
+        lens = np.asarray(pc.list_value_length(toks), np.int64)
+        flat = pc.list_flatten(toks).to_pandas()
+        doc_of = np.repeat(np.arange(len(batch)), lens)
+        mask = (flat != "").to_numpy()
+        nt = np.zeros(len(batch), np.int64)
+        nw = np.zeros(len(batch), np.int64)
+        np.add.at(
+            nt, doc_of[mask], flat[mask].map(model).to_numpy(np.int64)
+        )
+        np.add.at(nw, doc_of[mask], 1)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(nw, pa.int64()),
+                "n_bpe_tokens": pa.array(nt, pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
 def _sql_parts(iters: int) -> str:
     parts = [
         """w0 AS (
@@ -263,5 +324,20 @@ FROM (SELECT n, unnest(string_split(seq, '  ')) AS token FROM s{iters})
 GROUP BY token"""
 
 
+def _tokenize_sql(iters: int) -> str:
+    return f"""{_sql_parts(iters)},
+tokmap AS (
+  SELECT word, len(string_split(seq, '  '))::BIGINT AS ntok FROM s{iters}
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+       SUM(ntok)::BIGINT AS n_bpe_tokens
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+) d JOIN tokmap USING (word)
+WHERE word <> ''
+GROUP BY doc_id"""
+
+
 BPE_MERGES_SQL = _merges_sql(BPE_ITERS)
 BPE_VOCAB_SQL = _vocab_sql(BPE_ITERS)
+BPE_TOKENIZE_SQL = _tokenize_sql(BPE_ITERS)

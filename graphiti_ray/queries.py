@@ -649,6 +649,15 @@ def bpe_vocab(sf_dir: str):
     return bv(sf_dir)
 
 
+def bpe_tokenize(sf_dir: str):
+    """Corpus tokenization with the trained BPE merges: broadcast
+    word->token-count map (per-worker cache), one streaming vectorized
+    scoring pass — ops/bpe.py."""
+    from .ops.bpe import bpe_tokenize as bt
+
+    return bt(sf_dir)
+
+
 def url_canonical(sf_dir: str):
     """Crawl front-door URL canonicalization (fragment/scheme/host/
     port/utm/trailing-slash rules, all vectorized regex) over messy
@@ -2079,6 +2088,7 @@ QUERIES = {
     # exact driver compare in tests/test_bpe.py)
     "bpe_merges": bpe_merges,
     "bpe_vocab": bpe_vocab,
+    "bpe_tokenize": bpe_tokenize,
     # URL canonicalization + keep-first URL dedup (oracle-backed;
     # exact driver compare in tests/test_urls.py)
     "url_canonical": url_canonical,
@@ -2157,6 +2167,7 @@ ORACLE_SQL = {
     "curriculum_order": _CURRICULUM_ORDER_SQL(),
     "bpe_merges": _BPE_SQL("BPE_MERGES_SQL"),
     "bpe_vocab": _BPE_SQL("BPE_VOCAB_SQL"),
+    "bpe_tokenize": _BPE_SQL("BPE_TOKENIZE_SQL"),
     "url_canonical": _URLS_SQL("URL_CANONICAL_SQL"),
     "url_dedup": _URLS_SQL("URL_DEDUP_SQL"),
     "snapshot_delta": _SNAPSHOT_SQL(),

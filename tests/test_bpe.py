@@ -23,7 +23,7 @@ def _canon(df):
     return df[cols].sort_values(cols).reset_index(drop=True).astype(str)
 
 
-@pytest.mark.parametrize("name", ["bpe_merges", "bpe_vocab"])
+@pytest.mark.parametrize("name", ["bpe_merges", "bpe_vocab", "bpe_tokenize"])
 def test_bpe_matches_duckdb_oracle(ray_session, duck, name):
     from graphiti_ray import queries as q
 
