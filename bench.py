@@ -102,6 +102,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "url_canonical",
         "url_dedup",
         "snapshot_delta",
+        "host_filter",
         "knn_bruteforce",
         "knn_lsh",
         "knn_ivf",

@@ -675,6 +675,15 @@ def url_dedup(sf_dir: str):
     return ud(sf_dir)
 
 
+def host_filter(sf_dir: str):
+    """Host-level quality filtering (RefinedWeb/FineWeb stage): integer
+    per-host stopword ratio vs the corpus ratio; host map routed
+    through the byte-capped lookup_column tiers — ops/hosts.py."""
+    from .ops.hosts import host_filter as hf
+
+    return hf(sf_dir)
+
+
 def snapshot_delta(sf_dir: str):
     """Incremental crawl delta: new-crawl rows whose content hash is
     absent from the previous snapshot — ONE sha-bucketed anti-join
@@ -1227,6 +1236,12 @@ def _SNAPSHOT_SQL():
     from .ops.snapshot import SNAPSHOT_DELTA_SQL
 
     return SNAPSHOT_DELTA_SQL
+
+
+def _HOSTS_SQL():
+    from .ops.hosts import HOST_FILTER_SQL
+
+    return HOST_FILTER_SQL
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -2096,6 +2111,9 @@ QUERIES = {
     # incremental crawl snapshot delta (oracle-backed; exact driver
     # compare in tests/test_urls.py)
     "snapshot_delta": snapshot_delta,
+    # host-level quality filtering (oracle-backed; exact driver
+    # compare in tests/test_urls.py)
+    "host_filter": host_filter,
 }
 
 ORACLE_SQL = {
@@ -2171,6 +2189,7 @@ ORACLE_SQL = {
     "url_canonical": _URLS_SQL("URL_CANONICAL_SQL"),
     "url_dedup": _URLS_SQL("URL_DEDUP_SQL"),
     "snapshot_delta": _SNAPSHOT_SQL(),
+    "host_filter": _HOSTS_SQL(),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.

@@ -24,7 +24,7 @@ def _canon(df):
     return df[cols].sort_values(cols).reset_index(drop=True).astype(str)
 
 
-@pytest.mark.parametrize("name", ["url_canonical", "url_dedup"])
+@pytest.mark.parametrize("name", ["url_canonical", "url_dedup", "host_filter"])
 def test_urls_match_duckdb_oracle(ray_session, duck, name):
     from graphiti_ray import queries as q
 
@@ -76,6 +76,19 @@ def test_snapshot_delta_is_content_keyed(ray_session):
     orig = df["doc_id"].to_numpy() - _NEW_ID_BASE
     assert (orig % 6 == 0).all()
     assert len(df) > 0
+
+
+def test_host_filter_contract(ray_session):
+    """host_stop_milli is constant within a host; kept == milli >=
+    corpus milli; both kept and dropped hosts exist."""
+    from graphiti_ray import queries as q
+
+    df = q.QUERIES["host_filter"](SF_DIR).to_pandas()
+    per_host = df.groupby("host")["host_stop_milli"].nunique()
+    assert (per_host == 1).all()
+    kept_hosts = df.groupby("host")["host_kept"].nunique()
+    assert (kept_hosts == 1).all()
+    assert df["host_kept"].any() and (~df["host_kept"]).any()
 
 
 def test_url_dedup_groups_variants(ray_session):
