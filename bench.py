@@ -103,6 +103,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "url_dedup",
         "snapshot_delta",
         "host_filter",
+        "link_graph",
         "knn_bruteforce",
         "knn_lsh",
         "knn_ivf",

@@ -126,6 +126,38 @@ def url_dedup(sf_dir: str):
     )
 
 
+def canonicalize_sql(rel: str, keys: list[str]) -> str:
+    """SQL mirror of ``canonicalize``: canonicalizes column ``url`` of
+    relation ``rel`` (carrying ``keys`` through) into
+    ``canonical_url``. Shared by the URL and link-graph oracles so both
+    stay rule-for-rule identical to the engine."""
+    k = ", ".join(keys)
+    return f"""SELECT {k}, 'https://' || host || path ||
+       CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
+FROM (
+  SELECT {k}, host, path,
+         array_to_string(list_sort(list_filter(
+             string_split(query, '&'),
+             x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS q
+  FROM (
+    SELECT {k},
+           regexp_replace(regexp_replace(
+               lower(regexp_extract(u, '^https://([^/?]*)', 1)),
+               '^(www\\.|m\\.)', ''), ':(80|443)$', '') AS host,
+           regexp_replace(
+               regexp_extract(u, '^https://[^/?]*([^?]*)', 1),
+               '/+$', '') AS path,
+           regexp_extract(u, '\\?(.*)$', 1) AS query
+    FROM (
+      SELECT {k},
+             regexp_replace(regexp_replace(url, '#.*$', ''),
+                            '(?i)^https?://', 'https://') AS u
+      FROM ({rel})
+    )
+  )
+)"""
+
+
 _SYNTH_SQL = """raw AS (
   SELECT doc_id,
          'site' || ((doc_id // 3) % 50)::VARCHAR || '.example' AS b,
@@ -144,41 +176,19 @@ urls AS (
            ELSE 'https://' || b || dd
          END AS url
   FROM raw
-),
-norm AS (
-  SELECT doc_id, url,
-         regexp_replace(regexp_replace(url, '#.*$', ''),
-                        '(?i)^https?://', 'https://') AS u
-  FROM urls
-),
-parts AS (
-  SELECT doc_id, url,
-         regexp_replace(regexp_replace(
-             lower(regexp_extract(u, '^https://([^/?]*)', 1)),
-             '^(www\\.|m\\.)', ''), ':(80|443)$', '') AS host,
-         regexp_replace(
-             regexp_extract(u, '^https://[^/?]*([^?]*)', 1),
-             '/+$', '') AS path,
-         regexp_extract(u, '\\?(.*)$', 1) AS query
-  FROM norm
-),
-canon AS (
-  SELECT doc_id, url,
-         'https://' || host || path ||
-         CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
-  FROM (
-    SELECT doc_id, url, host, path,
-           array_to_string(list_sort(list_filter(
-               string_split(query, '&'),
-               x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS q
-    FROM parts
-  )
 )"""
 
-URL_CANONICAL_SQL = f"""WITH {_SYNTH_SQL}
+_CANON_SQL = (
+    _SYNTH_SQL
+    + ",\ncanon AS (\n"
+    + canonicalize_sql("SELECT doc_id, url FROM urls", ["doc_id", "url"])
+    + "\n)"
+)
+
+URL_CANONICAL_SQL = f"""WITH {_CANON_SQL}
 SELECT doc_id, url, canonical_url FROM canon"""
 
-URL_DEDUP_SQL = f"""WITH {_SYNTH_SQL}
+URL_DEDUP_SQL = f"""WITH {_CANON_SQL}
 SELECT canonical_url,
        MIN(doc_id) AS canonical_doc_id,
        COUNT(*)::BIGINT AS n_dups

@@ -675,6 +675,16 @@ def url_dedup(sf_dir: str):
     return ud(sf_dir)
 
 
+def link_graph(sf_dir: str):
+    """Host-level hyperlink graph extraction: vectorized href findall
+    over link-bearing html, canonicalized targets (ops/urls rules),
+    per-block partial (src,dst) counts, ONE edge-set-sized groupby —
+    ops/links.py."""
+    from .ops.links import link_graph as lg
+
+    return lg(sf_dir)
+
+
 def host_filter(sf_dir: str):
     """Host-level quality filtering (RefinedWeb/FineWeb stage): integer
     per-host stopword ratio vs the corpus ratio; host map routed
@@ -1242,6 +1252,12 @@ def _HOSTS_SQL():
     from .ops.hosts import HOST_FILTER_SQL
 
     return HOST_FILTER_SQL
+
+
+def _LINKS_SQL():
+    from .ops.links import LINK_GRAPH_SQL
+
+    return LINK_GRAPH_SQL
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -2114,6 +2130,9 @@ QUERIES = {
     # host-level quality filtering (oracle-backed; exact driver
     # compare in tests/test_urls.py)
     "host_filter": host_filter,
+    # host-level link-graph extraction (oracle-backed; exact driver
+    # compare in tests/test_urls.py)
+    "link_graph": link_graph,
 }
 
 ORACLE_SQL = {
@@ -2190,6 +2209,7 @@ ORACLE_SQL = {
     "url_dedup": _URLS_SQL("URL_DEDUP_SQL"),
     "snapshot_delta": _SNAPSHOT_SQL(),
     "host_filter": _HOSTS_SQL(),
+    "link_graph": _LINKS_SQL(),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.

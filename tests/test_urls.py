@@ -24,7 +24,9 @@ def _canon(df):
     return df[cols].sort_values(cols).reset_index(drop=True).astype(str)
 
 
-@pytest.mark.parametrize("name", ["url_canonical", "url_dedup", "host_filter"])
+@pytest.mark.parametrize(
+    "name", ["url_canonical", "url_dedup", "host_filter", "link_graph"]
+)
 def test_urls_match_duckdb_oracle(ray_session, duck, name):
     from graphiti_ray import queries as q
 
@@ -89,6 +91,20 @@ def test_host_filter_contract(ray_session):
     kept_hosts = df.groupby("host")["host_kept"].nunique()
     assert (kept_hosts == 1).all()
     assert df["host_kept"].any() and (~df["host_kept"]).any()
+
+
+def test_link_graph_canonicalizes_targets(ray_session):
+    """Every dst_host is a canonical host (no www./m., no port), the
+    relative /nav link never becomes an edge, and variant hrefs of the
+    same target aggregate (some edge has n_links > 1 at this tier)."""
+    from graphiti_ray import queries as q
+
+    df = q.QUERIES["link_graph"](SF_DIR).to_pandas()
+    assert len(df) > 0
+    assert not df["dst_host"].str.startswith(("www.", "m.")).any()
+    assert not df["dst_host"].str.contains(":").any()
+    assert not (df["dst_host"] == "").any()
+    assert (df["n_links"] > 1).any()
 
 
 def test_url_dedup_groups_variants(ray_session):
