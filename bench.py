@@ -104,6 +104,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "snapshot_delta",
         "host_filter",
         "link_graph",
+        "host_pagerank",
         "knn_bruteforce",
         "knn_lsh",
         "knn_ivf",

@@ -491,18 +491,17 @@ FROM dh_deg GROUP BY grp, degree
 """
 
 
-def pagerank_sql_body() -> str:
-    """Unrolled-iteration PageRank over the shared KG oracle CTEs
-    (expects ``swept``/``ent_d``/``canon`` in scope — compose with
-    queries._kg_docs_sql). Expressions match ops/graph.pagerank
-    bit-for-bit modulo in-neighbor summation order (collapsed by the
-    PR_ROUND grid)."""
+def pagerank_sql_over(nodes_rel: str, edges_rel: str) -> str:
+    """Unrolled-iteration PageRank body over arbitrary relations:
+    ``nodes_rel`` yields (grp, name), ``edges_rel`` yields
+    (grp, subj, obj). Expressions match ops/graph.pagerank bit-for-bit
+    modulo in-neighbor summation order (collapsed by the PR_ROUND
+    grid). Shared by the KG oracle and the host link-graph oracle."""
     d = PR_DAMP
     parts = [
-        ", pr_nodes AS (SELECT DISTINCT e.grp, c.cname AS name"
-        "  FROM ent_d e JOIN canon c ON c.grp = e.grp AND c.comp = e.comp)",
+        f", pr_nodes AS ({nodes_rel})",
         ", pr_ng AS (SELECT grp, count(*) AS n FROM pr_nodes GROUP BY grp)",
-        ", pr_ed AS (SELECT DISTINCT grp, subj, obj FROM swept)",
+        f", pr_ed AS ({edges_rel})",
         ", pr_od AS (SELECT grp, subj, count(*) AS deg FROM pr_ed"
         "  GROUP BY grp, subj)",
         f", pr_r0 AS (SELECT n.grp, n.name, round(1.0/g.n, {PR_ROUND}) AS r"
@@ -527,3 +526,14 @@ def pagerank_sql_body() -> str:
         f" CAST(round(r * 1e9) AS BIGINT) AS pr_e9 FROM {prev}"
     )
     return "".join(parts)
+
+
+def pagerank_sql_body() -> str:
+    """Unrolled-iteration PageRank over the shared KG oracle CTEs
+    (expects ``swept``/``ent_d``/``canon`` in scope — compose with
+    queries._kg_docs_sql)."""
+    return pagerank_sql_over(
+        "SELECT DISTINCT e.grp, c.cname AS name"
+        "  FROM ent_d e JOIN canon c ON c.grp = e.grp AND c.comp = e.comp",
+        "SELECT DISTINCT grp, subj, obj FROM swept",
+    )

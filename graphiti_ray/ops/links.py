@@ -95,6 +95,43 @@ def link_graph(sf_dir: str):
     )
 
 
+def host_pagerank(sf_dir: str):
+    """(group_id, name, pr_e9) — PageRank over the canonical host link
+    graph (ops/graph.pagerank contract: single 'web' group; integer-e9
+    ranks so the compare is float-free). The web use: host authority
+    for crawl-frontier prioritization and spam demotion."""
+    from .graph import pagerank
+
+    lg = link_graph(sf_dir).materialize()
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "group_id": pa.array(["web"] * n, pa.string()),
+                "subj": t.column("src_host"),
+                "obj": t.column("dst_host"),
+            }
+        )
+
+    def node_rows(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "group_id": pa.array(["web"] * t.num_rows, pa.string()),
+                    "name": t.column(col),
+                }
+            )
+
+        return f
+
+    edges = lg.map_batches(edge_rows, batch_format="pyarrow")
+    nodes = lg.map_batches(
+        node_rows("src_host"), batch_format="pyarrow"
+    ).union(lg.map_batches(node_rows("dst_host"), batch_format="pyarrow"))
+    return pagerank(nodes, edges)
+
+
 _LINKS_REL = """SELECT src_host, url FROM (
   SELECT 'site' || ((doc_id // 3) % 50)::VARCHAR || '.example' AS src_host,
          unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS url
@@ -136,3 +173,25 @@ SELECT src_host,
        regexp_extract(canonical_url, '^https://([^/?]*)', 1) AS dst_host,
        COUNT(*)::BIGINT AS n_links
 FROM canon GROUP BY src_host, dst_host"""
+
+
+def _host_pagerank_sql() -> str:
+    from .graph import pagerank_sql_over
+
+    body = pagerank_sql_over(
+        "SELECT DISTINCT 'web' AS grp, h AS name FROM ("
+        "SELECT src_host AS h FROM lg UNION ALL SELECT dst_host FROM lg)",
+        "SELECT DISTINCT 'web' AS grp, src_host AS subj, dst_host AS obj"
+        " FROM lg",
+    )
+    return f"""WITH canon AS (
+{canonicalize_sql(_LINKS_REL, ["src_host"])}
+),
+lg AS (
+  SELECT src_host,
+         regexp_extract(canonical_url, '^https://([^/?]*)', 1) AS dst_host
+  FROM canon
+){body}"""
+
+
+HOST_PAGERANK_SQL = _host_pagerank_sql()

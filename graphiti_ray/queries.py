@@ -685,6 +685,15 @@ def link_graph(sf_dir: str):
     return lg(sf_dir)
 
 
+def host_pagerank(sf_dir: str):
+    """PageRank over the canonical host link graph (crawl-frontier
+    authority): ops/graph.pagerank's tiered broadcast/dataset machinery
+    over the link_graph edge list — ops/links.py."""
+    from .ops.links import host_pagerank as hp
+
+    return hp(sf_dir)
+
+
 def host_filter(sf_dir: str):
     """Host-level quality filtering (RefinedWeb/FineWeb stage): integer
     per-host stopword ratio vs the corpus ratio; host map routed
@@ -1258,6 +1267,12 @@ def _LINKS_SQL():
     from .ops.links import LINK_GRAPH_SQL
 
     return LINK_GRAPH_SQL
+
+
+def _HOST_PAGERANK_SQL():
+    from .ops.links import HOST_PAGERANK_SQL
+
+    return HOST_PAGERANK_SQL
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -2133,6 +2148,7 @@ QUERIES = {
     # host-level link-graph extraction (oracle-backed; exact driver
     # compare in tests/test_urls.py)
     "link_graph": link_graph,
+    "host_pagerank": host_pagerank,
 }
 
 ORACLE_SQL = {
@@ -2210,6 +2226,7 @@ ORACLE_SQL = {
     "snapshot_delta": _SNAPSHOT_SQL(),
     "host_filter": _HOSTS_SQL(),
     "link_graph": _LINKS_SQL(),
+    "host_pagerank": _HOST_PAGERANK_SQL(),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.
