@@ -105,6 +105,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "host_filter",
         "link_graph",
         "host_pagerank",
+        "tfidf_keywords",
         "knn_bruteforce",
         "knn_lsh",
         "knn_ivf",

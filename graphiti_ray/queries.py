@@ -685,6 +685,15 @@ def link_graph(sf_dir: str):
     return lg(sf_dir)
 
 
+def tfidf_keywords(sf_dir: str):
+    """Top-5 tf-idf keywords per document (integer floor-log2 idf
+    buckets, broadcast idf map, streaming in-block top-k) —
+    ops/keywords.py."""
+    from .ops.keywords import tfidf_keywords as tk
+
+    return tk(sf_dir)
+
+
 def host_pagerank(sf_dir: str):
     """PageRank over the canonical host link graph (crawl-frontier
     authority): ops/graph.pagerank's tiered broadcast/dataset machinery
@@ -1273,6 +1282,12 @@ def _HOST_PAGERANK_SQL():
     from .ops.links import HOST_PAGERANK_SQL
 
     return HOST_PAGERANK_SQL
+
+
+def _KEYWORDS_SQL():
+    from .ops.keywords import TFIDF_KEYWORDS_SQL
+
+    return TFIDF_KEYWORDS_SQL
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -2149,6 +2164,9 @@ QUERIES = {
     # compare in tests/test_urls.py)
     "link_graph": link_graph,
     "host_pagerank": host_pagerank,
+    # per-doc tf-idf keywords (oracle-backed; exact driver compare in
+    # tests/test_bpe.py)
+    "tfidf_keywords": tfidf_keywords,
 }
 
 ORACLE_SQL = {
@@ -2227,6 +2245,7 @@ ORACLE_SQL = {
     "host_filter": _HOSTS_SQL(),
     "link_graph": _LINKS_SQL(),
     "host_pagerank": _HOST_PAGERANK_SQL(),
+    "tfidf_keywords": _KEYWORDS_SQL(),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.

@@ -36,6 +36,38 @@ def test_bpe_matches_duckdb_oracle(ray_session, duck, name):
     assert a.equals(b)
 
 
+def test_tfidf_keywords_matches_duckdb_oracle(ray_session, duck):
+    from graphiti_ray import queries as q
+
+    rdf = q.QUERIES["tfidf_keywords"](SF_DIR).to_pandas()
+    odf = duck.execute(q.ORACLE_SQL["tfidf_keywords"]).df()
+    assert sorted(rdf.columns) == sorted(odf.columns)
+    a, b = _canon(rdf), _canon(odf)
+    assert len(a) == len(b) and len(a) > 0
+    assert a.equals(b)
+
+
+def test_tfidf_keywords_contract(ray_session):
+    """Exactly TOPK rows per doc with dense ranks 1..K, scores
+    non-increasing along rank, and the ubiquitous function words
+    ('a'/'the': df == N -> idf bucket 0) never surface as keywords."""
+    import numpy as np
+
+    from graphiti_ray import queries as q
+    from graphiti_ray.ops.keywords import TOPK
+
+    df = q.QUERIES["tfidf_keywords"](SF_DIR).to_pandas()
+    per = df.groupby("doc_id")["rank"]
+    assert (per.count() == TOPK).all()
+    assert (per.max() == TOPK).all() and (per.min() == 1).all()
+    s = df.sort_values(["doc_id", "rank"])
+    diffs = s.groupby("doc_id")["score"].diff().dropna()
+    assert (diffs.to_numpy() <= 0).all()
+    assert not s["term"].isin(["a", "the"]).any() or (
+        s.loc[s["term"].isin(["a", "the"]), "score"] == 0
+    ).all()
+
+
 def test_bpe_merge_contract(ray_session):
     """Counts are non-increasing across iterations (greedy argmax),
     each merged symbol is the concat of its parts, and at least one
