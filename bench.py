@@ -106,6 +106,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "link_graph",
         "host_pagerank",
         "tfidf_keywords",
+        "events_key_skew",
+        "events_hot_keys",
         "knn_bruteforce",
         "knn_lsh",
         "knn_ivf",

@@ -685,6 +685,23 @@ def link_graph(sf_dir: str):
     return lg(sf_dir)
 
 
+def events_key_skew(sf_dir: str):
+    """Key-skew profile (log2 frequency-bucket histogram) of
+    events.user_id — the pre-exchange diagnostic behind this repo's
+    explicit skew handling — ops/skew.py."""
+    from .ops.skew import events_key_skew as ks
+
+    return ks(sf_dir)
+
+
+def events_hot_keys(sf_dir: str):
+    """Exact top hot keys of events.user_id via per-block partial
+    top-k + one tiny driver finalize (no global sort) — ops/skew.py."""
+    from .ops.skew import events_hot_keys as hk
+
+    return hk(sf_dir)
+
+
 def tfidf_keywords(sf_dir: str):
     """Top-5 tf-idf keywords per document (integer floor-log2 idf
     buckets, broadcast idf map, streaming in-block top-k) —
@@ -1288,6 +1305,12 @@ def _KEYWORDS_SQL():
     from .ops.keywords import TFIDF_KEYWORDS_SQL
 
     return TFIDF_KEYWORDS_SQL
+
+
+def _SKEW_SQL(name: str):
+    from .ops import skew
+
+    return getattr(skew, name)
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -2167,6 +2190,10 @@ QUERIES = {
     # per-doc tf-idf keywords (oracle-backed; exact driver compare in
     # tests/test_bpe.py)
     "tfidf_keywords": tfidf_keywords,
+    # key-skew diagnostics (oracle-backed; exact driver compare in
+    # tests/test_skew.py)
+    "events_key_skew": events_key_skew,
+    "events_hot_keys": events_hot_keys,
 }
 
 ORACLE_SQL = {
@@ -2246,6 +2273,8 @@ ORACLE_SQL = {
     "link_graph": _LINKS_SQL(),
     "host_pagerank": _HOST_PAGERANK_SQL(),
     "tfidf_keywords": _KEYWORDS_SQL(),
+    "events_key_skew": _SKEW_SQL("EVENTS_KEY_SKEW_SQL"),
+    "events_hot_keys": _SKEW_SQL("EVENTS_HOT_KEYS_SQL"),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.
