@@ -108,6 +108,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "tfidf_keywords",
         "events_key_skew",
         "events_hot_keys",
+        "crawl_prep",
         "knn_bruteforce",
         "knn_lsh",
         "knn_ivf",

@@ -685,6 +685,15 @@ def link_graph(sf_dir: str):
     return lg(sf_dir)
 
 
+def crawl_prep(sf_dir: str):
+    """The composed crawl->training-data funnel (URL dedup -> host
+    filter -> quality -> exact dedup), emitting per-stage survivor
+    counts — ops/crawlprep.py."""
+    from .ops.crawlprep import crawl_prep as cp
+
+    return cp(sf_dir)
+
+
 def events_key_skew(sf_dir: str):
     """Key-skew profile (log2 frequency-bucket histogram) of
     events.user_id — the pre-exchange diagnostic behind this repo's
@@ -1311,6 +1320,12 @@ def _SKEW_SQL(name: str):
     from .ops import skew
 
     return getattr(skew, name)
+
+
+def _CRAWLPREP_SQL():
+    from .ops.crawlprep import CRAWL_PREP_SQL
+
+    return CRAWL_PREP_SQL
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -2194,6 +2209,9 @@ QUERIES = {
     # tests/test_skew.py)
     "events_key_skew": events_key_skew,
     "events_hot_keys": events_hot_keys,
+    # composed crawl->training-data funnel (oracle-backed; exact
+    # driver compare in tests/test_urls.py)
+    "crawl_prep": crawl_prep,
 }
 
 ORACLE_SQL = {
@@ -2275,6 +2293,7 @@ ORACLE_SQL = {
     "tfidf_keywords": _KEYWORDS_SQL(),
     "events_key_skew": _SKEW_SQL("EVENTS_KEY_SKEW_SQL"),
     "events_hot_keys": _SKEW_SQL("EVENTS_HOT_KEYS_SQL"),
+    "crawl_prep": _CRAWLPREP_SQL(),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.

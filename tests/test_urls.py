@@ -57,6 +57,31 @@ def test_canonicalize_rules():
     assert got == list(cases.values())
 
 
+def test_crawl_prep_matches_duckdb_oracle(ray_session, duck):
+    from graphiti_ray import queries as q
+
+    rdf = q.QUERIES["crawl_prep"](SF_DIR)
+    odf = duck.execute(q.ORACLE_SQL["crawl_prep"]).df()
+    assert sorted(rdf.columns) == sorted(odf.columns)
+    a, b = _canon(rdf), _canon(odf)
+    assert len(a) == len(b) == 5
+    assert a.equals(b)
+
+
+def test_crawl_prep_funnel_monotone(ray_session):
+    """Stage counts are strictly a funnel: each stage keeps at most as
+    many docs as the previous, and every stage drops something at this
+    tier (a stage that filters nothing proves nothing)."""
+    from graphiti_ray import queries as q
+
+    df = q.QUERIES["crawl_prep"](SF_DIR).sort_values("stage")
+    n = df["n_docs"].to_numpy()
+    assert len(n) == 5
+    assert (n[1:] <= n[:-1]).all()
+    assert (n[1:] < n[:-1]).sum() >= 3
+    assert n[-1] > 0
+
+
 def test_snapshot_delta_matches_duckdb_oracle(ray_session, duck):
     from graphiti_ray import queries as q
 
