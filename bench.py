@@ -131,6 +131,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "repetition_stats",
         "top_ngrams",
         "sample_stratified",
+        "mixture_sample",
         "event_windows",
         "events_hourly",
         "events_json",

@@ -993,6 +993,15 @@ def sample_stratified(sf_dir: str):
     return ss(sf_dir)
 
 
+def mixture_sample(sf_dir: str):
+    """Target-mixture resampling: per-language keep rates SOLVED from
+    observed counts for a uniform target (the Pile/DoReMi mixture
+    stage), hash-deterministic keep decision — ops/mixture.py."""
+    from .ops.mixture import mixture_sample as ms
+
+    return ms(sf_dir)
+
+
 # S7 analog: persisted inverted text index (search/index.py) ----------
 
 BM25_DEMO_QUERY = "spark window join"
@@ -1326,6 +1335,12 @@ def _CRAWLPREP_SQL():
     from .ops.crawlprep import CRAWL_PREP_SQL
 
     return CRAWL_PREP_SQL
+
+
+def _MIXTURE_SQL():
+    from .ops.mixture import MIXTURE_SAMPLE_SQL
+
+    return MIXTURE_SAMPLE_SQL
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -2212,6 +2227,9 @@ QUERIES = {
     # composed crawl->training-data funnel (oracle-backed; exact
     # driver compare in tests/test_urls.py)
     "crawl_prep": crawl_prep,
+    # target-mixture resampling (oracle-backed; exact compare in
+    # tests/test_ops.py)
+    "mixture_sample": mixture_sample,
 }
 
 ORACLE_SQL = {
@@ -2294,6 +2312,7 @@ ORACLE_SQL = {
     "events_key_skew": _SKEW_SQL("EVENTS_KEY_SKEW_SQL"),
     "events_hot_keys": _SKEW_SQL("EVENTS_HOT_KEYS_SQL"),
     "crawl_prep": _CRAWLPREP_SQL(),
+    "mixture_sample": _MIXTURE_SQL(),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.

@@ -135,7 +135,8 @@ def test_doc_fingerprints_match_duckdb_oracle(ray_session):
 
 
 @pytest.mark.parametrize(
-    "name", ["repetition_stats", "top_ngrams", "sample_stratified"]
+    "name",
+    ["repetition_stats", "top_ngrams", "sample_stratified", "mixture_sample"],
 )
 def test_corpus_ops_match_duckdb_oracle(ray_session, name):
     """Repetition signals, per-lang top-k vocabulary and deterministic
@@ -180,6 +181,23 @@ def test_sample_stratified_is_deterministic_and_rate_bounded(ray_session):
     en_rate = kept.get("en", 0) / total["en"]
     tail_rate = (kept.sum() - kept.get("en", 0)) / (total.sum() - total["en"])
     assert en_rate < tail_rate
+
+
+def test_mixture_sample_balances_toward_uniform(ray_session):
+    """The kept set's language distribution is strictly closer to
+    uniform (max-share sense) than the input's, and no language is
+    wiped out — the point of solving rates from observed counts."""
+    from graphiti_ray import queries as q
+
+    df = q.QUERIES["mixture_sample"](SF).to_pandas()
+    total = df.groupby("lang").size()
+    kept = df[df["kept"]].groupby("lang").size()
+    assert (kept > 0).all() and len(kept) == len(total)
+    in_max = (total / total.sum()).max()
+    out_max = (kept / kept.sum()).max()
+    assert out_max < in_max
+    # rates respond to skew: the majority language is the one capped
+    assert df.loc[df["lang"] == total.idxmax(), "rate_bp"].iloc[0] < 10_000
 
 
 def test_minhash_lsh_matches_duckdb_oracle(ray_session):
