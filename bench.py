@@ -90,6 +90,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "kg_pagerank",
         "kg_triangles",
         "kg_degree_hist",
+        "kg_two_hop",
         "repeated_spans",
         "classifier_lr",
         "perplexity_buckets",

@@ -464,7 +464,92 @@ def degree_histogram(edges_ds):
     return hist.map_batches(out, batch_format="pyarrow")
 
 
+def two_hop_paths(edges_ds):
+    """Every directed 2-hop path (src -pred1-> mid -pred2-> dst) over
+    the DISTINCT (group, subj, pred, obj) canonical edge set — the
+    basic KG path query (the reference reaches 2-hop neighborhoods
+    only via per-query BFS, search_utils edge BFS; a batch engine
+    needs the whole path table, e.g. as training signal for KG-aware
+    retrieval or multi-hop QA candidates).
+
+    Distributed shape: edges deduped (one composite-key exchange),
+    then BOTH sides stream once, tagged with the join key
+    (group, mid-entity) — incoming edges key on their object, outgoing
+    on their subject — and meet in ONE bounded groupby exchange whose
+    per-group kernel is a vectorized numpy cross product (every row in
+    a group shares the same mid, so the join IS the cross product).
+    Hot mid-entities are the known skew (a hub contributes
+    in-deg x out-deg paths) — same bound family as triangle wedges;
+    production caps hub degree or samples paths per hub.
+    """
+    import pandas as pd
+
+    from ..functions.exchange import bounded_group_map
+
+    ded = _distinct_by_key(
+        edges_ds.select_columns(["group_id", "subj", "name", "obj"]),
+        ["group_id", "subj", "name", "obj"],
+        "ek",
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        core = pa.table(
+            {
+                "group_id": t.column("group_id"),
+                "subj": t.column("subj"),
+                "pred": t.column("name"),
+                "obj": t.column("obj"),
+            }
+        )
+        both = pa.concat_tables([core, core])
+        jk = pa.chunked_array(
+            [
+                _key2(t, "group_id", "obj").combine_chunks(),
+                _key2(t, "group_id", "subj").combine_chunks(),
+            ]
+        )
+        side = pa.array(
+            np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+        )
+        return both.append_column("jk", jk).append_column("side", side)
+
+    tagged = ded.map_batches(tag, batch_format="pyarrow")
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 0]  # edges INTO the shared mid
+        b = df[df["side"] == 1]  # edges OUT of the shared mid
+        if a.empty or b.empty:
+            return pd.DataFrame(
+                {
+                    c: pd.Series([], dtype=object)
+                    for c in ("group_id", "src", "pred1", "mid",
+                              "pred2", "dst")
+                }
+            )
+        na, nb = len(a), len(b)
+        return pd.DataFrame(
+            {
+                "group_id": np.repeat(a["group_id"].to_numpy(), nb),
+                "src": np.repeat(a["subj"].to_numpy(), nb),
+                "pred1": np.repeat(a["pred"].to_numpy(), nb),
+                "mid": np.repeat(a["obj"].to_numpy(), nb),
+                "pred2": np.tile(b["pred"].to_numpy(), na),
+                "dst": np.tile(b["obj"].to_numpy(), na),
+            }
+        )
+
+    return bounded_group_map(tagged, "jk", close, batch_format="pandas")
+
+
 # ------------------------------------------------------- SQL mirrors
+
+TWO_HOP_SQL_BODY = """
+, th AS (SELECT DISTINCT grp, subj, pred, obj FROM swept)
+SELECT a.grp AS group_id, a.subj AS src, a.pred AS pred1,
+       a.obj AS mid, b.pred AS pred2, b.obj AS dst
+FROM th a JOIN th b ON b.grp = a.grp AND b.subj = a.obj
+"""
 
 TRIANGLES_SQL_BODY = """
 , tri_und AS (

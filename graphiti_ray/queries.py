@@ -783,6 +783,14 @@ def kg_degree_hist(sf_dir: str):
     return degree_histogram(_kg_docs_edges_named(sf_dir))
 
 
+def kg_two_hop(sf_dir: str):
+    """Directed 2-hop path table (src -pred1-> mid -pred2-> dst) over
+    the canonical KG — mid-keyed bucketed self-join (ops/graph.py)."""
+    from .ops.graph import two_hop_paths
+
+    return two_hop_paths(_kg_docs_edges_named(sf_dir))
+
+
 def knn_bruteforce(sf_dir: str):
     from .ops.simsearch import knn_bruteforce as knn
 
@@ -2181,6 +2189,7 @@ QUERIES = {
     "kg_pagerank": kg_pagerank,
     "kg_triangles": kg_triangles,
     "kg_degree_hist": kg_degree_hist,
+    "kg_two_hop": kg_two_hop,
     "repeated_spans": repeated_spans,
     # trainable quality classifier (oracle-backed, same outside-window
     # status as the clustering pair; exact driver compare in
@@ -2293,6 +2302,7 @@ ORACLE_SQL = {
     "kg_pagerank": _KG_PAGERANK_SQL(),
     "kg_triangles": _KG_GRAPH_SQL("TRIANGLES_SQL_BODY"),
     "kg_degree_hist": _KG_GRAPH_SQL("DEGREE_HIST_SQL_BODY"),
+    "kg_two_hop": _KG_GRAPH_SQL("TWO_HOP_SQL_BODY"),
     "repeated_spans": _REPEATED_SPANS_SQL(),
     "classifier_lr": _CLASSIFIER_LR_SQL(),
     "perplexity_buckets": _PERPLEXITY_BUCKETS_SQL(),

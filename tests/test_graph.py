@@ -21,7 +21,7 @@ def duck():
 
 
 @pytest.mark.parametrize(
-    "name", ["kg_pagerank", "kg_triangles", "kg_degree_hist"]
+    "name", ["kg_pagerank", "kg_triangles", "kg_degree_hist", "kg_two_hop"]
 )
 def test_graph_matches_duckdb_oracle(ray_session, duck, name):
     from graphiti_ray import queries as q
@@ -112,3 +112,34 @@ def test_triangles_synthetic(ray_session):
     # degrees: a=3, b=2, c=3, d=2 -> {2: 2 nodes, 3: 2 nodes}
     got = dict(zip(hist["degree"], hist["n_nodes"]))
     assert got == {2: 2, 3: 2}
+
+
+def test_two_hop_synthetic(ray_session):
+    """Paths = in-edge x out-edge per mid; duplicate edges collapse;
+    groups never mix; back-and-forth (a->b->a) IS a valid 2-hop."""
+    import ray.data as rd
+
+    from graphiti_ray.ops.graph import two_hop_paths
+
+    def e(g, s, p, o):
+        return {"group_id": g, "subj": s, "name": p, "obj": o}
+
+    edges = rd.from_items(
+        [
+            e("g", "a", "r1", "b"), e("g", "b", "r2", "c"),  # a->b->c
+            e("g", "b", "r2", "c"),                          # dup collapses
+            e("g", "b", "r3", "a"),  # a->b->a and b->a->b exist
+            e("h", "c", "r4", "d"),  # other group: no cross paths
+        ]
+    )
+    df = two_hop_paths(edges).to_pandas()
+    paths = {
+        tuple(r)
+        for r in df[["group_id", "src", "mid", "dst"]].itertuples(index=False)
+    }
+    assert paths == {
+        ("g", "a", "b", "c"),
+        ("g", "a", "b", "a"),
+        ("g", "b", "a", "b"),
+    }
+    assert len(df) == 3  # dup edge produced no dup path
