@@ -91,6 +91,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "kg_triangles",
         "kg_degree_hist",
         "kg_two_hop",
+        "kg_entity_timeline",
         "repeated_spans",
         "classifier_lr",
         "perplexity_buckets",

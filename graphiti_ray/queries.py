@@ -791,6 +791,71 @@ def kg_two_hop(sf_dir: str):
     return two_hop_paths(_kg_docs_edges_named(sf_dir))
 
 
+def kg_entity_timeline(sf_dir: str):
+    """Per-entity ordered fact history: (group, subj, seq, pred, obj,
+    valid_at) with seq = dense per-subject rank in
+    (valid_at NULLS-FIRST, pred, obj) order — the batch analog of the
+    reference's per-entity temporal retrieval (graphiti_core
+    search_utils get-by-entity + valid_at ordering), as a TABLE a
+    downstream trainer can consume. One (group, subj)-bucketed
+    exchange; per-group kernel is a vectorized pandas sort + arange.
+    Rows that tie on every output column make seq assignment
+    ambiguous but the OUTPUT multiset identical, so the hash compare
+    is deterministic."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from .functions.exchange import bounded_group_map
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "group_id": t.column("group_id"),
+                "subj": t.column("subj"),
+                "pred": t.column("name"),
+                "obj": t.column("obj"),
+                "valid_at": t.column("valid_at"),
+            }
+        )
+
+    edges = _kg_docs_edges_named(sf_dir).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def seq(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["valid_at", "pred", "obj"], na_position="first"
+        ).reset_index(drop=True)
+        df["seq"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["group_id", "subj", "seq", "pred", "obj", "valid_at"]]
+
+    def key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = pc.binary_join_element_wise(
+            t.column("group_id").cast(pa.string()),
+            t.column("subj").cast(pa.string()),
+            "\x1f",
+        )
+        return t.append_column("sk", k)
+
+    keyed = edges.map_batches(key, batch_format="pyarrow")
+    out = bounded_group_map(keyed, "sk", seq, batch_format="pandas")
+    return out
+
+
+_KG_TIMELINE_SQL_BODY = """
+SELECT grp AS group_id, subj,
+       CAST(row_number() OVER (
+         PARTITION BY grp, subj
+         ORDER BY valid_at ASC NULLS FIRST, pred, obj
+       ) AS BIGINT) AS seq,
+       pred, obj, valid_at
+FROM swept
+"""
+
+
 def knn_bruteforce(sf_dir: str):
     from .ops.simsearch import knn_bruteforce as knn
 
@@ -2190,6 +2255,7 @@ QUERIES = {
     "kg_triangles": kg_triangles,
     "kg_degree_hist": kg_degree_hist,
     "kg_two_hop": kg_two_hop,
+    "kg_entity_timeline": kg_entity_timeline,
     "repeated_spans": repeated_spans,
     # trainable quality classifier (oracle-backed, same outside-window
     # status as the clustering pair; exact driver compare in
@@ -2303,6 +2369,7 @@ ORACLE_SQL = {
     "kg_triangles": _KG_GRAPH_SQL("TRIANGLES_SQL_BODY"),
     "kg_degree_hist": _KG_GRAPH_SQL("DEGREE_HIST_SQL_BODY"),
     "kg_two_hop": _KG_GRAPH_SQL("TWO_HOP_SQL_BODY"),
+    "kg_entity_timeline": _kg_docs_sql(_KG_TIMELINE_SQL_BODY),
     "repeated_spans": _REPEATED_SPANS_SQL(),
     "classifier_lr": _CLASSIFIER_LR_SQL(),
     "perplexity_buckets": _PERPLEXITY_BUCKETS_SQL(),

@@ -18,6 +18,7 @@ KG_DOCS_QUERIES = [
     "kg_mention_degrees",
     "kg_node_summaries",
     "kg_communities",
+    "kg_entity_timeline",
 ]
 
 
