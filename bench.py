@@ -107,6 +107,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "host_filter",
         "link_graph",
         "host_pagerank",
+        "anchor_terms",
         "tfidf_keywords",
         "events_key_skew",
         "events_hot_keys",

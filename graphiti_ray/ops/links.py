@@ -42,7 +42,8 @@ def _synth_html(df: pd.DataFrame) -> pd.Series:
         href = pd.Series("https://" + tgt, index=df.index)
         href[v == 1] = "https://" + tgt + "/#sec"
         href[v == 2] = "http://www." + tgt + "?utm_x=1"
-        anchor = '<a href="' + href + '">x</a>'
+        text = "topic" + (q % 7).astype(str) + " doc" + q.astype(str)
+        anchor = '<a href="' + href + '">' + text + "</a>"
         body = body + anchor.where((d % 3).to_numpy() > j, "")
     return body + '<a href="/nav">nav</a></body></html>'
 
@@ -95,6 +96,79 @@ def link_graph(sf_dir: str):
     )
 
 
+_ANCHOR_RE = r'<a href="([^"]+)">([^<]+)</a>'
+
+
+def _partial_anchor_terms(batch: pa.Table) -> pa.Table:
+    df = batch.to_pandas()
+    html = _synth_html(df)
+    m = html.str.extractall(_ANCHOR_RE)
+    m = m[m[0].str.startswith("http")].reset_index(drop=True)
+    if not len(m):
+        return pa.table(
+            {
+                "dst_host": pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "n_links": pa.array([], pa.int64()),
+            }
+        )
+    dst = (
+        canonicalize(m[0])
+        .str.extract(r"^https://([^/?]*)", expand=False)
+        .rename("dst_host")
+    )
+    ex = pd.DataFrame(
+        {"dst_host": dst.to_numpy(), "term": m[1].str.split(" ").to_numpy()}
+    ).explode("term")
+    g = (
+        ex.groupby(["dst_host", "term"], sort=False)
+        .size()
+        .rename("n_links")
+        .reset_index()
+    )
+    g["n_links"] = g["n_links"].astype(np.int64)
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def anchor_terms(sf_dir: str):
+    """(dst_host, term, n_links) — anchor-text term counts aggregated
+    per TARGET host, the classic link-text-as-document-signal stage
+    (anchor text describes the target better than the target's own
+    page; every large-scale search/retrieval corpus aggregates it).
+    One streaming extract pass (C-regex extractall over the html, the
+    href AND its anchor text together), canonicalized targets, per-
+    block partial counts, then ONE (host, term)-sized groupby — the
+    exchange carries the vocabulary-sized partial table, never the
+    link-sized raw stream."""
+    return (
+        read_documents(sf_dir, ["doc_id"])
+        .map_batches(_partial_anchor_terms, batch_format="pyarrow")
+        .groupby(["dst_host", "term"])
+        .sum("n_links")
+        .map_batches(
+            lambda t: t.rename_columns(["dst_host", "term", "n_links"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# Mirrors the data GENERATION arithmetically (link j of doc d targets
+# page q = (d*7 + j*31) % 200 with anchor text "topic{q%7} doc{q}");
+# the Ray side must recover exactly this by parsing the html.
+ANCHOR_TERMS_SQL = """WITH q AS (
+  SELECT (doc_id * 7) % 200 AS q FROM documents WHERE doc_id % 3 > 0
+  UNION ALL
+  SELECT (doc_id * 7 + 31) % 200 FROM documents WHERE doc_id % 3 > 1
+), t AS (
+  SELECT 'site' || (q % 50)::VARCHAR || '.example' AS dst_host,
+         unnest(['topic' || (q % 7)::VARCHAR,
+                 'doc' || q::VARCHAR]) AS term
+  FROM q
+)
+SELECT dst_host, term, COUNT(*)::BIGINT AS n_links
+FROM t GROUP BY dst_host, term"""
+
+
 def host_pagerank(sf_dir: str):
     """(group_id, name, pr_e9) — PageRank over the canonical host link
     graph (ops/graph.pagerank contract: single 'web' group; integer-e9
@@ -144,7 +218,8 @@ _LINKS_REL = """SELECT src_host, url FROM (
                WHEN 1 THEN 'https://' || t0 || '/#sec'
                WHEN 2 THEN 'http://www.' || t0 || '?utm_x=1'
                ELSE 'https://' || t0
-             END || '">x</a>'
+             END || '">topic' || (q0 % 7)::VARCHAR || ' doc' ||
+             q0::VARCHAR || '</a>'
            ELSE '' END ||
            CASE WHEN doc_id % 3 > 1 THEN
              '<a href="' ||
@@ -152,11 +227,14 @@ _LINKS_REL = """SELECT src_host, url FROM (
                WHEN 1 THEN 'https://' || t1 || '/#sec'
                WHEN 2 THEN 'http://www.' || t1 || '?utm_x=1'
                ELSE 'https://' || t1
-             END || '">x</a>'
+             END || '">topic' || (q1 % 7)::VARCHAR || ' doc' ||
+             q1::VARCHAR || '</a>'
            ELSE '' END ||
            '<a href="/nav">nav</a></body></html>' AS html
     FROM (
       SELECT doc_id,
+             (doc_id * 7) % 200 AS q0,
+             (doc_id * 7 + 31) % 200 AS q1,
              'site' || (((doc_id * 7) % 200) % 50)::VARCHAR ||
              '.example/doc' || ((doc_id * 7) % 200)::VARCHAR AS t0,
              'site' || (((doc_id * 7 + 31) % 200) % 50)::VARCHAR ||

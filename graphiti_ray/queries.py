@@ -685,6 +685,16 @@ def link_graph(sf_dir: str):
     return lg(sf_dir)
 
 
+def anchor_terms(sf_dir: str):
+    """Anchor-text term counts per TARGET host (link text as a
+    target-document signal): regex (href, text) extraction,
+    canonicalized targets, partial counts, one vocabulary-sized
+    groupby — ops/links.py."""
+    from .ops.links import anchor_terms as at
+
+    return at(sf_dir)
+
+
 def crawl_prep(sf_dir: str):
     """The composed crawl->training-data funnel (URL dedup -> host
     filter -> quality -> exact dedup), emitting per-stage survivor
@@ -1390,6 +1400,12 @@ def _HOST_PAGERANK_SQL():
     from .ops.links import HOST_PAGERANK_SQL
 
     return HOST_PAGERANK_SQL
+
+
+def _ANCHOR_TERMS_SQL():
+    from .ops.links import ANCHOR_TERMS_SQL
+
+    return ANCHOR_TERMS_SQL
 
 
 def _KEYWORDS_SQL():
@@ -2292,6 +2308,7 @@ QUERIES = {
     # compare in tests/test_urls.py)
     "link_graph": link_graph,
     "host_pagerank": host_pagerank,
+    "anchor_terms": anchor_terms,
     # per-doc tf-idf keywords (oracle-backed; exact driver compare in
     # tests/test_bpe.py)
     "tfidf_keywords": tfidf_keywords,
@@ -2385,6 +2402,7 @@ ORACLE_SQL = {
     "host_filter": _HOSTS_SQL(),
     "link_graph": _LINKS_SQL(),
     "host_pagerank": _HOST_PAGERANK_SQL(),
+    "anchor_terms": _ANCHOR_TERMS_SQL(),
     "tfidf_keywords": _KEYWORDS_SQL(),
     "events_key_skew": _SKEW_SQL("EVENTS_KEY_SKEW_SQL"),
     "events_hot_keys": _SKEW_SQL("EVENTS_HOT_KEYS_SQL"),
