@@ -704,6 +704,15 @@ def crawl_prep(sf_dir: str):
     return cp(sf_dir)
 
 
+def frontier_priority(sf_dir: str):
+    """Crawl-frontier scheduling score per host: PageRank authority x
+    snapshot change rate (Cho & Garcia-Molina refresh policy), all
+    host-sized exchanges — ops/frontier.py."""
+    from .ops.frontier import frontier_priority as fp
+
+    return fp(sf_dir)
+
+
 def events_key_skew(sf_dir: str):
     """Key-skew profile (log2 frequency-bucket histogram) of
     events.user_id — the pre-exchange diagnostic behind this repo's
@@ -1406,6 +1415,12 @@ def _ANCHOR_TERMS_SQL():
     from .ops.links import ANCHOR_TERMS_SQL
 
     return ANCHOR_TERMS_SQL
+
+
+def _FRONTIER_SQL():
+    from .ops.frontier import FRONTIER_PRIORITY_SQL
+
+    return FRONTIER_PRIORITY_SQL
 
 
 def _KEYWORDS_SQL():
@@ -2322,6 +2337,9 @@ QUERIES = {
     # target-mixture resampling (oracle-backed; exact compare in
     # tests/test_ops.py)
     "mixture_sample": mixture_sample,
+    # crawl-frontier scheduling (oracle-backed; exact compare in
+    # tests/test_urls.py)
+    "frontier_priority": frontier_priority,
 }
 
 ORACLE_SQL = {
@@ -2408,6 +2426,7 @@ ORACLE_SQL = {
     "events_hot_keys": _SKEW_SQL("EVENTS_HOT_KEYS_SQL"),
     "crawl_prep": _CRAWLPREP_SQL(),
     "mixture_sample": _MIXTURE_SQL(),
+    "frontier_priority": _FRONTIER_SQL(),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.

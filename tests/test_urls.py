@@ -27,7 +27,7 @@ def _canon(df):
 @pytest.mark.parametrize(
     "name",
     ["url_canonical", "url_dedup", "host_filter", "link_graph",
-     "host_pagerank", "anchor_terms"],
+     "host_pagerank", "anchor_terms", "frontier_priority"],
 )
 def test_urls_match_duckdb_oracle(ray_session, duck, name):
     from graphiti_ray import queries as q
