@@ -136,6 +136,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "top_ngrams",
         "sample_stratified",
         "mixture_sample",
+        "collocations",
         "event_windows",
         "events_hourly",
         "events_json",

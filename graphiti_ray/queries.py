@@ -1085,6 +1085,14 @@ def sample_stratified(sf_dir: str):
     return ss(sf_dir)
 
 
+def collocations(sf_dir: str):
+    """Within-document co-occurrence lift over the top-V df vocabulary
+    (PMI-without-the-log, integer milli) — ops/collocations.py."""
+    from .ops.collocations import collocations as co
+
+    return co(sf_dir)
+
+
 def mixture_sample(sf_dir: str):
     """Target-mixture resampling: per-language keep rates SOLVED from
     observed counts for a uniform target (the Pile/DoReMi mixture
@@ -1445,6 +1453,12 @@ def _MIXTURE_SQL():
     from .ops.mixture import MIXTURE_SAMPLE_SQL
 
     return MIXTURE_SAMPLE_SQL
+
+
+def _COLLOC_SQL():
+    from .ops.collocations import COLLOCATIONS_SQL
+
+    return COLLOCATIONS_SQL
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -2340,6 +2354,9 @@ QUERIES = {
     # crawl-frontier scheduling (oracle-backed; exact compare in
     # tests/test_urls.py)
     "frontier_priority": frontier_priority,
+    # collocation lift over the top-V vocabulary (oracle-backed;
+    # exact compare in tests/test_ops.py)
+    "collocations": collocations,
 }
 
 ORACLE_SQL = {
@@ -2427,6 +2444,7 @@ ORACLE_SQL = {
     "crawl_prep": _CRAWLPREP_SQL(),
     "mixture_sample": _MIXTURE_SQL(),
     "frontier_priority": _FRONTIER_SQL(),
+    "collocations": _COLLOC_SQL(),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.

@@ -136,7 +136,8 @@ def test_doc_fingerprints_match_duckdb_oracle(ray_session):
 
 @pytest.mark.parametrize(
     "name",
-    ["repetition_stats", "top_ngrams", "sample_stratified", "mixture_sample"],
+    ["repetition_stats", "top_ngrams", "sample_stratified",
+     "mixture_sample", "collocations"],
 )
 def test_corpus_ops_match_duckdb_oracle(ray_session, name):
     """Repetition signals, per-lang top-k vocabulary and deterministic
