@@ -66,8 +66,23 @@ def _cell_counts(batch: pa.Table) -> pa.Table:
 
 def curriculum_order(sf_dir: str):
     """(doc_id, bucket, curriculum_rank): dense global rank 0..n-1 in
-    (length-octave, within-octave-shuffle) order."""
+    (length-octave, within-octave-shuffle) order.
+
+    Exchange layout: grouping on the raw (bucket, cell) key would
+    schedule one reducer invocation per grid cell — up to ~64 x 4096
+    near-empty pandas groups at small corpora, pure per-group overhead
+    (measured 7.6 s for 5 k docs). Instead rows carry a partition id
+    ``pid = (bucket * CELLS + cell) % K`` (K = cluster exchange
+    width), so ONE task handles many whole cells and ranks them all in
+    a single vectorized pass (lexsort + run-boundary arithmetic — no
+    per-cell Python). Cells never split across tasks, and a task's
+    payload is ~data/K, so the per-task bound scales with the cluster
+    exactly as before (same grid, same bases, same output)."""
     import ray
+
+    from ..functions.exchange import bounded_group_map, exchange_width
+
+    cells = 1 << (32 - COARSE_SHIFT)  # grid cells per octave
 
     keyed = (
         read_documents(sf_dir, ["doc_id", "text"])
@@ -87,22 +102,40 @@ def curriculum_order(sf_dir: str):
     csum = counts["sum(n)"].cumsum()
     counts["base"] = csum - counts["sum(n)"]  # exclusive prefix
     bases = {
-        (int(b), int(c)): int(v)
+        (int(b) * cells + int(c)): int(v)
         for b, c, v in zip(counts["bucket"], counts["cell"], counts["base"])
     }
     bases_ref = ray.put(bases)
+    k = exchange_width()
 
-    def rank(df: pd.DataFrame) -> pd.DataFrame:
-        base = ray.get(bases_ref)[
-            (int(df["bucket"].iloc[0]), int(df["cell"].iloc[0]))
-        ]
-        df = df.sort_values(["skey", "doc_id"]).reset_index(drop=True)
-        df["curriculum_rank"] = base + np.arange(len(df), dtype=np.int64)
+    def pid(t: pa.Table) -> pa.Table:
+        key = (
+            np.asarray(t.column("bucket"), np.int64) * cells
+            + np.asarray(t.column("cell"), np.int64)
+        )
+        return t.append_column("pid", pa.array(key % k, pa.int64()))
+
+    def rank_many(df: pd.DataFrame) -> pd.DataFrame:
+        base_map = ray.get(bases_ref)
+        key = df["bucket"].to_numpy() * cells + df["cell"].to_numpy()
+        order = np.lexsort(
+            (df["doc_id"].to_numpy(), df["skey"].to_numpy(), key)
+        )
+        df = df.iloc[order].reset_index(drop=True)
+        key = key[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        lens = np.diff(np.r_[starts, len(key)])
+        run_base = np.array(
+            [base_map[int(key[s])] for s in starts], np.int64
+        )  # python loop over RUNS (cells in this task), not rows
+        within = np.arange(len(key), dtype=np.int64) - np.repeat(
+            starts, lens
+        )
+        df["curriculum_rank"] = np.repeat(run_base, lens) + within
         return df[["doc_id", "bucket", "curriculum_rank"]]
 
-    return keyed.groupby(["bucket", "cell"]).map_groups(
-        rank, batch_format="pandas"
-    )
+    tagged = keyed.map_batches(pid, batch_format="pyarrow")
+    return bounded_group_map(tagged, "pid", rank_many, batch_format="pandas")
 
 
 CURRICULUM_ORDER_SQL = f"""WITH t AS (
