@@ -26,11 +26,17 @@ TOP_HOT = 5
 
 
 def _key_counts(ds, key: str):
+    from ..functions.exchange import coalesced
+
     def partial(t: pa.Table) -> pa.Table:
         g = t.select([key]).group_by([key]).aggregate([([], "count_all")])
         return g.rename_columns([key, "n"])
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby(key).sum("n")
+    # bound the exchange width to the data, not the upstream block
+    # count (the post-combiner stream is key-set-sized per block but
+    # the shuffle's task fan-out would still track corpus blocks)
+    part = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    return coalesced(part).groupby(key).sum("n")
 
 
 def key_skew(ds, key: str):
