@@ -864,6 +864,18 @@ def kg_entity_timeline(sf_dir: str):
     return out
 
 
+def kg_negative_samples(sf_dir: str):
+    """Hash-deterministic TransE-style negative sampling over the
+    canonical KG: k corrupted triples per edge, replacement drawn by
+    md5 from the per-group entity index with skip-original semantics —
+    ops/negatives.py (fully distributed: three lookup_column folds,
+    no driver collect)."""
+    from .ops.negatives import negative_samples
+
+    kg = _kg_docs(sf_dir)
+    return negative_samples(kg.nodes, _edges_named_of(kg))
+
+
 _KG_TIMELINE_SQL_BODY = """
 SELECT grp AS group_id, subj,
        CAST(row_number() OVER (
@@ -1345,6 +1357,12 @@ def _KG_GRAPH_SQL(attr: str):
     from .ops import graph
 
     return _kg_docs_sql(getattr(graph, attr))
+
+
+def _KG_NEGSAMPLES_SQL():
+    from .ops.negatives import NEGATIVE_SAMPLES_SQL_BODY
+
+    return _kg_docs_sql(NEGATIVE_SAMPLES_SQL_BODY)
 
 
 def _REPEATED_SPANS_SQL():
@@ -2301,6 +2319,7 @@ QUERIES = {
     "kg_degree_hist": kg_degree_hist,
     "kg_two_hop": kg_two_hop,
     "kg_entity_timeline": kg_entity_timeline,
+    "kg_negative_samples": kg_negative_samples,
     "repeated_spans": repeated_spans,
     # trainable quality classifier (oracle-backed, same outside-window
     # status as the clustering pair; exact driver compare in
@@ -2422,6 +2441,7 @@ ORACLE_SQL = {
     "kg_degree_hist": _KG_GRAPH_SQL("DEGREE_HIST_SQL_BODY"),
     "kg_two_hop": _KG_GRAPH_SQL("TWO_HOP_SQL_BODY"),
     "kg_entity_timeline": _kg_docs_sql(_KG_TIMELINE_SQL_BODY),
+    "kg_negative_samples": _KG_NEGSAMPLES_SQL(),
     "repeated_spans": _REPEATED_SPANS_SQL(),
     "classifier_lr": _CLASSIFIER_LR_SQL(),
     "perplexity_buckets": _PERPLEXITY_BUCKETS_SQL(),

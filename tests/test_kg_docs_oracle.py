@@ -19,6 +19,7 @@ KG_DOCS_QUERIES = [
     "kg_node_summaries",
     "kg_communities",
     "kg_entity_timeline",
+    "kg_negative_samples",
 ]
 
 
@@ -110,3 +111,30 @@ def test_kg_docs_corpus_exercises_every_stage(ray_session):
     # SPOUSE_OF objects are canonical full names (target rewrite ran)
     sp = edges[edges["pred"] == "SPOUSE_OF"]
     assert sp["obj"].str.contains(" ").all()
+
+
+def test_negative_samples_invariants(ray_session):
+    """Negatives never equal their positives, the untouched side is
+    preserved, both sides get corrupted somewhere, every replacement
+    is a canonical entity, and two builds produce the identical
+    sample (hash-determinism)."""
+    import pandas as pd
+
+    from graphiti_ray import queries as q
+
+    df = q.QUERIES["kg_negative_samples"](SF_DIR).to_pandas()
+    heads = df[df["corrupt_side"] == "head"]
+    tails = df[df["corrupt_side"] == "tail"]
+    assert len(heads) > 0 and len(tails) > 0
+    assert (heads["neg_subj"] != heads["subj"]).all()
+    assert (heads["neg_obj"] == heads["obj"]).all()
+    assert (tails["neg_obj"] != tails["obj"]).all()
+    assert (tails["neg_subj"] == tails["subj"]).all()
+    nodes = set(q.QUERIES["kg_nodes"](SF_DIR).to_pandas()["name"])
+    repl = pd.concat([heads["neg_subj"], tails["neg_obj"]])
+    assert set(repl) <= nodes
+    again = q.QUERIES["kg_negative_samples"](SF_DIR).to_pandas()
+    key = sorted(df.columns)
+    assert df[key].sort_values(key).reset_index(drop=True).equals(
+        again[key].sort_values(key).reset_index(drop=True)
+    )
