@@ -138,6 +138,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "sample_stratified",
         "mixture_sample",
         "collocations",
+        "chunk_passages",
         "event_windows",
         "events_hourly",
         "events_json",

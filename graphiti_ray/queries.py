@@ -1097,6 +1097,15 @@ def sample_stratified(sf_dir: str):
     return ss(sf_dir)
 
 
+def chunk_passages(sf_dir: str):
+    """Overlapping token-window passages (RAG corpus prep, DPR-style):
+    WINDOW=16 / STRIDE=12, deterministic ids, zero exchanges —
+    ops/chunking.py."""
+    from .ops.chunking import chunk_passages as cp
+
+    return cp(sf_dir)
+
+
 def collocations(sf_dir: str):
     """Within-document co-occurrence lift over the top-V df vocabulary
     (PMI-without-the-log, integer milli) — ops/collocations.py."""
@@ -1477,6 +1486,12 @@ def _COLLOC_SQL():
     from .ops.collocations import COLLOCATIONS_SQL
 
     return COLLOCATIONS_SQL
+
+
+def _CHUNK_SQL():
+    from .ops.chunking import CHUNK_PASSAGES_SQL
+
+    return CHUNK_PASSAGES_SQL
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -2376,6 +2391,9 @@ QUERIES = {
     # collocation lift over the top-V vocabulary (oracle-backed;
     # exact compare in tests/test_ops.py)
     "collocations": collocations,
+    # RAG passage chunking (oracle-backed; exact compare in
+    # tests/test_ops.py)
+    "chunk_passages": chunk_passages,
 }
 
 ORACLE_SQL = {
@@ -2465,6 +2483,7 @@ ORACLE_SQL = {
     "mixture_sample": _MIXTURE_SQL(),
     "frontier_priority": _FRONTIER_SQL(),
     "collocations": _COLLOC_SQL(),
+    "chunk_passages": _CHUNK_SQL(),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.

@@ -137,7 +137,7 @@ def test_doc_fingerprints_match_duckdb_oracle(ray_session):
 @pytest.mark.parametrize(
     "name",
     ["repetition_stats", "top_ngrams", "sample_stratified",
-     "mixture_sample", "collocations"],
+     "mixture_sample", "collocations", "chunk_passages"],
 )
 def test_corpus_ops_match_duckdb_oracle(ray_session, name):
     """Repetition signals, per-lang top-k vocabulary and deterministic
