@@ -93,6 +93,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "kg_two_hop",
         "kg_entity_timeline",
         "kg_negative_samples",
+        "kg_verbalize",
         "repeated_spans",
         "classifier_lr",
         "perplexity_buckets",

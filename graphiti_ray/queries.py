@@ -876,6 +876,96 @@ def kg_negative_samples(sf_dir: str):
     return negative_samples(kg.nodes, _edges_named_of(kg))
 
 
+_VERB_TEMPLATES = {
+    "WORKS_FOR": " works for ",
+    "LIVES_IN": " lives in ",
+    "BORN_IN": " was born in ",
+    "HOLDS_ROLE": " holds the role of ",
+    "SPOUSE_OF": " is married to ",
+    "MOVED_TO": " moved to ",
+}
+
+
+def kg_verbalize(sf_dir: str):
+    """KG-to-text verbalization (KELM-style, Agarwal et al. 2021
+    arXiv:2010.12688): render every canonical bi-temporal edge as a
+    natural-language sentence with its temporal qualifier — the
+    KG-side training-text bridge (synthetic pretraining corpora from
+    graphs). Embarrassingly parallel: one vectorized pandas string
+    pass over the edge stream, no exchange."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def verb(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        subj = df["subj"].astype(str)
+        obj = df["obj"].astype(str)
+        pred = df["name"].astype(str)
+        joiner = pred.map(_VERB_TEMPLATES).fillna(
+            " " + pred.str.replace("_", " ").str.lower() + " "
+        )
+        core = subj + joiner + obj
+        va = pd.to_datetime(df["valid_at"]).dt.strftime("%Y-%m-%d")
+        ia = pd.to_datetime(df["invalid_at"]).dt.strftime("%Y-%m-%d")
+        has_v, has_i = va.notna(), ia.notna()
+        suffix = pd.Series(
+            np.select(
+                [has_v & has_i, has_v, has_i],
+                [
+                    " (from " + va.fillna("") + " until " + ia.fillna("") + ")",
+                    " (from " + va.fillna("") + ")",
+                    " (until " + ia.fillna("") + ")",
+                ],
+                default="",
+            ),
+            index=df.index,
+        )
+        out = pd.DataFrame(
+            {
+                "group_id": df["group_id"],
+                "subj": df["subj"],
+                "pred": pred,
+                "obj": df["obj"],
+                "sentence": core + suffix + ".",
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return _kg_docs_edges_named(sf_dir).map_batches(
+        verb, batch_format="pyarrow"
+    )
+
+
+def _verb_case_sql() -> str:
+    whens = "\n".join(
+        f"     WHEN '{p}' THEN subj || '{j}' || obj"
+        for p, j in _VERB_TEMPLATES.items()
+    )
+    return (
+        "CASE pred\n" + whens +
+        "\n     ELSE subj || ' ' || lower(replace(pred, '_', ' ')) "
+        "|| ' ' || obj\n   END"
+    )
+
+
+_KG_VERBALIZE_SQL_BODY = f"""
+SELECT grp AS group_id, subj, pred, obj,
+  ({_verb_case_sql()} ||
+   CASE
+     WHEN valid_at IS NOT NULL AND invalid_at IS NOT NULL
+       THEN ' (from ' || strftime(valid_at, '%Y-%m-%d') ||
+            ' until ' || strftime(invalid_at, '%Y-%m-%d') || ')'
+     WHEN valid_at IS NOT NULL
+       THEN ' (from ' || strftime(valid_at, '%Y-%m-%d') || ')'
+     WHEN invalid_at IS NOT NULL
+       THEN ' (until ' || strftime(invalid_at, '%Y-%m-%d') || ')'
+     ELSE ''
+   END || '.') AS sentence
+FROM swept
+"""
+
+
 _KG_TIMELINE_SQL_BODY = """
 SELECT grp AS group_id, subj,
        CAST(row_number() OVER (
@@ -2335,6 +2425,7 @@ QUERIES = {
     "kg_two_hop": kg_two_hop,
     "kg_entity_timeline": kg_entity_timeline,
     "kg_negative_samples": kg_negative_samples,
+    "kg_verbalize": kg_verbalize,
     "repeated_spans": repeated_spans,
     # trainable quality classifier (oracle-backed, same outside-window
     # status as the clustering pair; exact driver compare in
@@ -2460,6 +2551,7 @@ ORACLE_SQL = {
     "kg_two_hop": _KG_GRAPH_SQL("TWO_HOP_SQL_BODY"),
     "kg_entity_timeline": _kg_docs_sql(_KG_TIMELINE_SQL_BODY),
     "kg_negative_samples": _KG_NEGSAMPLES_SQL(),
+    "kg_verbalize": _kg_docs_sql(_KG_VERBALIZE_SQL_BODY),
     "repeated_spans": _REPEATED_SPANS_SQL(),
     "classifier_lr": _CLASSIFIER_LR_SQL(),
     "perplexity_buckets": _PERPLEXITY_BUCKETS_SQL(),

@@ -20,6 +20,7 @@ KG_DOCS_QUERIES = [
     "kg_communities",
     "kg_entity_timeline",
     "kg_negative_samples",
+    "kg_verbalize",
 ]
 
 
