@@ -113,6 +113,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "tfidf_keywords",
         "events_key_skew",
         "events_hot_keys",
+        "events_funnel",
         "crawl_prep",
         "frontier_priority",
         "knn_bruteforce",

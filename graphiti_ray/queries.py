@@ -713,6 +713,16 @@ def frontier_priority(sf_dir: str):
     return fp(sf_dir)
 
 
+def events_funnel(sf_dir: str):
+    """Windowed strict-funnel conversion counts
+    (signup -> view -> click -> purchase, 72h window per stage): one
+    user-bucketed exchange, vectorized per-stage min-in-window merge —
+    ops/funnel.py."""
+    from .ops.funnel import events_funnel as ef
+
+    return ef(sf_dir)
+
+
 def events_key_skew(sf_dir: str):
     """Key-skew profile (log2 frequency-bucket histogram) of
     events.user_id — the pre-exchange diagnostic behind this repo's
@@ -1582,6 +1592,12 @@ def _CHUNK_SQL():
     from .ops.chunking import CHUNK_PASSAGES_SQL
 
     return CHUNK_PASSAGES_SQL
+
+
+def _FUNNEL_SQL():
+    from .ops.funnel import EVENTS_FUNNEL_SQL
+
+    return EVENTS_FUNNEL_SQL
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -2485,6 +2501,9 @@ QUERIES = {
     # RAG passage chunking (oracle-backed; exact compare in
     # tests/test_ops.py)
     "chunk_passages": chunk_passages,
+    # windowed funnel conversion (oracle-backed; exact compare in
+    # tests/test_ops.py)
+    "events_funnel": events_funnel,
 }
 
 ORACLE_SQL = {
@@ -2576,6 +2595,7 @@ ORACLE_SQL = {
     "frontier_priority": _FRONTIER_SQL(),
     "collocations": _COLLOC_SQL(),
     "chunk_passages": _CHUNK_SQL(),
+    "events_funnel": _FUNNEL_SQL(),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.

@@ -826,3 +826,15 @@ def test_events_quantiles_match_duckdb_oracle(ray_session):
     a = _oracle_compare("events_quantiles")
     w = a.pivot(index="event_type", columns="q_pct", values="cents_q")
     assert ((w[50] <= w[90]) & (w[90] <= w[99])).all()
+
+
+def test_events_funnel_matches_duckdb_oracle(ray_session):
+    """Windowed strict funnel hash-matches the chained min-in-window
+    SQL, is monotone non-increasing, and the window actually
+    discriminates (some users drop at some stage)."""
+    a = _oracle_compare("events_funnel").sort_values("stage")
+    n = a["n_users"].to_numpy()
+    assert len(n) == 4
+    assert (n[1:] <= n[:-1]).all()
+    assert n[-1] < n[0]
+    assert n[-1] > 0
