@@ -114,6 +114,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "events_key_skew",
         "events_hot_keys",
         "events_funnel",
+        "events_retention",
         "crawl_prep",
         "frontier_priority",
         "knn_bruteforce",

@@ -723,6 +723,15 @@ def events_funnel(sf_dir: str):
     return ef(sf_dir)
 
 
+def events_retention(sf_dir: str):
+    """Signup-cohort weekly purchase-retention table (Monday-aligned
+    epoch-week integer arithmetic, k=0..3): one user-bucketed
+    exchange, vectorized kernel — ops/retention.py."""
+    from .ops.retention import events_retention as er
+
+    return er(sf_dir)
+
+
 def events_key_skew(sf_dir: str):
     """Key-skew profile (log2 frequency-bucket histogram) of
     events.user_id — the pre-exchange diagnostic behind this repo's
@@ -1598,6 +1607,12 @@ def _FUNNEL_SQL():
     from .ops.funnel import EVENTS_FUNNEL_SQL
 
     return EVENTS_FUNNEL_SQL
+
+
+def _RETENTION_SQL():
+    from .ops.retention import EVENTS_RETENTION_SQL
+
+    return EVENTS_RETENTION_SQL
 
 
 def _KG_DOCS_TRIPLES_SQL():
@@ -2504,6 +2519,9 @@ QUERIES = {
     # windowed funnel conversion (oracle-backed; exact compare in
     # tests/test_ops.py)
     "events_funnel": events_funnel,
+    # cohort retention (oracle-backed; exact compare in
+    # tests/test_ops.py)
+    "events_retention": events_retention,
 }
 
 ORACLE_SQL = {
@@ -2596,6 +2614,7 @@ ORACLE_SQL = {
     "collocations": _COLLOC_SQL(),
     "chunk_passages": _CHUNK_SQL(),
     "events_funnel": _FUNNEL_SQL(),
+    "events_retention": _RETENTION_SQL(),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.

@@ -838,3 +838,13 @@ def test_events_funnel_matches_duckdb_oracle(ray_session):
     assert (n[1:] <= n[:-1]).all()
     assert n[-1] < n[0]
     assert n[-1] > 0
+
+
+def test_events_retention_matches_duckdb_oracle(ray_session):
+    """Purchase-retention cohorts hash-match the epoch-week SQL; the
+    curve is discriminative (some week drops below the cohort's week-0
+    count) and never exceeds week 0."""
+    a = _oracle_compare("events_retention")
+    w = a.pivot(index="cohort_week", columns="week_k", values="n_active")
+    assert (w.max(axis=1) == w[0]).all()  # week 0 is the cohort peak
+    assert (w.min(axis=1) < w[0]).any()  # something drops somewhere
