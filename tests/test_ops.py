@@ -848,3 +848,30 @@ def test_events_retention_matches_duckdb_oracle(ray_session):
     w = a.pivot(index="cohort_week", columns="week_k", values="n_active")
     assert (w.max(axis=1) == w[0]).all()  # week 0 is the cohort peak
     assert (w.min(axis=1) < w[0]).any()  # something drops somewhere
+
+
+def test_chunk_passages_cover_and_reconstruct(ray_session):
+    """Every token index is covered by >= 1 chunk; chunk_seq * STRIDE
+    == start_tok; joining each doc's stride-prefix slices of its
+    chunks reconstructs the document exactly."""
+    from graphiti_ray.ops.chunking import CHUNK_STRIDE, CHUNK_WINDOW
+
+    from graphiti_ray import queries as q
+
+    df = q.QUERIES["chunk_passages"](SF).to_pandas()
+    assert (df["chunk_seq"] * CHUNK_STRIDE == df["start_tok"]).all()
+    assert (df["n_tok"] >= 1).all() and (df["n_tok"] <= CHUNK_WINDOW).all()
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    for doc_id, grp in df.groupby("doc_id"):
+        grp = grp.sort_values("chunk_seq")
+        toks = []
+        for _, r in grp.iterrows():
+            words = r["chunk_text"].split(" ") if r["chunk_text"] else [""]
+            toks.extend(words[:CHUNK_STRIDE])
+        want = texts[doc_id].split(" ")
+        assert toks[: len(want)] == want
+        if doc_id > 50:  # spot-check a prefix of docs, not all 500
+            break
