@@ -86,6 +86,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "dedup_simhash",
         "dedup_embedding_pairs",
         "kmeans_clusters",
+        "pq_codes",
         "semantic_dedup",
         "kg_pagerank",
         "kg_triangles",

@@ -570,6 +570,15 @@ def kmeans_clusters(sf_dir: str):
     return kmeans_assignments(sf_dir)
 
 
+def pq_codes(sf_dir: str):
+    """Product-quantization encoding (Jégou 2011): 4 subspaces x 8
+    codewords, per-subspace spherical unrolled-Lloyd codebooks,
+    broadcast-codebook streaming encode — ops/pq.py."""
+    from .ops.pq import pq_encode
+
+    return pq_encode(sf_dir)
+
+
 def semantic_dedup(sf_dir: str):
     """SemDeDup: k-means partition + within-cluster cosine drop rule
     over the planted-dup corpus."""
@@ -1615,6 +1624,12 @@ def _RETENTION_SQL():
     return EVENTS_RETENTION_SQL
 
 
+def _PQ_SQL():
+    from .ops.pq import PQ_ENCODE_SQL
+
+    return PQ_ENCODE_SQL
+
+
 def _KG_DOCS_TRIPLES_SQL():
     return _kg_docs_sql(
         "SELECT grp AS group_id, subj, pred, obj, fact, valid_at, invalid_at "
@@ -2522,6 +2537,9 @@ QUERIES = {
     # cohort retention (oracle-backed; exact compare in
     # tests/test_ops.py)
     "events_retention": events_retention,
+    # product-quantization codes (oracle-backed; exact compare in
+    # tests/test_clustering.py)
+    "pq_codes": pq_codes,
 }
 
 ORACLE_SQL = {
@@ -2615,6 +2633,7 @@ ORACLE_SQL = {
     "chunk_passages": _CHUNK_SQL(),
     "events_funnel": _FUNNEL_SQL(),
     "events_retention": _RETENTION_SQL(),
+    "pq_codes": _PQ_SQL(),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.

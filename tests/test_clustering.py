@@ -20,7 +20,9 @@ def duck():
     con.close()
 
 
-@pytest.mark.parametrize("name", ["kmeans_clusters", "semantic_dedup"])
+@pytest.mark.parametrize(
+    "name", ["kmeans_clusters", "semantic_dedup", "pq_codes"]
+)
 def test_clustering_matches_duckdb_oracle(ray_session, duck, name):
     from graphiti_ray import queries as q
 
@@ -108,3 +110,22 @@ def test_kmeans_centroid_update_rounds_to_grid(ray_session):
     _, cents = _fit_kmeans(ds, SF_DIR)
     grid = np.round(cents, CENT_ROUND)
     assert np.array_equal(cents, grid)
+
+
+def test_pq_codes_shape_and_determinism(ray_session):
+    """Every vector gets exactly M codes; every codebook entry is
+    used (no dead codewords at this corpus); two independent
+    train+encode runs produce the identical code table (the fixed
+    init/iteration/rounding contract, not RNG)."""
+    from graphiti_ray import queries as q
+    from graphiti_ray.ops.pq import PQ_K, PQ_M
+
+    df = q.QUERIES["pq_codes"](SF_DIR).to_pandas()
+    per_vec = df.groupby("vec_id").size()
+    assert (per_vec == PQ_M).all()
+    assert (df.groupby("m")["code"].nunique() == PQ_K).all()
+    again = q.QUERIES["pq_codes"](SF_DIR).to_pandas()
+    key = ["vec_id", "m", "code"]
+    assert df[key].sort_values(key).reset_index(drop=True).equals(
+        again[key].sort_values(key).reset_index(drop=True)
+    )
