@@ -87,6 +87,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "dedup_embedding_pairs",
         "kmeans_clusters",
         "pq_codes",
+        "knn_pq_adc",
         "semantic_dedup",
         "kg_pagerank",
         "kg_triangles",

@@ -69,6 +69,18 @@ def _init_sub_centroids(sf_dir: str, m: int):
     return ids[order], np.asarray(mat[order], np.float64)
 
 
+def _fit_books(sf_dir: str, base) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Train the M per-subspace codebooks (unrolled Lloyd each)."""
+    books = []
+    for m in range(PQ_M):
+        sub = base.map_batches(_slice_sub(m), batch_format="pyarrow")
+        cids, cents = _init_sub_centroids(sf_dir, m)
+        for _ in range(KMEANS_ITERS):
+            cids, cents = _lloyd_centroids(sub, cids, cents)
+        books.append((cids, cents))
+    return books
+
+
 def pq_encode(sf_dir: str):
     """(vec_id, m, code): per-subspace codeword assignment under the
     trained spherical-PQ codebooks."""
@@ -77,14 +89,7 @@ def pq_encode(sf_dir: str):
     from ..stages.joins import get_broadcast
 
     base = read_embeddings(sf_dir, ["vec_id", "embedding"])
-    books = []
-    for m in range(PQ_M):
-        sub = base.map_batches(_slice_sub(m), batch_format="pyarrow")
-        cids, cents = _init_sub_centroids(sf_dir, m)
-        for _ in range(KMEANS_ITERS):
-            cids, cents = _lloyd_centroids(sub, cids, cents)
-        books.append((cids, cents))
-    bref = ray.put(books)
+    bref = ray.put(_fit_books(sf_dir, base))
 
     def encode(batch: pa.Table) -> pa.Table:
         bks = get_broadcast(bref)
@@ -109,6 +114,68 @@ def pq_encode(sf_dir: str):
         )
 
     return base.map_batches(encode, batch_format="pyarrow")
+
+
+def knn_pq_adc(sf_dir: str):
+    """(query_id, neighbor_id, rank): approximate cosine top-10 per
+    query (the ops/simsearch query set, vec_id < 8) scored against PQ
+    RECONSTRUCTIONS — asymmetric distance computation: the query stays
+    full-precision, each candidate is its M concatenated codewords.
+    This is the memory-bound ANN path: at scale the scan touches only
+    M bytes + a shared codebook per candidate instead of the raw
+    vector. One streaming pass (codes assigned and reconstructed
+    inline per block), per-block top-k, tiny per-query finalize — the
+    knn_bruteforce scan shape with the compressed payload."""
+    import ray
+
+    from ..stages.joins import get_broadcast
+    from .simsearch import K, _load_queries, _normalize, _topk_reduce
+
+    base = read_embeddings(sf_dir, ["vec_id", "embedding"])
+    books = _fit_books(sf_dir, base)
+    qids, qmat = _load_queries(sf_dir)
+    ref = ray.put((books, qids, qmat))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        bks, q_ids, q = get_broadcast(ref)
+        X = list_col_to_matrix(batch.column("embedding"))
+        vids = np.asarray(
+            batch.column("vec_id").to_pylist(), dtype=np.int64
+        )
+        recon = np.empty((len(vids), PQ_M * PQ_SUB), np.float64)
+        for m, (c_ids, c_mat) in enumerate(bks):
+            lbl = _assign_labels(
+                np.asarray(X[:, m * PQ_SUB : (m + 1) * PQ_SUB], np.float64),
+                c_mat,
+            )
+            recon[:, m * PQ_SUB : (m + 1) * PQ_SUB] = c_mat[lbl]
+        sims = q @ _normalize(recon).T
+        out_q, out_n, out_s = [], [], []
+        for i, qid in enumerate(q_ids):
+            s = sims[i].copy()
+            s[vids == qid] = -np.inf
+            k = min(K, len(vids))
+            top = (
+                np.argpartition(-s, k - 1)[:k]
+                if len(s) > k
+                else np.arange(len(s))
+            )
+            top = top[np.isfinite(s[top])]
+            out_q.extend([qid] * len(top))
+            out_n.extend(vids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand = base.map_batches(block_topk, batch_format="pyarrow")
+    return cand.groupby("query_id").map_groups(
+        _topk_reduce, batch_format="pyarrow"
+    )
 
 
 def _pq_sub_ctes(m: int) -> tuple[str, str]:
@@ -161,3 +228,35 @@ def _pq_sql() -> str:
 
 
 PQ_ENCODE_SQL = _pq_sql()
+
+
+def _pq_adc_sql() -> str:
+    ctes, unions = [], []
+    for m in range(PQ_M):
+        body, final = _pq_sub_ctes(m)
+        ctes.append(body)
+        unions.append(
+            f"SELECT a.vec_id, {m} AS m, b.c FROM {final} a "
+            f"JOIN p{m}_c{KMEANS_ITERS} b ON b.cid = a.cid"
+        )
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined},
+adc_recon AS (
+  SELECT vec_id, flatten(list(c ORDER BY m)) AS r
+  FROM ({" UNION ALL ".join(unions)}) GROUP BY vec_id),
+adc_q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 8),
+adc_s AS (
+  SELECT adc_q.qid, r.vec_id AS vid,
+         list_cosine_similarity(adc_q.qe, r.r) AS c
+  FROM adc_q CROSS JOIN adc_recon r WHERE r.vec_id != adc_q.qid)
+SELECT qid AS query_id, vid AS neighbor_id, rank FROM (
+  SELECT qid, vid,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY c DESC, vid ASC) AS rank
+  FROM adc_s
+) WHERE rank <= 10"""
+
+
+KNN_PQ_ADC_SQL = _pq_adc_sql()

@@ -579,6 +579,16 @@ def pq_codes(sf_dir: str):
     return pq_encode(sf_dir)
 
 
+def knn_pq_adc(sf_dir: str):
+    """Asymmetric-distance kNN over PQ reconstructions (the
+    memory-bound ANN scan: full-precision query vs M concatenated
+    codewords per candidate); recall/compression tradeoff pinned in
+    tests — ops/pq.py."""
+    from .ops.pq import knn_pq_adc as adc
+
+    return adc(sf_dir)
+
+
 def semantic_dedup(sf_dir: str):
     """SemDeDup: k-means partition + within-cluster cosine drop rule
     over the planted-dup corpus."""
@@ -1630,6 +1640,12 @@ def _PQ_SQL():
     return PQ_ENCODE_SQL
 
 
+def _PQ_ADC_SQL():
+    from .ops.pq import KNN_PQ_ADC_SQL
+
+    return KNN_PQ_ADC_SQL
+
+
 def _KG_DOCS_TRIPLES_SQL():
     return _kg_docs_sql(
         "SELECT grp AS group_id, subj, pred, obj, fact, valid_at, invalid_at "
@@ -2537,9 +2553,10 @@ QUERIES = {
     # cohort retention (oracle-backed; exact compare in
     # tests/test_ops.py)
     "events_retention": events_retention,
-    # product-quantization codes (oracle-backed; exact compare in
-    # tests/test_clustering.py)
+    # product-quantization codes + ADC search (oracle-backed; exact
+    # compare in tests/test_clustering.py)
     "pq_codes": pq_codes,
+    "knn_pq_adc": knn_pq_adc,
 }
 
 ORACLE_SQL = {
@@ -2634,6 +2651,7 @@ ORACLE_SQL = {
     "events_funnel": _FUNNEL_SQL(),
     "events_retention": _RETENTION_SQL(),
     "pq_codes": _PQ_SQL(),
+    "knn_pq_adc": _PQ_ADC_SQL(),
     # The REST of the rows-only tail (episodic chain, approximate ANN
     # lanes, P/R report) is non-SQL-expressible (hash-identity /
     # probabilistic logic) -> pytest pins it.

@@ -21,7 +21,7 @@ def duck():
 
 
 @pytest.mark.parametrize(
-    "name", ["kmeans_clusters", "semantic_dedup", "pq_codes"]
+    "name", ["kmeans_clusters", "semantic_dedup", "pq_codes", "knn_pq_adc"]
 )
 def test_clustering_matches_duckdb_oracle(ray_session, duck, name):
     from graphiti_ray import queries as q
@@ -129,3 +129,21 @@ def test_pq_codes_shape_and_determinism(ray_session):
     assert df[key].sort_values(key).reset_index(drop=True).equals(
         again[key].sort_values(key).reset_index(drop=True)
     )
+
+
+def test_pq_adc_recall_beats_random(ray_session):
+    """ADC over 32-bit codes is lossy by design; recall@10 vs the
+    exact brute-force top-10 must still be far above the random
+    baseline (10/N ≈ 0.02 here) — the compression/recall tradeoff
+    stated in ops/pq.py."""
+    from graphiti_ray import queries as q
+
+    bf = q.QUERIES["knn_bruteforce"](SF_DIR).to_pandas()
+    adc = q.QUERIES["knn_pq_adc"](SF_DIR).to_pandas()
+    hits = 0
+    for qid in bf["query_id"].unique():
+        t = set(bf.loc[bf["query_id"] == qid, "neighbor_id"])
+        p = set(adc.loc[adc["query_id"] == qid, "neighbor_id"])
+        hits += len(t & p)
+    recall = hits / len(bf)
+    assert recall > 0.10
