@@ -88,6 +88,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "kmeans_clusters",
         "pq_codes",
         "knn_pq_adc",
+        "knn_ivfpq",
         "semantic_dedup",
         "kg_pagerank",
         "kg_triangles",

@@ -178,6 +178,120 @@ def knn_pq_adc(sf_dir: str):
     )
 
 
+def knn_ivfpq(sf_dir: str):
+    """(query_id, neighbor_id, rank): the full IVF-PQ composition —
+    an IVF coarse quantizer bounds WHICH vectors a query scans
+    (corpus/NLIST x NPROBE candidates), PQ reconstruction bounds WHAT
+    is read per candidate (M codes + a shared codebook instead of the
+    raw vector). This is the billion-scale ANN memory/compute story in
+    one operator (Jégou 2011 §IV); recall is pinned vs brute force in
+    tests (approximate by design — no SQL oracle, same contract as
+    knn_ivf/knn_lsh).
+
+    Scale shape: codebook + quantizer training stream bounded state;
+    the corpus shuffles ONCE by list_id; each list task reconstructs
+    its own members from broadcast codebooks and scores only the
+    queries probing that list."""
+    import ray
+
+    from ..stages.joins import get_broadcast
+    from .simsearch import (
+        K,
+        NLIST,
+        NPROBE,
+        _kmeans,
+        _load_queries,
+        _normalize,
+        _topk_reduce,
+    )
+
+    base = read_embeddings(sf_dir, ["vec_id", "embedding"])
+    books = _fit_books(sf_dir, base)
+    qids, qmat = _load_queries(sf_dir)
+
+    import pyarrow.parquet as pq_mod
+
+    sample_t = pq_mod.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).slice(0, 2048)
+    sample = _normalize(
+        np.array(sample_t.column("embedding").to_pylist(), dtype=np.float64)
+    )
+    cent = _kmeans(sample, NLIST)
+
+    probes: dict[int, list[int]] = {}
+    q_order = np.argsort(-(qmat @ cent.T), axis=1)[:, :NPROBE]
+    for qi, qid in enumerate(qids):
+        for c in q_order[qi]:
+            probes.setdefault(int(c), []).append(int(qid))
+    ref = ray.put(
+        (cent, books, probes, {int(i): qmat[n] for n, i in enumerate(qids)})
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c, _, _, _ = get_broadcast(ref)
+        m = _normalize(list_col_to_matrix(batch.column("embedding")))
+        lid = (m @ c.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("list_id", pa.array(lid, pa.int64()))
+
+    def list_scan(batch: pa.Table) -> pa.Table:
+        _, bks, pr, qvecs = get_broadcast(ref)
+        lid = batch.column("list_id")[0].as_py()
+        hit = pr.get(lid, [])
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if not hit:
+            return empty
+        vids = np.asarray(
+            batch.column("vec_id").to_pylist(), dtype=np.int64
+        )
+        X = list_col_to_matrix(batch.column("embedding"))
+        recon = np.empty((len(vids), PQ_M * PQ_SUB), np.float64)
+        for m, (c_ids, c_mat) in enumerate(bks):
+            lbl = _assign_labels(
+                np.asarray(X[:, m * PQ_SUB : (m + 1) * PQ_SUB], np.float64),
+                c_mat,
+            )
+            recon[:, m * PQ_SUB : (m + 1) * PQ_SUB] = c_mat[lbl]
+        rn = _normalize(recon)
+        out_q, out_n, out_s = [], [], []
+        for qid in hit:
+            s = qvecs[qid] @ rn.T
+            s[vids == qid] = -np.inf
+            k = min(K, len(vids))
+            top = (
+                np.argpartition(-s, k - 1)[:k]
+                if len(s) > k
+                else np.arange(len(s))
+            )
+            top = top[np.isfinite(s[top])]
+            out_q.extend([qid] * len(top))
+            out_n.extend(vids[top].tolist())
+            out_s.extend(s[top].tolist())
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    ds = base.map_batches(assign, batch_format="pyarrow")
+    cand = ds.groupby("list_id").map_groups(
+        list_scan, batch_format="pyarrow"
+    )
+    return cand.groupby("query_id").map_groups(
+        _topk_reduce, batch_format="pyarrow"
+    )
+
+
 def _pq_sub_ctes(m: int) -> tuple[str, str]:
     """Unrolled Lloyd chain for subspace ``m`` (prefix p{m}_), over a
     1-based inclusive list slice of the embeddings table."""

@@ -589,6 +589,17 @@ def knn_pq_adc(sf_dir: str):
     return adc(sf_dir)
 
 
+def knn_ivfpq(sf_dir: str):
+    """Full IVF-PQ composition (coarse lists bound WHICH vectors a
+    query scans, PQ codes bound WHAT is read per candidate — the
+    billion-scale ANN shape). Approximate by design: rows-only in the
+    driver, recall pinned vs brute force in tests/test_clustering.py
+    (same contract as knn_ivf/knn_lsh) — ops/pq.py."""
+    from .ops.pq import knn_ivfpq as ivfpq
+
+    return ivfpq(sf_dir)
+
+
 def semantic_dedup(sf_dir: str):
     """SemDeDup: k-means partition + within-cluster cosine drop rule
     over the planted-dup corpus."""
@@ -2557,6 +2568,9 @@ QUERIES = {
     # compare in tests/test_clustering.py)
     "pq_codes": pq_codes,
     "knn_pq_adc": knn_pq_adc,
+    # IVF-PQ composition (approximate by design -> rows-only;
+    # recall-pinned in tests/test_clustering.py)
+    "knn_ivfpq": knn_ivfpq,
 }
 
 ORACLE_SQL = {

@@ -139,11 +139,12 @@ def test_pq_adc_recall_beats_random(ray_session):
     from graphiti_ray import queries as q
 
     bf = q.QUERIES["knn_bruteforce"](SF_DIR).to_pandas()
-    adc = q.QUERIES["knn_pq_adc"](SF_DIR).to_pandas()
-    hits = 0
-    for qid in bf["query_id"].unique():
-        t = set(bf.loc[bf["query_id"] == qid, "neighbor_id"])
-        p = set(adc.loc[adc["query_id"] == qid, "neighbor_id"])
-        hits += len(t & p)
-    recall = hits / len(bf)
-    assert recall > 0.10
+    for lane in ("knn_pq_adc", "knn_ivfpq"):
+        adc = q.QUERIES[lane](SF_DIR).to_pandas()
+        hits = 0
+        for qid in bf["query_id"].unique():
+            t = set(bf.loc[bf["query_id"] == qid, "neighbor_id"])
+            p = set(adc.loc[adc["query_id"] == qid, "neighbor_id"])
+            hits += len(t & p)
+        recall = hits / len(bf)
+        assert recall > 0.10, lane
