@@ -97,6 +97,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "kg_entity_timeline",
         "kg_negative_samples",
         "kg_verbalize",
+        "kg_multihop_qa",
         "repeated_spans",
         "classifier_lr",
         "perplexity_buckets",

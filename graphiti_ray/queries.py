@@ -925,6 +925,78 @@ def kg_negative_samples(sf_dir: str):
     return negative_samples(kg.nodes, _edges_named_of(kg))
 
 
+_QA_HOP2 = {
+    "WORKS_FOR": ("Who does the spouse of ", " work for?"),
+    "LIVES_IN": ("Where does the spouse of ", " live?"),
+    "BORN_IN": ("Where was the spouse of ", " born?"),
+    "MOVED_TO": ("Where did the spouse of ", " move to?"),
+    "HOLDS_ROLE": ("What role does the spouse of ", " hold?"),
+}
+
+
+def kg_multihop_qa(sf_dir: str):
+    """Multi-hop QA pair generation from the 2-hop path table — the
+    KG-to-instruction-data bridge (2-hop compositional questions, the
+    2WikiMultiHopQA / HotpotQA construction recipe applied to this KG):
+    every path src -SPOUSE_OF-> mid -pred2-> dst with a templated
+    pred2 becomes ("Who does the spouse of {src} work for?", dst).
+    The reflexive (SPOUSE_OF, SPOUSE_OF) hop is excluded (spouse of
+    spouse = self). Distributed shape = kg_two_hop (ONE mid-keyed
+    bucketed self-join) + one vectorized template pass."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from .ops.graph import two_hop_paths
+
+    def templ(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[
+            (df["pred1"] == "SPOUSE_OF")
+            & df["pred2"].isin(_QA_HOP2)
+        ]
+        pre = df["pred2"].map(lambda p: _QA_HOP2[p][0])
+        post = df["pred2"].map(lambda p: _QA_HOP2[p][1])
+        out = pd.DataFrame(
+            {
+                "group_id": df["group_id"],
+                "src": df["src"],
+                "mid": df["mid"],
+                "dst": df["dst"],
+                "question": pre + df["src"] + post,
+                "answer": df["dst"],
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return two_hop_paths(_kg_docs_edges_named(sf_dir)).map_batches(
+        templ, batch_format="pyarrow"
+    )
+
+
+def _qa_hop2_sql_body() -> str:
+    whens = "\n".join(
+        f"    WHEN '{p}' THEN '{pre}' || src || '{post}'"
+        for p, (pre, post) in _QA_HOP2.items()
+    )
+    preds = ", ".join(f"'{p}'" for p in _QA_HOP2)
+    return f"""
+, qa_th AS (SELECT DISTINCT grp, subj, pred, obj FROM swept),
+qa_p AS (
+  SELECT a.grp, a.subj AS src, a.obj AS mid, b.pred AS pred2,
+         b.obj AS dst
+  FROM qa_th a JOIN qa_th b ON b.grp = a.grp AND b.subj = a.obj
+  WHERE a.pred = 'SPOUSE_OF' AND b.pred IN ({preds})
+)
+SELECT grp AS group_id, src, mid, dst,
+  CASE pred2
+{whens}
+  END AS question,
+  dst AS answer
+FROM qa_p
+"""
+
+
 _VERB_TEMPLATES = {
     "WORKS_FOR": " works for ",
     "LIVES_IN": " lives in ",
@@ -2499,6 +2571,7 @@ QUERIES = {
     "kg_entity_timeline": kg_entity_timeline,
     "kg_negative_samples": kg_negative_samples,
     "kg_verbalize": kg_verbalize,
+    "kg_multihop_qa": kg_multihop_qa,
     "repeated_spans": repeated_spans,
     # trainable quality classifier (oracle-backed, same outside-window
     # status as the clustering pair; exact driver compare in
@@ -2638,6 +2711,7 @@ ORACLE_SQL = {
     "kg_entity_timeline": _kg_docs_sql(_KG_TIMELINE_SQL_BODY),
     "kg_negative_samples": _KG_NEGSAMPLES_SQL(),
     "kg_verbalize": _kg_docs_sql(_KG_VERBALIZE_SQL_BODY),
+    "kg_multihop_qa": _kg_docs_sql(_qa_hop2_sql_body()),
     "repeated_spans": _REPEATED_SPANS_SQL(),
     "classifier_lr": _CLASSIFIER_LR_SQL(),
     "perplexity_buckets": _PERPLEXITY_BUCKETS_SQL(),

@@ -21,6 +21,7 @@ KG_DOCS_QUERIES = [
     "kg_entity_timeline",
     "kg_negative_samples",
     "kg_verbalize",
+    "kg_multihop_qa",
 ]
 
 
@@ -139,3 +140,30 @@ def test_negative_samples_invariants(ray_session):
     assert df[key].sort_values(key).reset_index(drop=True).equals(
         again[key].sort_values(key).reset_index(drop=True)
     )
+
+
+def test_multihop_qa_invariants(ray_session):
+    """Every QA pair is grounded in the canonical KG: the first hop is
+    a real SPOUSE_OF triple, the second hop a real templated triple
+    from the mid entity, the answer IS the dst, the question embeds
+    the src name, and no reflexive spouse-of-spouse pair leaks."""
+    from graphiti_ray import queries as q
+
+    df = q.QUERIES["kg_multihop_qa"](SF_DIR).to_pandas()
+    assert len(df) > 0
+    assert (df["answer"] == df["dst"]).all()
+    assert all(
+        s in question for s, question in zip(df["src"], df["question"])
+    )
+    assert (df["src"] != df["mid"]).all()
+    # spouse-of-spouse (dst == src via SPOUSE_OF) never appears
+    assert not df["question"].str.contains("spouse of the spouse").any()
+    th = q.QUERIES["kg_two_hop"](SF_DIR).to_pandas()
+    hop = set(zip(th["group_id"], th["src"], th["mid"], th["dst"]))
+    assert all(
+        t in hop
+        for t in zip(df["group_id"], df["src"], df["mid"], df["dst"])
+    )
+    # more than one question template fired (pred2 diversity)
+    stems = df["question"].str.split("?").str[0].str.split(" ").str[0]
+    assert stems.nunique() > 1
