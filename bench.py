@@ -98,6 +98,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "kg_negative_samples",
         "kg_verbalize",
         "kg_multihop_qa",
+        "kg_asof_snapshot",
         "repeated_spans",
         "classifier_lr",
         "perplexity_buckets",

@@ -997,6 +997,61 @@ FROM qa_p
 """
 
 
+KG_ASOF_T = "2024-06-01 00:00:00"
+
+
+def kg_asof_snapshot(sf_dir: str):
+    """Point-in-time KG snapshot — "every fact true at time T", the
+    batch analog of the reference's bi-temporal retrieval
+    (graphiti_core search filters valid_at <= T < invalid_at;
+    search/search_filters.py date comparators): keep canonical edges
+    with a known validity start at/before T that are not yet
+    invalidated at T. Facts with unknown valid_at (markers / undated
+    assertions) are excluded — a snapshot asserts what is KNOWN true.
+    One vectorized pyarrow.compute filter pass over the streamed edge
+    blocks; zero exchanges beyond the KG build itself, so at 100 TB
+    this is a pruned scan of the edges table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t0 = pa.scalar(KG_ASOF_T).cast(pa.timestamp("us"))
+
+    def snap(t: pa.Table) -> pa.Table:
+        valid = t.column("valid_at")
+        invalid = t.column("invalid_at")
+        live = pc.and_(
+            pc.and_(pc.is_valid(valid), pc.less_equal(valid, t0)),
+            pc.or_kleene(
+                pc.is_null(invalid), pc.greater(invalid, t0)
+            ),
+        )
+        out = t.filter(pc.fill_null(live, False))
+        return pa.table(
+            {
+                "group_id": out.column("group_id"),
+                "subj": out.column("subj"),
+                "pred": out.column("name"),
+                "obj": out.column("obj"),
+                "fact": pc.cast(out.column("fact"), pa.string()),
+                "valid_at": out.column("valid_at"),
+                "invalid_at": out.column("invalid_at"),
+            }
+        )
+
+    return _kg_docs_edges_named(sf_dir).map_batches(
+        snap, batch_format="pyarrow"
+    )
+
+
+_KG_ASOF_SQL_BODY = f"""
+SELECT grp AS group_id, subj, pred, obj, fact, valid_at, invalid_at
+FROM swept
+WHERE valid_at IS NOT NULL
+  AND valid_at <= TIMESTAMP '{KG_ASOF_T}'
+  AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '{KG_ASOF_T}')
+"""
+
+
 _VERB_TEMPLATES = {
     "WORKS_FOR": " works for ",
     "LIVES_IN": " lives in ",
@@ -2572,6 +2627,7 @@ QUERIES = {
     "kg_negative_samples": kg_negative_samples,
     "kg_verbalize": kg_verbalize,
     "kg_multihop_qa": kg_multihop_qa,
+    "kg_asof_snapshot": kg_asof_snapshot,
     "repeated_spans": repeated_spans,
     # trainable quality classifier (oracle-backed, same outside-window
     # status as the clustering pair; exact driver compare in
@@ -2712,6 +2768,7 @@ ORACLE_SQL = {
     "kg_negative_samples": _KG_NEGSAMPLES_SQL(),
     "kg_verbalize": _kg_docs_sql(_KG_VERBALIZE_SQL_BODY),
     "kg_multihop_qa": _kg_docs_sql(_qa_hop2_sql_body()),
+    "kg_asof_snapshot": _kg_docs_sql(_KG_ASOF_SQL_BODY),
     "repeated_spans": _REPEATED_SPANS_SQL(),
     "classifier_lr": _CLASSIFIER_LR_SQL(),
     "perplexity_buckets": _PERPLEXITY_BUCKETS_SQL(),

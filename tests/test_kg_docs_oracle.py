@@ -22,6 +22,7 @@ KG_DOCS_QUERIES = [
     "kg_negative_samples",
     "kg_verbalize",
     "kg_multihop_qa",
+    "kg_asof_snapshot",
 ]
 
 
@@ -167,3 +168,28 @@ def test_multihop_qa_invariants(ray_session):
     # more than one question template fired (pred2 diversity)
     stems = df["question"].str.split("?").str[0].str.split(" ").str[0]
     assert stems.nunique() > 1
+
+
+def test_asof_snapshot_invariants(ray_session):
+    """The snapshot is a strict, non-trivial subset of the canonical
+    edge set: every row was valid at T and not yet invalidated, at
+    least one edge is excluded for starting after T, at least one for
+    being already closed by T, and no unknown-valid_at marker leaks."""
+    import pandas as pd
+
+    from graphiti_ray import queries as q
+    from graphiti_ray.queries import KG_ASOF_T
+
+    T = pd.Timestamp(KG_ASOF_T)
+    snap = q.QUERIES["kg_asof_snapshot"](SF_DIR).to_pandas()
+    edges = q.QUERIES["kg_edges"](SF_DIR).to_pandas()
+    assert 0 < len(snap) < len(edges)
+    assert snap["valid_at"].notna().all()
+    assert (snap["valid_at"] <= T).all()
+    inv = snap["invalid_at"].dropna()
+    assert (inv > T).all()
+    assert (edges["valid_at"] > T).any()  # future facts exist
+    assert (edges["invalid_at"] <= T).any()  # already-closed facts exist
+    key = ["group_id", "subj", "pred", "obj", "fact"]
+    all_keys = set(map(tuple, edges[key].itertuples(index=False)))
+    assert set(map(tuple, snap[key].itertuples(index=False))) <= all_keys
