@@ -1616,6 +1616,23 @@ def multimodal_decode(sf_dir: str):
 
 # ----------------------------------------------------------- oracle SQL
 
+def hll_distinct(sf_dir: str):
+    """Distributed HyperLogLog distinct-count sketch over four key
+    columns (events.event_id/user_id, orders.o_custkey,
+    lineitem.l_partkey): per-block partial registers (<= m rows per
+    block), register max-merge groupby, exact-integer raw estimate —
+    ops/hll.py; register-AND-estimate-exact SQL mirror."""
+    from .ops.hll import hll_distinct as hll
+
+    return hll(sf_dir)
+
+
+def _HLL_SQL():
+    from .ops.hll import HLL_DISTINCT_SQL
+
+    return HLL_DISTINCT_SQL
+
+
 def _kg_docs_sql(body: str) -> str:
     from .sources.pages_kg import KG_DOCS_CTE
 
@@ -2628,6 +2645,7 @@ QUERIES = {
     "kg_verbalize": kg_verbalize,
     "kg_multihop_qa": kg_multihop_qa,
     "kg_asof_snapshot": kg_asof_snapshot,
+    "hll_distinct": hll_distinct,
     "repeated_spans": repeated_spans,
     # trainable quality classifier (oracle-backed, same outside-window
     # status as the clustering pair; exact driver compare in
@@ -2769,6 +2787,7 @@ ORACLE_SQL = {
     "kg_verbalize": _kg_docs_sql(_KG_VERBALIZE_SQL_BODY),
     "kg_multihop_qa": _kg_docs_sql(_qa_hop2_sql_body()),
     "kg_asof_snapshot": _kg_docs_sql(_KG_ASOF_SQL_BODY),
+    "hll_distinct": _HLL_SQL(),
     "repeated_spans": _REPEATED_SPANS_SQL(),
     "classifier_lr": _CLASSIFIER_LR_SQL(),
     "perplexity_buckets": _PERPLEXITY_BUCKETS_SQL(),
