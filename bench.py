@@ -99,6 +99,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "kg_verbalize",
         "kg_multihop_qa",
         "kg_asof_snapshot",
+        "kg_random_walks",
         "hll_distinct",
         "repeated_spans",
         "classifier_lr",

@@ -1616,6 +1616,23 @@ def multimodal_decode(sf_dir: str):
 
 # ----------------------------------------------------------- oracle SQL
 
+def kg_random_walks(sf_dir: str):
+    """Hash-deterministic DeepWalk corpus over the canonical KG:
+    walks_per_node walks of walk_len steps from every connected node,
+    step choice md5-ranked over name-sorted neighbors — ops/walks.py
+    (adjacency = ONE bucketed exchange; each step = two byte-capped
+    lookup folds over the walker table); chained-join SQL mirror."""
+    from .ops.walks import random_walks
+
+    return random_walks(_kg_docs_edges_named(sf_dir))
+
+
+def _KG_WALKS_SQL():
+    from .ops.walks import random_walks_sql_body
+
+    return _kg_docs_sql(random_walks_sql_body())
+
+
 def hll_distinct(sf_dir: str):
     """Distributed HyperLogLog distinct-count sketch over four key
     columns (events.event_id/user_id, orders.o_custkey,
@@ -2645,6 +2662,7 @@ QUERIES = {
     "kg_verbalize": kg_verbalize,
     "kg_multihop_qa": kg_multihop_qa,
     "kg_asof_snapshot": kg_asof_snapshot,
+    "kg_random_walks": kg_random_walks,
     "hll_distinct": hll_distinct,
     "repeated_spans": repeated_spans,
     # trainable quality classifier (oracle-backed, same outside-window
@@ -2787,6 +2805,7 @@ ORACLE_SQL = {
     "kg_verbalize": _kg_docs_sql(_KG_VERBALIZE_SQL_BODY),
     "kg_multihop_qa": _kg_docs_sql(_qa_hop2_sql_body()),
     "kg_asof_snapshot": _kg_docs_sql(_KG_ASOF_SQL_BODY),
+    "kg_random_walks": _KG_WALKS_SQL(),
     "hll_distinct": _HLL_SQL(),
     "repeated_spans": _REPEATED_SPANS_SQL(),
     "classifier_lr": _CLASSIFIER_LR_SQL(),

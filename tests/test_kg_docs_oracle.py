@@ -23,6 +23,7 @@ KG_DOCS_QUERIES = [
     "kg_verbalize",
     "kg_multihop_qa",
     "kg_asof_snapshot",
+    "kg_random_walks",
 ]
 
 
@@ -168,6 +169,41 @@ def test_multihop_qa_invariants(ray_session):
     # more than one question template fired (pred2 diversity)
     stems = df["question"].str.split("?").str[0].str.split(" ").str[0]
     assert stems.nunique() > 1
+
+
+def test_random_walks_invariants(ray_session):
+    """Every consecutive pair in every walk is a real (symmetrized)
+    KG edge, every connected node starts exactly walks_per_node
+    walks, and the walk set is rerun-deterministic (no RNG state)."""
+    from graphiti_ray import queries as q
+    from graphiti_ray.ops.walks import WALK_LEN, WALKS_PER_NODE
+
+    df = q.QUERIES["kg_random_walks"](SF_DIR).to_pandas()
+    assert len(df) > 0
+    edges = q.QUERIES["kg_edges"](SF_DIR).to_pandas()
+    sym = set()
+    for g, s, o in zip(edges["group_id"], edges["subj"], edges["obj"]):
+        if s != o:
+            sym.add((g, s, o))
+            sym.add((g, o, s))
+    path = ["start"] + [f"n{k}" for k in range(1, WALK_LEN + 1)]
+    for a, b in zip(path, path[1:]):
+        assert all(
+            (g, x, y) in sym
+            for g, x, y in zip(df["group_id"], df[a], df[b])
+        ), (a, b)
+    starts = {g for g, s, _ in sym}
+    per_start = df.groupby(["group_id", "start"]).size()
+    assert (per_start == WALKS_PER_NODE).all()
+    n_connected = len({(g, s) for g, s, _ in sym})
+    assert len(df) == n_connected * WALKS_PER_NODE
+    again = q.QUERIES["kg_random_walks"](SF_DIR).to_pandas()
+    key = sorted(df.columns)
+    assert df[key].sort_values(key).reset_index(drop=True).equals(
+        again[key].sort_values(key).reset_index(drop=True)
+    )
+    # walks genuinely branch: not every walk from a node is identical
+    assert df.groupby(["group_id", "start"])["walk_text"].nunique().gt(1).any()
 
 
 def test_asof_snapshot_invariants(ray_session):
