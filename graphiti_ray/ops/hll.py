@@ -115,7 +115,7 @@ def hll_distinct(sf_dir: str):
     import pandas as pd
     import ray.data as rd
 
-    from ..functions.exchange import bounded_group_map
+    from ..functions.exchange import exchange_width
 
     parts = []
     for tbl, col in SKETCH_COLS:
@@ -137,14 +137,31 @@ def hll_distinct(sf_dir: str):
         parts.append(ds.map_batches(partial, batch_format="pyarrow"))
 
     partials = parts[0].union(*parts[1:])
-    # register max-merge: map-side combiner keeps this O(m) per block
-    merged = partials.groupby(["tc", "bucket"]).max("rho")
+
+    # register max-merge as a combiner TREE, not a sort shuffle: each
+    # level's task max-merges its batch down to <= |cols|*m rows with
+    # one vectorized pandas groupby, so the final single-block merge
+    # sees width * |cols| * m tiny rows. (A sort-based
+    # groupby(tc,bucket) costs as much as the whole sketch pass for a
+    # 4096-key aggregate. At extreme block counts add one more tree
+    # level before the final merge; each level is a fixed-fan-in
+    # repartition of 3-int rows.)
+    def local_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["tc", "bucket"], as_index=False)["rho"].max()
+        )
+
+    combined = partials.repartition(exchange_width()).map_batches(
+        local_merge, batch_format="pandas", batch_size=None
+    )
 
     def summarize(df: pd.DataFrame) -> pd.DataFrame:
-        tbl, col = df["tc"].iloc[0].split(".", 1)
-        s = finalize_registers(df["max(rho)"].to_numpy())
-        return pd.DataFrame(
-            [
+        df = df.groupby(["tc", "bucket"], as_index=False)["rho"].max()
+        rows = []
+        for tc, grp in df.groupby("tc"):
+            tbl, col = tc.split(".", 1)
+            s = finalize_registers(grp["rho"].to_numpy())
+            rows.append(
                 {
                     "tbl": tbl,
                     "col": col,
@@ -153,10 +170,14 @@ def hll_distinct(sf_dir: str):
                     "sum_rho": s["sum_rho"],
                     "estimate_milli": s["estimate_milli"],
                 }
-            ]
-        )
+            )
+        return pd.DataFrame(rows)
 
-    return bounded_group_map(merged, "tc", summarize, batch_format="pandas")
+    # batch_size=None: the single merged block MUST arrive as one
+    # batch, or per-tc summaries would be emitted per sub-batch.
+    return combined.repartition(1).map_batches(
+        summarize, batch_format="pandas", batch_size=None
+    )
 
 
 def _sql_key_union() -> str:
