@@ -622,3 +622,217 @@ def pagerank_sql_body() -> str:
         "  FROM ent_d e JOIN canon c ON c.grp = e.grp AND c.comp = e.comp",
         "SELECT DISTINCT grp, subj, obj FROM swept",
     )
+
+
+# ------------------------------------------------------------- BFS reach
+
+BFS_MAX_DEPTH = 3
+
+
+def bfs_reach(edges_ds, max_depth: int = BFS_MAX_DEPTH):
+    """Min-depth BFS reachability (group_id, seed, node, depth<=3) from
+    the per-group max-degree entity over the symmetrized distinct edge
+    set — the batch analog of the reference's per-query edge BFS
+    (graphiti_core search_utils edge_bfs_search, depth<=3), exposed as
+    an oracle-checkable TABLE (Q6's driver-facing promotion).
+
+    Semantics (fixed, documented): graph = undirected distinct edges,
+    self-loops dropped; seed = argmax distinct-neighbor degree, ties
+    by name; each hop expands the DISTINCT frontier (revisits allowed
+    across depths — the final min(depth) groupby resolves them, which
+    is exactly what the mirror's UNION ALL + GROUP BY does).
+
+    Distributed shape: max_depth bounded frontier-x-adjacency
+    exchanges (the frontier and the adjacency meet in one bucketed
+    groupby per hop; per-key kernel emits the neighbor fan-out), plus
+    one min-depth groupby at the end. The adjacency is re-exchanged
+    per hop — at 100 TB you'd co-partition it once by (group, node)
+    and keep it resident; the per-hop join key is already that
+    partitioning key, so the upgrade is a cache, not a redesign.
+    """
+    import pandas as pd
+
+    from ..functions.exchange import bounded_group_map
+
+    und = _undirected_edges(edges_ds)
+
+    def sym(t: pa.Table) -> pa.Table:
+        g = t.column("group_id")
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {"group_id": g, "node": t.column("u"),
+                     "nbr": t.column("v")}
+                ),
+                pa.table(
+                    {"group_id": g, "node": t.column("v"),
+                     "nbr": t.column("u")}
+                ),
+            ]
+        )
+
+    adj = und.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def with_dk(t: pa.Table) -> pa.Table:
+        return t.append_column("dk", _key2(t, "group_id", "node"))
+
+    def count_deg(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "group_id": df["group_id"].iloc[0],
+                    "node": df["node"].iloc[0],
+                    "d": len(df),
+                }
+            ]
+        )
+
+    deg = bounded_group_map(
+        adj.map_batches(with_dk, batch_format="pyarrow"),
+        "dk",
+        count_deg,
+        batch_format="pandas",
+    )
+
+    def pick_seed(df: pd.DataFrame) -> pd.DataFrame:
+        top = df.sort_values(["d", "node"], ascending=[False, True]).iloc[0]
+        return pd.DataFrame(
+            [{"group_id": top["group_id"], "seed": top["node"],
+              "node": top["node"]}]
+        )
+
+    frontier = bounded_group_map(
+        deg, "group_id", pick_seed, batch_format="pandas"
+    )
+
+    def tag_adj(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "jk": _key2(t, "group_id", "node"),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "group_id": t.column("group_id"),
+                "seed": pa.nulls(n, pa.string()),
+                "node": t.column("node"),
+                "nbr": t.column("nbr"),
+            }
+        )
+
+    adj_tagged = adj.map_batches(tag_adj, batch_format="pyarrow")
+
+    def tag_frontier(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "jk": _key2(t, "group_id", "node"),
+                "side": pa.array(np.ones(n, np.int8)),
+                "group_id": t.column("group_id"),
+                "seed": t.column("seed").cast(pa.string()),
+                "node": t.column("node"),
+                "nbr": pa.nulls(n, pa.string()),
+            }
+        )
+
+    levels = [frontier]
+    for _ in range(max_depth):
+
+        def hop(df: pd.DataFrame) -> pd.DataFrame:
+            fr = df[df["side"] == 1]
+            ad = df[df["side"] == 0]
+            if fr.empty or ad.empty:
+                return pd.DataFrame(
+                    {c: pd.Series([], dtype=object)
+                     for c in ("group_id", "seed", "node")}
+                )
+            return pd.DataFrame(
+                {
+                    "group_id": ad["group_id"].to_numpy(),
+                    "seed": fr["seed"].iloc[0],
+                    "node": ad["nbr"].to_numpy(),
+                }
+            )
+
+        tagged = levels[-1].map_batches(
+            tag_frontier, batch_format="pyarrow"
+        ).union(adj_tagged)
+        nxt = bounded_group_map(tagged, "jk", hop, batch_format="pandas")
+        levels.append(
+            _distinct_by_key(nxt, ["group_id", "seed", "node"], "vk")
+        )
+
+    def with_depth(k: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "group_id": t.column("group_id"),
+                    "seed": t.column("seed").cast(pa.string()),
+                    "node": t.column("node").cast(pa.string()),
+                    "depth": pa.array(
+                        np.full(t.num_rows, k, np.int64)
+                    ),
+                }
+            )
+
+        return f
+
+    allv = levels[0].map_batches(with_depth(0), batch_format="pyarrow")
+    for k, lv in enumerate(levels[1:], start=1):
+        allv = allv.union(
+            lv.map_batches(with_depth(k), batch_format="pyarrow")
+        )
+
+    def min_depth(df: pd.DataFrame) -> pd.DataFrame:
+        r = df.loc[df["depth"].idxmin()]
+        return pd.DataFrame(
+            [{"group_id": r["group_id"], "seed": r["seed"],
+              "node": r["node"], "depth": r["depth"]}]
+        )
+
+    def with_vk(t: pa.Table) -> pa.Table:
+        return t.append_column("vk", _key2(t, "group_id", "node"))
+
+    return bounded_group_map(
+        allv.map_batches(with_vk, batch_format="pyarrow"),
+        "vk",
+        min_depth,
+        batch_format="pandas",
+    )
+
+
+def bfs_reach_sql_body(max_depth: int = BFS_MAX_DEPTH) -> str:
+    levels = []
+    prev = "bfs_r0"
+    for k in range(1, max_depth + 1):
+        levels.append(
+            f"bfs_r{k} AS (\n"
+            f"  SELECT DISTINCT a.grp, a.seed, j.nbr AS node\n"
+            f"  FROM {prev} a JOIN bfs_adj j\n"
+            f"    ON j.grp = a.grp AND j.node = a.node\n)"
+        )
+        prev = f"bfs_r{k}"
+    union = "\n  UNION ALL ".join(
+        f"SELECT *, {k} AS depth FROM bfs_r{k}"
+        for k in range(0, max_depth + 1)
+    )
+    chain = ",\n".join(levels)
+    return f"""
+, bfs_und AS (
+  SELECT DISTINCT grp, least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM swept WHERE subj <> obj
+), bfs_adj AS (
+  SELECT grp, u AS node, v AS nbr FROM bfs_und
+  UNION ALL SELECT grp, v AS node, u AS nbr FROM bfs_und
+), bfs_deg AS (
+  SELECT grp, node, count(*) AS d FROM bfs_adj GROUP BY 1, 2
+), bfs_seed AS (
+  SELECT grp, node AS seed FROM bfs_deg
+  QUALIFY row_number() OVER (PARTITION BY grp ORDER BY d DESC, node) = 1
+), bfs_r0 AS (
+  SELECT grp, seed, seed AS node FROM bfs_seed
+),
+{chain}
+SELECT grp AS group_id, seed, node,
+  CAST(min(depth) AS BIGINT) AS depth
+FROM ({union})
+GROUP BY 1, 2, 3
+"""

@@ -1616,6 +1616,23 @@ def multimodal_decode(sf_dir: str):
 
 # ----------------------------------------------------------- oracle SQL
 
+def kg_bfs_reach(sf_dir: str):
+    """Min-depth BFS reachability (depth<=3) from the per-group
+    max-degree entity over the symmetrized canonical edge set — the
+    oracle-checkable promotion of the reference's per-query edge BFS
+    (Q6, search_utils edge BFS) — ops/graph.bfs_reach; chained-join +
+    min-depth-groupby SQL mirror."""
+    from .ops.graph import bfs_reach
+
+    return bfs_reach(_kg_docs_edges_named(sf_dir))
+
+
+def _KG_BFS_SQL():
+    from .ops.graph import bfs_reach_sql_body
+
+    return _kg_docs_sql(bfs_reach_sql_body())
+
+
 def kg_random_walks(sf_dir: str):
     """Hash-deterministic DeepWalk corpus over the canonical KG:
     walks_per_node walks of walk_len steps from every connected node,
@@ -2663,6 +2680,7 @@ QUERIES = {
     "kg_multihop_qa": kg_multihop_qa,
     "kg_asof_snapshot": kg_asof_snapshot,
     "kg_random_walks": kg_random_walks,
+    "kg_bfs_reach": kg_bfs_reach,
     "hll_distinct": hll_distinct,
     "repeated_spans": repeated_spans,
     # trainable quality classifier (oracle-backed, same outside-window
@@ -2806,6 +2824,7 @@ ORACLE_SQL = {
     "kg_multihop_qa": _kg_docs_sql(_qa_hop2_sql_body()),
     "kg_asof_snapshot": _kg_docs_sql(_KG_ASOF_SQL_BODY),
     "kg_random_walks": _KG_WALKS_SQL(),
+    "kg_bfs_reach": _KG_BFS_SQL(),
     "hll_distinct": _HLL_SQL(),
     "repeated_spans": _REPEATED_SPANS_SQL(),
     "classifier_lr": _CLASSIFIER_LR_SQL(),

@@ -24,6 +24,7 @@ KG_DOCS_QUERIES = [
     "kg_multihop_qa",
     "kg_asof_snapshot",
     "kg_random_walks",
+    "kg_bfs_reach",
 ]
 
 
@@ -204,6 +205,39 @@ def test_random_walks_invariants(ray_session):
     )
     # walks genuinely branch: not every walk from a node is identical
     assert df.groupby(["group_id", "start"])["walk_text"].nunique().gt(1).any()
+
+
+def test_bfs_reach_invariants(ray_session):
+    """BFS truth: the seed is at depth 0 of its own reach set, every
+    depth-k node (k>0) has a symmetrized-edge neighbor at depth k-1,
+    depths never exceed the cap, and every group reaches beyond its
+    seed (the corpus graphs are connected enough to be non-trivial)."""
+    from graphiti_ray import queries as q
+    from graphiti_ray.ops.graph import BFS_MAX_DEPTH
+
+    df = q.QUERIES["kg_bfs_reach"](SF_DIR).to_pandas()
+    assert len(df) > 0
+    assert df["depth"].between(0, BFS_MAX_DEPTH).all()
+    edges = q.QUERIES["kg_edges"](SF_DIR).to_pandas()
+    sym = set()
+    for g, s, o in zip(edges["group_id"], edges["subj"], edges["obj"]):
+        if s != o:
+            sym.add((g, s, o))
+            sym.add((g, o, s))
+    by_depth = {
+        (g, int(d)): set(grp["node"])
+        for (g, d), grp in df.groupby(["group_id", "depth"])
+    }
+    for g, grp in df.groupby("group_id"):
+        z = grp[grp["depth"] == 0]
+        assert len(z) == 1 and z["node"].iloc[0] == z["seed"].iloc[0]
+        assert grp["depth"].max() >= 1
+    for (g, d), nodes in by_depth.items():
+        if d == 0:
+            continue
+        prev = by_depth[(g, d - 1)]
+        for n in nodes:
+            assert any((g, p, n) in sym for p in prev), (g, d, n)
 
 
 def test_asof_snapshot_invariants(ray_session):
