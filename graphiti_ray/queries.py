@@ -1667,6 +1667,22 @@ def _HLL_SQL():
     return HLL_DISTINCT_SQL
 
 
+def cms_heavy_hitters(sf_dir: str):
+    """Distributed Count-Min sketch + exact top-k probe keys
+    (events.user_id, lineitem.l_partkey): per-block partial counters
+    (<= d*w rows per block), combiner-tree sum-merge, single-task
+    finalize — ops/cms.py; counter-and-estimate-exact SQL mirror."""
+    from .ops.cms import cms_heavy_hitters as cms
+
+    return cms(sf_dir)
+
+
+def _CMS_SQL():
+    from .ops.cms import CMS_HEAVY_HITTERS_SQL
+
+    return CMS_HEAVY_HITTERS_SQL
+
+
 def _kg_docs_sql(body: str) -> str:
     from .sources.pages_kg import KG_DOCS_CTE
 
@@ -2682,6 +2698,7 @@ QUERIES = {
     "kg_random_walks": kg_random_walks,
     "kg_bfs_reach": kg_bfs_reach,
     "hll_distinct": hll_distinct,
+    "cms_heavy_hitters": cms_heavy_hitters,
     "repeated_spans": repeated_spans,
     # trainable quality classifier (oracle-backed, same outside-window
     # status as the clustering pair; exact driver compare in
@@ -2826,6 +2843,7 @@ ORACLE_SQL = {
     "kg_random_walks": _KG_WALKS_SQL(),
     "kg_bfs_reach": _KG_BFS_SQL(),
     "hll_distinct": _HLL_SQL(),
+    "cms_heavy_hitters": _CMS_SQL(),
     "repeated_spans": _REPEATED_SPANS_SQL(),
     "classifier_lr": _CLASSIFIER_LR_SQL(),
     "perplexity_buckets": _PERPLEXITY_BUCKETS_SQL(),

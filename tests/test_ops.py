@@ -913,3 +913,31 @@ def test_hll_distinct_matches_duckdb_oracle(ray_session):
     # both regimes exercised: a dense column and a sparse one
     assert (a["n_zero_registers"] == 0).any()
     assert (a["n_zero_registers"] > HLL_M // 2).any()
+
+
+def test_cms_heavy_hitters_matches_duckdb_oracle(ray_session):
+    """Counters, probe set and estimates reproduce bit-for-bit in the
+    SQL mirror, AND the Count-Min guarantees actually hold: every
+    estimate >= its exact count (one-sided error) and the overshoot
+    stays within the e/w * N bound (checked per column with the real
+    N, not assumed from the paper)."""
+    import math
+
+    import duckdb
+
+    from graphiti_ray.ops.cms import CMS_W
+
+    a = _oracle_compare("cms_heavy_hitters")
+    assert (a["cms_estimate"] >= a["exact_count"]).all()
+    con = duckdb.connect()
+    for tbl in set(a["tbl"]):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.01/{tbl}.parquet')"
+        )
+    for (tbl, col), grp in a.groupby(["tbl", "col"]):
+        n = con.execute(f"SELECT count(*) FROM {tbl}").fetchone()[0]
+        bound = math.e / CMS_W * n
+        over = (grp["cms_estimate"] - grp["exact_count"]).max()
+        assert over <= bound, (tbl, col, over, bound)
+    con.close()
