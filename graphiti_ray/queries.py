@@ -1616,6 +1616,23 @@ def multimodal_decode(sf_dir: str):
 
 # ----------------------------------------------------------- oracle SQL
 
+def kg_contradictions(sf_dir: str):
+    """Contradiction audit: (closed fact, closing fact) lineage pairs
+    for every sweep-invalidated exclusive-predicate edge — the batch
+    materialization of the reference's edge-invalidation flow
+    (edge_operations.resolve_extracted_edge) — ops/contradictions.py;
+    self-join SQL mirror over the swept table."""
+    from .ops.contradictions import contradiction_pairs
+
+    return contradiction_pairs(_kg_docs_edges_named(sf_dir))
+
+
+def _KG_CONTRA_SQL():
+    from .ops.contradictions import contradiction_pairs_sql_body
+
+    return _kg_docs_sql(contradiction_pairs_sql_body())
+
+
 def kg_bfs_reach(sf_dir: str):
     """Min-depth BFS reachability (depth<=3) from the per-group
     max-degree entity over the symmetrized canonical edge set — the
@@ -2697,6 +2714,7 @@ QUERIES = {
     "kg_asof_snapshot": kg_asof_snapshot,
     "kg_random_walks": kg_random_walks,
     "kg_bfs_reach": kg_bfs_reach,
+    "kg_contradictions": kg_contradictions,
     "hll_distinct": hll_distinct,
     "cms_heavy_hitters": cms_heavy_hitters,
     "repeated_spans": repeated_spans,
@@ -2842,6 +2860,7 @@ ORACLE_SQL = {
     "kg_asof_snapshot": _kg_docs_sql(_KG_ASOF_SQL_BODY),
     "kg_random_walks": _KG_WALKS_SQL(),
     "kg_bfs_reach": _KG_BFS_SQL(),
+    "kg_contradictions": _KG_CONTRA_SQL(),
     "hll_distinct": _HLL_SQL(),
     "cms_heavy_hitters": _CMS_SQL(),
     "repeated_spans": _REPEATED_SPANS_SQL(),

@@ -25,6 +25,7 @@ KG_DOCS_QUERIES = [
     "kg_asof_snapshot",
     "kg_random_walks",
     "kg_bfs_reach",
+    "kg_contradictions",
 ]
 
 
@@ -205,6 +206,40 @@ def test_random_walks_invariants(ray_session):
     )
     # walks genuinely branch: not every walk from a node is identical
     assert df.groupby(["group_id", "start"])["walk_text"].nunique().gt(1).any()
+
+
+def test_contradictions_invariants(ray_session):
+    """Every lineage pair is grounded: the closed fact exists in the
+    canonical edge set with exactly that invalid_at, the closing fact
+    exists with valid_at == that invalid_at, objects differ, and every
+    sweep-closed exclusive edge whose closing time matches another
+    fact's start appears in the report."""
+    from graphiti_ray import queries as q
+    from graphiti_ray.functions.extraction import EXCLUSIVE_PREDICATES
+
+    df = q.QUERIES["kg_contradictions"](SF_DIR).to_pandas()
+    assert len(df) > 0
+    assert set(df["pred"]) <= set(EXCLUSIVE_PREDICATES)
+    assert (df["obj_closed"] != df["obj_new"]).all()
+    assert (df["closed_valid_at"] < df["invalid_at"]).all()
+    edges = q.QUERIES["kg_edges"](SF_DIR).to_pandas()
+    key = set(
+        zip(edges["group_id"], edges["subj"], edges["pred"],
+            edges["obj"], edges["valid_at"], edges["invalid_at"])
+    )
+    for r in df.itertuples():
+        assert (
+            r.group_id, r.subj, r.pred, r.obj_closed,
+            r.closed_valid_at, r.invalid_at,
+        ) in key
+    starts = set(
+        zip(edges["group_id"], edges["subj"], edges["pred"],
+            edges["obj"], edges["valid_at"])
+    )
+    for r in df.itertuples():
+        assert (
+            r.group_id, r.subj, r.pred, r.obj_new, r.invalid_at
+        ) in starts
 
 
 def test_bfs_reach_invariants(ray_session):
