@@ -111,21 +111,87 @@ def contradiction_pairs(edges_named_ds):
     return bounded_group_map(edges, "sk", pairs, batch_format="pandas")
 
 
-def contradiction_pairs_sql_body() -> str:
+def _ctr_pairs_cte() -> str:
     preds = ", ".join(f"'{p}'" for p in sorted(EXCLUSIVE_PREDICATES))
     return f"""
 , ctr_e AS (
   SELECT DISTINCT grp, subj, pred, obj, valid_at, invalid_at
   FROM swept WHERE pred IN ({preds})
-)
-SELECT DISTINCT e.grp AS group_id, e.subj, e.pred,
-  e.obj AS obj_closed, e.valid_at AS closed_valid_at, e.invalid_at,
-  n.obj AS obj_new, n.invalid_at AS new_invalid_at
-FROM ctr_e e JOIN ctr_e n
-  ON n.grp = e.grp AND n.subj = e.subj AND n.pred = e.pred
-  AND n.valid_at = e.invalid_at
-  AND n.obj <> e.obj
-  AND e.valid_at IS NOT NULL
-  AND e.valid_at < n.valid_at
-  AND (n.invalid_at IS NULL OR n.invalid_at > e.valid_at)
+), ctr_pairs AS (
+  SELECT DISTINCT e.grp AS group_id, e.subj, e.pred,
+    e.obj AS obj_closed, e.valid_at AS closed_valid_at, e.invalid_at,
+    n.obj AS obj_new, n.invalid_at AS new_invalid_at
+  FROM ctr_e e JOIN ctr_e n
+    ON n.grp = e.grp AND n.subj = e.subj AND n.pred = e.pred
+    AND n.valid_at = e.invalid_at
+    AND n.obj <> e.obj
+    AND e.valid_at IS NOT NULL
+    AND e.valid_at < n.valid_at
+    AND (n.invalid_at IS NULL OR n.invalid_at > e.valid_at)
+)"""
+
+
+def contradiction_pairs_sql_body() -> str:
+    return _ctr_pairs_cte() + "\nSELECT * FROM ctr_pairs"
+
+
+# --------------------------------------------------- change captions
+
+# KELM-style verbalization of the lineage pairs: "what changed, when" —
+# temporal-change caption data a trainer can consume directly.
+CHANGE_TEMPLATES = {
+    "WORKS_FOR": (" left ", " and joined "),
+    "LIVES_IN": (" moved away from ", " and settled in "),
+    "HOLDS_ROLE": (" stepped down as ", " and became "),
+}
+
+
+def change_events(contradictions_ds):
+    """(group_id, subj, pred, obj_closed, obj_new, change_date,
+    caption): one deduped caption per distinct change."""
+    from .graph import _distinct_by_key
+
+    def templ(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["invalid_at"].dt.strftime("%Y-%m-%d")
+        mid = df["pred"].map(lambda p: CHANGE_TEMPLATES[p][0])
+        mid2 = df["pred"].map(lambda p: CHANGE_TEMPLATES[p][1])
+        out = pd.DataFrame(
+            {
+                "group_id": df["group_id"],
+                "subj": df["subj"],
+                "pred": df["pred"],
+                "obj_closed": df["obj_closed"],
+                "obj_new": df["obj_new"],
+                "change_date": d,
+                "caption": (
+                    df["subj"] + mid + df["obj_closed"] + mid2
+                    + df["obj_new"] + " on " + d + "."
+                ),
+            }
+        )
+        return out
+
+    keyed = contradictions_ds.map_batches(templ, batch_format="pandas")
+    cols = [
+        "group_id", "subj", "pred", "obj_closed", "obj_new",
+        "change_date", "caption",
+    ]
+    # same change can arise from two closed validity starts — global
+    # distinct on the projected row
+    return _distinct_by_key(keyed, cols, "ck")
+
+
+def change_events_sql_body() -> str:
+    whens = "\n".join(
+        f"    WHEN '{p}' THEN subj || '{a}' || obj_closed || '{b}' ||"
+        f" obj_new || ' on ' || strftime(invalid_at, '%Y-%m-%d') || '.'"
+        for p, (a, b) in sorted(CHANGE_TEMPLATES.items())
+    )
+    return f"""{_ctr_pairs_cte()}
+SELECT DISTINCT group_id, subj, pred, obj_closed, obj_new,
+  strftime(invalid_at, '%Y-%m-%d') AS change_date,
+  CASE pred
+{whens}
+  END AS caption
+FROM ctr_pairs
 """

@@ -1633,6 +1633,23 @@ def _KG_CONTRA_SQL():
     return _kg_docs_sql(contradiction_pairs_sql_body())
 
 
+def kg_change_events(sf_dir: str):
+    """Verbalized change captions from the contradiction lineage
+    ("X left A and joined B on DATE.") — temporal-change training
+    text, one vectorized template pass + one distinct exchange over
+    the (tiny) pair table — ops/contradictions.change_events;
+    CASE-template SQL mirror."""
+    from .ops.contradictions import change_events
+
+    return change_events(kg_contradictions(sf_dir))
+
+
+def _KG_CHANGE_SQL():
+    from .ops.contradictions import change_events_sql_body
+
+    return _kg_docs_sql(change_events_sql_body())
+
+
 def kg_bfs_reach(sf_dir: str):
     """Min-depth BFS reachability (depth<=3) from the per-group
     max-degree entity over the symmetrized canonical edge set — the
@@ -2715,6 +2732,7 @@ QUERIES = {
     "kg_random_walks": kg_random_walks,
     "kg_bfs_reach": kg_bfs_reach,
     "kg_contradictions": kg_contradictions,
+    "kg_change_events": kg_change_events,
     "hll_distinct": hll_distinct,
     "cms_heavy_hitters": cms_heavy_hitters,
     "repeated_spans": repeated_spans,
@@ -2861,6 +2879,7 @@ ORACLE_SQL = {
     "kg_random_walks": _KG_WALKS_SQL(),
     "kg_bfs_reach": _KG_BFS_SQL(),
     "kg_contradictions": _KG_CONTRA_SQL(),
+    "kg_change_events": _KG_CHANGE_SQL(),
     "hll_distinct": _HLL_SQL(),
     "cms_heavy_hitters": _CMS_SQL(),
     "repeated_spans": _REPEATED_SPANS_SQL(),

@@ -26,6 +26,7 @@ KG_DOCS_QUERIES = [
     "kg_random_walks",
     "kg_bfs_reach",
     "kg_contradictions",
+    "kg_change_events",
 ]
 
 
@@ -240,6 +241,40 @@ def test_contradictions_invariants(ray_session):
         assert (
             r.group_id, r.subj, r.pred, r.obj_new, r.invalid_at
         ) in starts
+
+
+def test_change_events_invariants(ray_session):
+    """Every caption is grounded in a contradiction pair, embeds both
+    objects and the date, rows are globally distinct, and more than
+    one predicate template fires."""
+    from graphiti_ray import queries as q
+
+    df = q.QUERIES["kg_change_events"](SF_DIR).to_pandas()
+    assert len(df) > 0
+    assert not df.duplicated().any()
+    ctr = q.QUERIES["kg_contradictions"](SF_DIR).to_pandas()
+    pairs = set(
+        zip(ctr["group_id"], ctr["subj"], ctr["pred"],
+            ctr["obj_closed"], ctr["obj_new"],
+            ctr["invalid_at"].dt.strftime("%Y-%m-%d"))
+    )
+    for r in df.itertuples():
+        assert (
+            r.group_id, r.subj, r.pred, r.obj_closed, r.obj_new,
+            r.change_date,
+        ) in pairs
+        assert r.obj_closed in r.caption
+        assert r.obj_new in r.caption
+        assert r.change_date in r.caption
+        assert r.caption.startswith(r.subj)
+    # this corpus's LIVES_IN/HOLDS_ROLE closures come from marker
+    # folds, not same-instant contradictions, so only WORKS_FOR pairs
+    # exist — pin that the template map COVERS every observed pred
+    # and that multiple distinct subjects/dates fired
+    from graphiti_ray.ops.contradictions import CHANGE_TEMPLATES
+
+    assert set(df["pred"]) <= set(CHANGE_TEMPLATES)
+    assert df["subj"].nunique() > 1 and df["change_date"].nunique() > 1
 
 
 def test_bfs_reach_invariants(ray_session):
