@@ -1650,6 +1650,79 @@ def _KG_CHANGE_SQL():
     return _kg_docs_sql(change_events_sql_body())
 
 
+_KG_PREDSTATS_SQL_BODY = """
+, pstats_ps AS (
+  SELECT grp, pred, subj, count(DISTINCT obj) AS po
+  FROM swept GROUP BY 1, 2, 3
+)
+SELECT s.grp AS group_id, s.pred,
+  CAST(count(*) AS BIGINT) AS n_edges,
+  CAST(count(DISTINCT s.subj) AS BIGINT) AS n_subjects,
+  CAST(count(DISTINCT s.obj) AS BIGINT) AS n_objects,
+  CAST(sum(CASE WHEN s.invalid_at IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_closed,
+  CAST(max(p.po) AS BIGINT) AS max_obj_per_subj
+FROM swept s JOIN pstats_ps p
+  ON p.grp = s.grp AND p.pred = s.pred AND p.subj = s.subj
+GROUP BY 1, 2
+"""
+
+
+def kg_predicate_stats(sf_dir: str):
+    """Schema induction / ontology profile per (group, predicate):
+    edge count, distinct subjects/objects, closed-edge count, and the
+    max distinct-objects-per-subject (functionality indicator — 1
+    means the predicate behaves functionally in this corpus). ONE
+    (group, pred)-bucketed exchange, vectorized pandas kernel. The
+    reference carries no schema-statistics surface; this is the batch
+    ontology-audit a KG at 100 TB needs before trusting extraction."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .functions.exchange import bounded_group_map
+
+    def proj(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("group_id").cast(pa.string()),
+            t.column("name").cast(pa.string()),
+            "\x1f",
+        )
+        return pa.table(
+            {
+                "group_id": t.column("group_id"),
+                "pred": t.column("name"),
+                "subj": t.column("subj"),
+                "obj": t.column("obj"),
+                "closed": pc.is_valid(t.column("invalid_at")),
+                "pk": k,
+            }
+        )
+
+    edges = _kg_docs_edges_named(sf_dir).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "group_id": df["group_id"].iloc[0],
+                    "pred": df["pred"].iloc[0],
+                    "n_edges": len(df),
+                    "n_subjects": df["subj"].nunique(),
+                    "n_objects": df["obj"].nunique(),
+                    "n_closed": int(df["closed"].sum()),
+                    "max_obj_per_subj": int(
+                        df.groupby("subj")["obj"].nunique().max()
+                    ),
+                }
+            ]
+        )
+
+    return bounded_group_map(edges, "pk", stats, batch_format="pandas")
+
+
 def kg_bfs_reach(sf_dir: str):
     """Min-depth BFS reachability (depth<=3) from the per-group
     max-degree entity over the symmetrized canonical edge set — the
@@ -2733,6 +2806,7 @@ QUERIES = {
     "kg_bfs_reach": kg_bfs_reach,
     "kg_contradictions": kg_contradictions,
     "kg_change_events": kg_change_events,
+    "kg_predicate_stats": kg_predicate_stats,
     "hll_distinct": hll_distinct,
     "cms_heavy_hitters": cms_heavy_hitters,
     "repeated_spans": repeated_spans,
@@ -2880,6 +2954,7 @@ ORACLE_SQL = {
     "kg_bfs_reach": _KG_BFS_SQL(),
     "kg_contradictions": _KG_CONTRA_SQL(),
     "kg_change_events": _KG_CHANGE_SQL(),
+    "kg_predicate_stats": _kg_docs_sql(_KG_PREDSTATS_SQL_BODY),
     "hll_distinct": _HLL_SQL(),
     "cms_heavy_hitters": _CMS_SQL(),
     "repeated_spans": _REPEATED_SPANS_SQL(),

@@ -27,6 +27,7 @@ KG_DOCS_QUERIES = [
     "kg_bfs_reach",
     "kg_contradictions",
     "kg_change_events",
+    "kg_predicate_stats",
 ]
 
 
@@ -275,6 +276,26 @@ def test_change_events_invariants(ray_session):
 
     assert set(df["pred"]) <= set(CHANGE_TEMPLATES)
     assert df["subj"].nunique() > 1 and df["change_date"].nunique() > 1
+
+
+def test_predicate_stats_invariants(ray_session):
+    """Profile sanity: totals reconcile with the edge table per
+    (group, pred); bounds hold (n_subjects/n_objects <= n_edges,
+    n_closed <= n_edges, max_obj_per_subj <= n_objects); every
+    extraction predicate is profiled."""
+    from graphiti_ray import queries as q
+
+    df = q.QUERIES["kg_predicate_stats"](SF_DIR).to_pandas()
+    edges = q.QUERIES["kg_edges"](SF_DIR).to_pandas()
+    want = edges.groupby(["group_id", "pred"]).size()
+    got = df.set_index(["group_id", "pred"])["n_edges"]
+    assert got.sort_index().equals(want.sort_index())
+    assert (df["n_subjects"] <= df["n_edges"]).all()
+    assert (df["n_objects"] <= df["n_edges"]).all()
+    assert (df["n_closed"] <= df["n_edges"]).all()
+    assert (df["max_obj_per_subj"] <= df["n_objects"]).all()
+    assert (df["max_obj_per_subj"] >= 1).all()
+    assert set(df["pred"]) == set(edges["pred"])
 
 
 def test_bfs_reach_invariants(ray_session):
