@@ -12,14 +12,18 @@ same tree: per-block partial key counts, tree-summed, ranked in the
 finalize. Nothing driver-side; a 100-TB column's sketch is
 ``2048 × blocks`` 3-int rows through one fixed-fan-in exchange.
 
-Determinism contract: row-i bucket is
-``md5_hash64(key, salt=f"cms{i}|") % w`` (== DuckDB
-``md5_number_lower('cms{i}|' || CAST(key AS VARCHAR))``), counters and
-estimates are pure integer counts, and the probe set is the exact
-top-k by ``(count DESC, key ASC)`` — so the SQL mirror reproduces the
-counters, the probe set, AND every estimate bit-for-bit. The CMS
-guarantee (estimate >= exact, overshoot <= eN with e = e/w at failure
-prob (1/2)^d) is pinned by the pytest invariant, not assumed.
+Determinism contract: each key is md5-hashed ONCE
+(``md5_hash64(key, salt="cms|")`` == DuckDB
+``md5_number_lower('cms|' || CAST(key AS VARCHAR))``) and row i's
+bucket is the i-th 16-bit slice of that hash mod w — one hash per
+distinct key instead of d salted hashes (md5 bits are uniform and the
+disjoint slices are independent, which is all CMS's pairwise-
+independence analysis needs). Counters and estimates are pure integer
+counts and the probe set is the exact top-k by
+``(count DESC, key ASC)``, so the SQL mirror reproduces the counters,
+the probe set, AND every estimate bit-for-bit. The CMS guarantee
+(estimate >= exact, overshoot <= eN with e = e/w at failure prob
+(1/2)^d) is pinned by the pytest invariant, not assumed.
 """
 
 from __future__ import annotations
@@ -30,11 +34,18 @@ import pyarrow as pa
 CMS_D = 4
 CMS_W = 512
 CMS_TOPK = 10
-CMS_SALTS = [f"cms{i}|" for i in range(CMS_D)]
+CMS_SALT = "cms|"
 
 # skewed-ish count columns; int64 keys stringify identically in
 # Python str() and DuckDB CAST(.. AS VARCHAR)
 CMS_COLS = [("events", "user_id"), ("lineitem", "l_partkey")]
+
+
+def _buckets(h: np.ndarray, i: int) -> np.ndarray:
+    """Row i's bucket: the i-th 16-bit slice of the key hash, mod w."""
+    return (
+        ((h >> np.uint64(16 * i)) & np.uint64(0xFFFF)) % np.uint64(CMS_W)
+    ).astype(np.int64)
 
 
 def _partial(t: pa.Table, tc: str, col: str) -> pa.Table:
@@ -44,15 +55,15 @@ def _partial(t: pa.Table, tc: str, col: str) -> pa.Table:
         np.asarray(t.column(col).cast(pa.string()).to_pylist(), dtype=object),
         return_counts=True,
     )
+    h = np.fromiter(
+        (md5_hash64(k, salt=CMS_SALT) for k in keys),
+        dtype=np.uint64,
+        count=keys.size,
+    )
     out_tc, out_row, out_bucket, out_cnt = [], [], [], []
-    for i, salt in enumerate(CMS_SALTS):
+    for i in range(CMS_D):
         counter = np.zeros(CMS_W, dtype=np.int64)
-        b = np.fromiter(
-            (md5_hash64(k, salt=salt) % CMS_W for k in keys),
-            dtype=np.int64,
-            count=keys.size,
-        )
-        np.add.at(counter, b, cnts)
+        np.add.at(counter, _buckets(h, i), cnts)
         nz = np.nonzero(counter)[0]
         out_tc.append(np.full(len(nz), tc, dtype=object))
         out_row.append(np.full(len(nz), i, dtype=np.int64))
@@ -130,9 +141,10 @@ def cms_heavy_hitters(sf_dir: str):
                 ["cnt", "key"], ascending=[False, True]
             ).head(CMS_TOPK)
             for k, c in zip(top["key"], top["cnt"]):
+                hk = md5_hash64(k, salt=CMS_SALT)
                 est = min(
                     counters.get(
-                        (i, md5_hash64(k, salt=CMS_SALTS[i]) % CMS_W), 0
+                        (i, ((hk >> (16 * i)) & 0xFFFF) % CMS_W), 0
                     )
                     for i in range(CMS_D)
                 )
@@ -163,9 +175,7 @@ def _sql_key_union() -> str:
 
 
 def _sql_row_union() -> str:
-    return " UNION ALL ".join(
-        f"SELECT {i} AS r, '{s}' AS salt" for i, s in enumerate(CMS_SALTS)
-    )
+    return " UNION ALL ".join(f"SELECT {i} AS r" for i in range(CMS_D))
 
 
 CMS_HEAVY_HITTERS_SQL = f"""
@@ -179,12 +189,15 @@ WITH cms_keys AS (
     PARTITION BY tc ORDER BY cnt DESC, k ASC
   ) <= {CMS_TOPK}
 ), cms_rows AS ({_sql_row_union()}),
-cms_counters AS (
-  SELECT c.tc, r.r,
-    CAST(md5_number_lower(r.salt || c.k) % {CMS_W}::UBIGINT AS BIGINT)
-      AS bucket,
-    SUM(c.cnt) AS cnt
-  FROM cms_counts c CROSS JOIN cms_rows r
+cms_h AS (
+  SELECT tc, k, cnt, md5_number_lower('{CMS_SALT}' || k) AS hv
+  FROM cms_counts
+), cms_counters AS (
+  SELECT h.tc, r.r,
+    CAST(((h.hv >> (16 * r.r)) & 65535::UBIGINT) % {CMS_W}::UBIGINT
+         AS BIGINT) AS bucket,
+    SUM(h.cnt) AS cnt
+  FROM cms_h h CROSS JOIN cms_rows r
   GROUP BY 1, 2, 3
 ), cms_est AS (
   SELECT t.tc, t.k, t.cnt AS exact_count,
@@ -193,7 +206,8 @@ cms_counters AS (
   JOIN cms_rows r ON true
   JOIN cms_counters ct ON ct.tc = t.tc AND ct.r = r.r
     AND ct.bucket = CAST(
-      md5_number_lower(r.salt || t.k) % {CMS_W}::UBIGINT AS BIGINT)
+      ((md5_number_lower('{CMS_SALT}' || t.k) >> (16 * r.r))
+       & 65535::UBIGINT) % {CMS_W}::UBIGINT AS BIGINT)
   GROUP BY 1, 2, 3
 )
 SELECT split_part(tc, '.', 1) AS tbl, split_part(tc, '.', 2) AS col,
