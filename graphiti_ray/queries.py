@@ -1723,6 +1723,23 @@ def kg_predicate_stats(sf_dir: str):
     return bounded_group_map(edges, "pk", stats, batch_format="pandas")
 
 
+def kg_entity_cooccurrence(sf_dir: str):
+    """Episode-level entity co-occurrence with integer-exact lift
+    (n_co * n_episodes * 1000 // (n_a * n_b)) — blocking hints /
+    community priors / entity-linking features — ops/cooccur.py (one
+    episode-bucketed pair expansion + three pre-aggregated counts +
+    byte-capped lookup folds); self-join SQL mirror."""
+    from .ops.cooccur import entity_cooccurrence
+
+    return entity_cooccurrence(kg_docs_mentions(sf_dir))
+
+
+def _KG_COOCCUR_SQL():
+    from .ops.cooccur import ENTITY_COOCCURRENCE_SQL_BODY
+
+    return _kg_docs_sql(ENTITY_COOCCURRENCE_SQL_BODY)
+
+
 def kg_bfs_reach(sf_dir: str):
     """Min-depth BFS reachability (depth<=3) from the per-group
     max-degree entity over the symmetrized canonical edge set — the
@@ -2807,6 +2824,7 @@ QUERIES = {
     "kg_contradictions": kg_contradictions,
     "kg_change_events": kg_change_events,
     "kg_predicate_stats": kg_predicate_stats,
+    "kg_entity_cooccurrence": kg_entity_cooccurrence,
     "hll_distinct": hll_distinct,
     "cms_heavy_hitters": cms_heavy_hitters,
     "repeated_spans": repeated_spans,
@@ -2955,6 +2973,7 @@ ORACLE_SQL = {
     "kg_contradictions": _KG_CONTRA_SQL(),
     "kg_change_events": _KG_CHANGE_SQL(),
     "kg_predicate_stats": _kg_docs_sql(_KG_PREDSTATS_SQL_BODY),
+    "kg_entity_cooccurrence": _KG_COOCCUR_SQL(),
     "hll_distinct": _HLL_SQL(),
     "cms_heavy_hitters": _CMS_SQL(),
     "repeated_spans": _REPEATED_SPANS_SQL(),

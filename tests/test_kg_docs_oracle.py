@@ -28,6 +28,7 @@ KG_DOCS_QUERIES = [
     "kg_contradictions",
     "kg_change_events",
     "kg_predicate_stats",
+    "kg_entity_cooccurrence",
 ]
 
 
@@ -296,6 +297,34 @@ def test_predicate_stats_invariants(ray_session):
     assert (df["max_obj_per_subj"] <= df["n_objects"]).all()
     assert (df["max_obj_per_subj"] >= 1).all()
     assert set(df["pred"]) == set(edges["pred"])
+
+
+def test_entity_cooccurrence_invariants(ray_session):
+    """Counts reconcile against a brute-force recount from the mention
+    table; pair ordering (a < b) holds; lift matches the integer
+    formula; marginals never exceed the episode count."""
+    from collections import Counter
+    from itertools import combinations
+
+    from graphiti_ray import queries as q
+
+    df = q.QUERIES["kg_entity_cooccurrence"](SF_DIR).to_pandas()
+    assert len(df) > 0
+    assert (df["ent_a"] < df["ent_b"]).all()
+    m = q.QUERIES["kg_mentions"](SF_DIR).to_pandas()
+    brute = Counter()
+    for (g, _), grp in m.groupby(["group_id", "url"]):
+        for a, b in combinations(sorted(set(grp["name"])), 2):
+            brute[(g, a, b)] += 1
+    got = {
+        (r.group_id, r.ent_a, r.ent_b): r.n_co for r in df.itertuples()
+    }
+    assert got == dict(brute)
+    ep = m.groupby("group_id")["url"].nunique()
+    for r in df.itertuples():
+        n_ep = ep[r.group_id]
+        assert r.n_a <= n_ep and r.n_b <= n_ep and r.n_co <= min(r.n_a, r.n_b)
+        assert r.lift_milli == r.n_co * n_ep * 1000 // (r.n_a * r.n_b)
 
 
 def test_bfs_reach_invariants(ray_session):
