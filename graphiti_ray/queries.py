@@ -1723,6 +1723,25 @@ def kg_predicate_stats(sf_dir: str):
     return bounded_group_map(edges, "pk", stats, batch_format="pandas")
 
 
+def kg_modularity(sf_dir: str):
+    """Newman modularity of the label-propagation community partition
+    in EXACT integer arithmetic (q_scaled = 4*m^2*Q) — the partition
+    quality audit the reference's community builder lacks —
+    ops/modularity.py; the mirror reuses the communities oracle's
+    recursive-LP CTEs."""
+    from .ops.modularity import modularity
+
+    return modularity(
+        _kg_docs_edges_named(sf_dir), kg_docs_communities(sf_dir)
+    )
+
+
+def _KG_MODULARITY_SQL():
+    from .ops.modularity import MODULARITY_SQL_TAIL
+
+    return _COMMUNITIES_CTES() + MODULARITY_SQL_TAIL
+
+
 def kg_entity_cooccurrence(sf_dir: str):
     """Episode-level entity co-occurrence with integer-exact lift
     (n_co * n_episodes * 1000 // (n_a * n_b)) — blocking hints /
@@ -2076,6 +2095,18 @@ def _KG_DOCS_COMMUNITIES_SQL():
     # labels are monotone, so extra iterations past convergence are
     # identity. Community naming mirrors _community_rows: the
     # (n_mentions DESC, name ASC)-top member leads.
+    return _COMMUNITIES_CTES() + """
+SELECT m.grp AS group_id, m.name,
+  t.top_name || ' community' AS community_name,
+  t.n_members
+FROM mem m
+JOIN tops t ON t.grp = m.grp AND t.label = m.label AND t.rk = 1
+"""
+
+
+def _COMMUNITIES_CTES():
+    """The recursive-LP CTE chain (through ``mem``/``tops``), shared by
+    the communities oracle and the modularity oracle."""
     from .sources.pages_kg import KG_DOCS_CTE
     from .stages.communities import MAX_LP_ITERS
 
@@ -2123,13 +2154,7 @@ tops AS (
     row_number() OVER (PARTITION BY grp, label
                        ORDER BY n_mentions DESC, name ASC) AS rk
   FROM mem
-)
-SELECT m.grp AS group_id, m.name,
-  t.top_name || ' community' AS community_name,
-  t.n_members
-FROM mem m
-JOIN tops t ON t.grp = m.grp AND t.label = m.label AND t.rk = 1
-"""
+)"""
 
 
 def _KG_DOCS_COMMUNITIES_INCR_SQL():
@@ -2825,6 +2850,7 @@ QUERIES = {
     "kg_change_events": kg_change_events,
     "kg_predicate_stats": kg_predicate_stats,
     "kg_entity_cooccurrence": kg_entity_cooccurrence,
+    "kg_modularity": kg_modularity,
     "hll_distinct": hll_distinct,
     "cms_heavy_hitters": cms_heavy_hitters,
     "repeated_spans": repeated_spans,
@@ -2974,6 +3000,7 @@ ORACLE_SQL = {
     "kg_change_events": _KG_CHANGE_SQL(),
     "kg_predicate_stats": _kg_docs_sql(_KG_PREDSTATS_SQL_BODY),
     "kg_entity_cooccurrence": _KG_COOCCUR_SQL(),
+    "kg_modularity": _KG_MODULARITY_SQL(),
     "hll_distinct": _HLL_SQL(),
     "cms_heavy_hitters": _CMS_SQL(),
     "repeated_spans": _REPEATED_SPANS_SQL(),

@@ -29,6 +29,7 @@ KG_DOCS_QUERIES = [
     "kg_change_events",
     "kg_predicate_stats",
     "kg_entity_cooccurrence",
+    "kg_modularity",
 ]
 
 
@@ -325,6 +326,48 @@ def test_entity_cooccurrence_invariants(ray_session):
         n_ep = ep[r.group_id]
         assert r.n_a <= n_ep and r.n_b <= n_ep and r.n_co <= min(r.n_a, r.n_b)
         assert r.lift_milli == r.n_co * n_ep * 1000 // (r.n_a * r.n_b)
+
+
+def test_modularity_invariants(ray_session):
+    """q_scaled reconciles with a brute-force recompute from the
+    community membership + undirected edge set, and Q = q_scaled/4m^2
+    is in (0, 1] for every group — the LP partition must beat a
+    random one on its own graph."""
+    from graphiti_ray import queries as q
+
+    df = q.QUERIES["kg_modularity"](SF_DIR).to_pandas()
+    assert len(df) > 0
+    comm = q.QUERIES["kg_communities"](SF_DIR).to_pandas()
+    edges = q.QUERIES["kg_edges"](SF_DIR).to_pandas()
+    lab = {
+        (g, n): c
+        for g, n, c in zip(
+            comm["group_id"], comm["name"], comm["community_name"]
+        )
+    }
+    for r in df.itertuples():
+        g = r.group_id
+        und = {
+            tuple(sorted((s, o)))
+            for gg, s, o in zip(
+                edges["group_id"], edges["subj"], edges["obj"]
+            )
+            if gg == g and s != o
+        }
+        m = len(und)
+        assert m == r.m_edges
+        from collections import Counter
+
+        dc: Counter = Counter()
+        lc: Counter = Counter()
+        for u, v in und:
+            dc[lab[(g, u)]] += 1
+            dc[lab[(g, v)]] += 1
+            if lab[(g, u)] == lab[(g, v)]:
+                lc[lab[(g, u)]] += 1
+        want = sum(4 * m * lc[c] - dc[c] ** 2 for c in dc)
+        assert want == r.q_scaled
+        assert 0 < r.q_scaled <= 4 * m * m
 
 
 def test_bfs_reach_invariants(ray_session):
