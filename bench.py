@@ -100,6 +100,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "kg_multihop_qa",
         "kg_asof_snapshot",
         "kg_random_walks",
+        "kg_skipgram_pairs",
         "kg_bfs_reach",
         "kg_contradictions",
         "kg_change_events",

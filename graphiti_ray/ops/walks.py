@@ -228,3 +228,93 @@ SELECT grp AS group_id, start, CAST(wi AS BIGINT) AS walk_i, {ncols},
   {text} AS walk_text
 FROM s{walk_len}
 """
+
+
+# ------------------------------------------------- skip-gram pairs
+
+SKIPGRAM_WINDOW = 2
+
+
+def _positions(walk_len: int = WALK_LEN) -> list[tuple[int, int]]:
+    """(center_pos, context_pos) pairs with 0 < |i-j| <= window over
+    the walk's walk_len+1 node positions."""
+    n = walk_len + 1
+    return [
+        (i, j)
+        for i in range(n)
+        for j in range(n)
+        if i != j and abs(i - j) <= SKIPGRAM_WINDOW
+    ]
+
+
+def skipgram_pairs(walks_ds, walk_len: int = WALK_LEN):
+    """(group_id, center, context, n_pairs): the skip-gram training
+    pairs of the walk corpus (window=2, both directions, multiplicity
+    summed across walks) — what a word2vec-style embedding trainer
+    consumes after DeepWalk. One vectorized position-pair expansion
+    (14 column pairs per walk at L=4, no row loop) + one
+    pre-aggregated count exchange (ops/cooccur._counted)."""
+    import pyarrow.compute as pc
+
+    from .cooccur import _counted
+
+    names = ["start"] + [f"n{k}" for k in range(1, walk_len + 1)]
+    pos = _positions(walk_len)
+
+    def expand(t: pa.Table) -> pa.Table:
+        g = t.column("group_id").combine_chunks()
+        cols = {c: t.column(c).combine_chunks() for c in names}
+        return pa.table(
+            {
+                "group_id": pa.chunked_array([g] * len(pos)),
+                "center": pa.chunked_array(
+                    [cols[names[i]] for i, _ in pos]
+                ),
+                "context": pa.chunked_array(
+                    [cols[names[j]] for _, j in pos]
+                ),
+            }
+        )
+
+    pairs = walks_ds.map_batches(expand, batch_format="pyarrow")
+    counted = _counted(pairs, ["group_id", "center", "context"], "sgk")
+
+    def split(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("sgk"), "\x1f")
+        return pa.table(
+            {
+                "group_id": pc.list_element(parts, 0),
+                "center": pc.list_element(parts, 1),
+                "context": pc.list_element(parts, 2),
+                "n_pairs": t.column("sum(cnt)"),
+            }
+        )
+
+    return counted.map_batches(split, batch_format="pyarrow")
+
+
+def skipgram_sql_body(
+    walks_per_node: int = WALKS_PER_NODE, walk_len: int = WALK_LEN
+) -> str:
+    """Composes on random_walks_sql_body's CTE chain: the walk table
+    s{L} carries start,n1..nL; the pair expansion is a UNION ALL over
+    the fixed position-pair list, then one GROUP BY count."""
+    names = ["start"] + [f"n{k}" for k in range(1, walk_len + 1)]
+    selects = "\n  UNION ALL ".join(
+        f"SELECT grp, {names[i]} AS center, {names[j]} AS context"
+        f" FROM sg_walks"
+        for i, j in _positions(walk_len)
+    )
+    walks = random_walks_sql_body(walks_per_node, walk_len)
+    # reuse the walk CTE chain, swapping its final SELECT for a CTE
+    head, _, _tail = walks.rpartition("SELECT grp AS group_id")
+    return f"""{head}, sg_walks AS (
+  SELECT grp, start, {", ".join(names[1:])} FROM s{walk_len}
+), sg_pairs AS (
+  {selects}
+)
+SELECT grp AS group_id, center, context,
+  CAST(count(*) AS BIGINT) AS n_pairs
+FROM sg_pairs
+GROUP BY 1, 2, 3
+"""

@@ -1793,6 +1793,24 @@ def _KG_WALKS_SQL():
     return _kg_docs_sql(random_walks_sql_body())
 
 
+def kg_skipgram_pairs(sf_dir: str):
+    """Skip-gram (center, context, multiplicity) training pairs from
+    the DeepWalk corpus (window=2, both directions) — what a
+    word2vec-style embedding trainer consumes — ops/walks.py (one
+    vectorized position-pair expansion + one pre-aggregated count
+    exchange on top of the walks); the mirror reuses the walk CTE
+    chain."""
+    from .ops.walks import random_walks, skipgram_pairs
+
+    return skipgram_pairs(random_walks(_kg_docs_edges_named(sf_dir)))
+
+
+def _KG_SKIPGRAM_SQL():
+    from .ops.walks import skipgram_sql_body
+
+    return _kg_docs_sql(skipgram_sql_body())
+
+
 def hll_distinct(sf_dir: str):
     """Distributed HyperLogLog distinct-count sketch over four key
     columns (events.event_id/user_id, orders.o_custkey,
@@ -2845,6 +2863,7 @@ QUERIES = {
     "kg_multihop_qa": kg_multihop_qa,
     "kg_asof_snapshot": kg_asof_snapshot,
     "kg_random_walks": kg_random_walks,
+    "kg_skipgram_pairs": kg_skipgram_pairs,
     "kg_bfs_reach": kg_bfs_reach,
     "kg_contradictions": kg_contradictions,
     "kg_change_events": kg_change_events,
@@ -2995,6 +3014,7 @@ ORACLE_SQL = {
     "kg_multihop_qa": _kg_docs_sql(_qa_hop2_sql_body()),
     "kg_asof_snapshot": _kg_docs_sql(_KG_ASOF_SQL_BODY),
     "kg_random_walks": _KG_WALKS_SQL(),
+    "kg_skipgram_pairs": _KG_SKIPGRAM_SQL(),
     "kg_bfs_reach": _KG_BFS_SQL(),
     "kg_contradictions": _KG_CONTRA_SQL(),
     "kg_change_events": _KG_CHANGE_SQL(),

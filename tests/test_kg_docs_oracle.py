@@ -30,6 +30,7 @@ KG_DOCS_QUERIES = [
     "kg_predicate_stats",
     "kg_entity_cooccurrence",
     "kg_modularity",
+    "kg_skipgram_pairs",
 ]
 
 
@@ -368,6 +369,34 @@ def test_modularity_invariants(ray_session):
         want = sum(4 * m * lc[c] - dc[c] ** 2 for c in dc)
         assert want == r.q_scaled
         assert 0 < r.q_scaled <= 4 * m * m
+
+
+def test_skipgram_pairs_invariants(ray_session):
+    """Pair-count conservation (walks x positions-per-walk), symmetry
+    (every (c,x) multiplicity equals (x,c) — the window is symmetric),
+    and every pair multiset matches a brute recount from the walks."""
+    from collections import Counter
+
+    from graphiti_ray import queries as q
+    from graphiti_ray.ops.walks import WALK_LEN, _positions
+
+    df = q.QUERIES["kg_skipgram_pairs"](SF_DIR).to_pandas()
+    walks = q.QUERIES["kg_random_walks"](SF_DIR).to_pandas()
+    pos = _positions(WALK_LEN)
+    assert df["n_pairs"].sum() == len(walks) * len(pos)
+    names = ["start"] + [f"n{k}" for k in range(1, WALK_LEN + 1)]
+    brute = Counter()
+    for r in walks.itertuples():
+        seq = [getattr(r, c) for c in names]
+        for i, j in pos:
+            brute[(r.group_id, seq[i], seq[j])] += 1
+    got = {
+        (r.group_id, r.center, r.context): r.n_pairs
+        for r in df.itertuples()
+    }
+    assert got == dict(brute)
+    sym = {(g, x, c): n for (g, c, x), n in got.items()}
+    assert sym == got
 
 
 def test_bfs_reach_invariants(ray_session):
