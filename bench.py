@@ -107,6 +107,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "kg_predicate_stats",
         "kg_entity_cooccurrence",
         "kg_modularity",
+        "kg_link_prediction",
         "hll_distinct",
         "cms_heavy_hitters",
         "repeated_spans",

@@ -836,3 +836,158 @@ SELECT grp AS group_id, seed, node,
 FROM ({union})
 GROUP BY 1, 2, 3
 """
+
+
+# ---------------------------------------------------- link prediction
+
+def link_prediction(edges_ds):
+    """Common-neighbors + Jaccard link prediction over the symmetrized
+    distinct edge set: every NON-adjacent pair (u < v) sharing >= 1
+    neighbor, scored cn = |N(u) ∩ N(v)| and
+    jaccard_milli = cn * 1000 // (d(u) + d(v) - cn) — the classic KG
+    completion candidate generator (Liben-Nowell & Kleinberg 2003),
+    in pure integer arithmetic so the SQL mirror is exact.
+
+    Distributed shape: candidate pairs come from ONE pivot-bucketed
+    wedge expansion (vectorized triu per pivot — the same per-hub
+    quadratic bound as triangles/two-hop, degree-capped in
+    production), common-neighbor counts from one pre-aggregated count
+    exchange, adjacency filtering and degree fetch from byte-capped
+    lookup folds. Nothing driver-side."""
+    import pandas as pd
+
+    from ..functions.exchange import bounded_group_map
+    from ..stages.joins import lookup_column
+    from .cooccur import _counted
+
+    und = _undirected_edges(edges_ds).materialize()
+
+    def sym(t: pa.Table) -> pa.Table:
+        g = t.column("group_id").combine_chunks()
+        adj = pa.table(
+            {
+                "group_id": pa.chunked_array([g, g]),
+                "node": pa.chunked_array(
+                    [
+                        t.column("u").combine_chunks(),
+                        t.column("v").combine_chunks(),
+                    ]
+                ),
+                "nbr": pa.chunked_array(
+                    [
+                        t.column("v").combine_chunks(),
+                        t.column("u").combine_chunks(),
+                    ]
+                ),
+            }
+        )
+        return adj.append_column("pk", _key2(adj, "group_id", "node"))
+
+    adj = und.map_batches(sym, batch_format="pyarrow")
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        nbrs = np.sort(df["nbr"].unique())
+        if len(nbrs) < 2:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=object)
+                 for c in ("group_id", "u", "v")}
+            )
+        i, j = np.triu_indices(len(nbrs), k=1)
+        return pd.DataFrame(
+            {
+                "group_id": df["group_id"].iloc[0],
+                "u": nbrs[i],
+                "v": nbrs[j],
+            }
+        )
+
+    pairs = bounded_group_map(adj, "pk", wedges, batch_format="pandas")
+    cn = _counted(pairs, ["group_id", "u", "v"], "ck")
+
+    # degree map + adjacency map for the filter
+    deg = _counted(adj, ["group_id", "node"], "dk")
+    n_deg = deg.count()
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(t.column("group_id"), pa.string()),
+            pc.cast(t.column("u"), pa.string()),
+            pc.cast(t.column("v"), pa.string()),
+            _SEP,
+        )
+        return pa.table(
+            {"ek": k, "one": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+
+    edge_map = und.map_batches(edge_keys, batch_format="pyarrow")
+    n_edges = edge_map.count()
+
+    def split_cn(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("ck"), _SEP)
+        g = pc.list_element(parts, 0)
+        u = pc.list_element(parts, 1)
+        v = pc.list_element(parts, 2)
+        return pa.table(
+            {
+                "group_id": g,
+                "u": u,
+                "v": v,
+                "cn": t.column("sum(cnt)"),
+                "ek": t.column("ck"),
+                "uk": pc.binary_join_element_wise(g, u, _SEP),
+                "vk": pc.binary_join_element_wise(g, v, _SEP),
+            }
+        )
+
+    rows = cn.map_batches(split_cn, batch_format="pyarrow")
+    rows = lookup_column(rows, "ek", edge_map, "ek", "one", "is_edge",
+                         mapping_rows=n_edges, val_type=pa.int64())
+    rows = lookup_column(rows, "uk", deg, "dk", "sum(cnt)", "du",
+                         mapping_rows=n_deg, val_type=pa.int64())
+    rows = lookup_column(rows, "vk", deg, "dk", "sum(cnt)", "dv",
+                         mapping_rows=n_deg, val_type=pa.int64())
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["is_edge"].isna()]
+        union = df["du"] + df["dv"] - df["cn"]
+        out = pd.DataFrame(
+            {
+                "group_id": df["group_id"],
+                "u": df["u"],
+                "v": df["v"],
+                "cn": df["cn"].astype(np.int64),
+                "jaccard_milli": (
+                    df["cn"] * 1000 // union
+                ).astype(np.int64),
+            }
+        )
+        return out
+
+    return rows.map_batches(finish, batch_format="pandas")
+
+
+LINK_PREDICTION_SQL_BODY = """
+, lp2_und AS (
+  SELECT DISTINCT grp, least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM swept WHERE subj <> obj
+), lp2_adj AS (
+  SELECT grp, u AS node, v AS nbr FROM lp2_und
+  UNION ALL SELECT grp, v AS node, u AS nbr FROM lp2_und
+), lp2_deg AS (
+  SELECT grp, node, count(*) AS d FROM lp2_adj GROUP BY 1, 2
+), lp2_cn AS (
+  SELECT a.grp, a.nbr AS u, b.nbr AS v, count(*) AS cn
+  FROM lp2_adj a JOIN lp2_adj b
+    ON b.grp = a.grp AND b.node = a.node AND b.nbr > a.nbr
+  GROUP BY 1, 2, 3
+)
+SELECT c.grp AS group_id, c.u, c.v, CAST(c.cn AS BIGINT) AS cn,
+  CAST(c.cn * 1000 // (du.d + dv.d - c.cn) AS BIGINT) AS jaccard_milli
+FROM lp2_cn c
+JOIN lp2_deg du ON du.grp = c.grp AND du.node = c.u
+JOIN lp2_deg dv ON dv.grp = c.grp AND dv.node = c.v
+WHERE NOT EXISTS (
+  SELECT 1 FROM lp2_und e
+  WHERE e.grp = c.grp AND e.u = c.u AND e.v = c.v
+)
+"""

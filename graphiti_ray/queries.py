@@ -1742,6 +1742,23 @@ def _KG_MODULARITY_SQL():
     return _COMMUNITIES_CTES() + MODULARITY_SQL_TAIL
 
 
+def kg_link_prediction(sf_dir: str):
+    """Common-neighbors + integer-exact Jaccard link prediction over
+    non-adjacent node pairs — the classic KG-completion candidate
+    generator — ops/graph.link_prediction (pivot-bucketed wedge
+    expansion + pre-aggregated counts + byte-capped lookup folds);
+    self-join + NOT EXISTS SQL mirror."""
+    from .ops.graph import link_prediction
+
+    return link_prediction(_kg_docs_edges_named(sf_dir))
+
+
+def _KG_LINKPRED_SQL():
+    from .ops.graph import LINK_PREDICTION_SQL_BODY
+
+    return _kg_docs_sql(LINK_PREDICTION_SQL_BODY)
+
+
 def kg_entity_cooccurrence(sf_dir: str):
     """Episode-level entity co-occurrence with integer-exact lift
     (n_co * n_episodes * 1000 // (n_a * n_b)) — blocking hints /
@@ -2870,6 +2887,7 @@ QUERIES = {
     "kg_predicate_stats": kg_predicate_stats,
     "kg_entity_cooccurrence": kg_entity_cooccurrence,
     "kg_modularity": kg_modularity,
+    "kg_link_prediction": kg_link_prediction,
     "hll_distinct": hll_distinct,
     "cms_heavy_hitters": cms_heavy_hitters,
     "repeated_spans": repeated_spans,
@@ -3021,6 +3039,7 @@ ORACLE_SQL = {
     "kg_predicate_stats": _kg_docs_sql(_KG_PREDSTATS_SQL_BODY),
     "kg_entity_cooccurrence": _KG_COOCCUR_SQL(),
     "kg_modularity": _KG_MODULARITY_SQL(),
+    "kg_link_prediction": _KG_LINKPRED_SQL(),
     "hll_distinct": _HLL_SQL(),
     "cms_heavy_hitters": _CMS_SQL(),
     "repeated_spans": _REPEATED_SPANS_SQL(),

@@ -31,6 +31,7 @@ KG_DOCS_QUERIES = [
     "kg_entity_cooccurrence",
     "kg_modularity",
     "kg_skipgram_pairs",
+    "kg_link_prediction",
 ]
 
 
@@ -397,6 +398,48 @@ def test_skipgram_pairs_invariants(ray_session):
     assert got == dict(brute)
     sym = {(g, x, c): n for (g, c, x), n in got.items()}
     assert sym == got
+
+
+def test_link_prediction_invariants(ray_session):
+    """No predicted pair is an existing edge; cn and jaccard reconcile
+    with a brute recompute from the symmetrized adjacency; jaccard is
+    monotone in the formula (0 < jac <= 1000)."""
+    from collections import defaultdict
+
+    from graphiti_ray import queries as q
+
+    df = q.QUERIES["kg_link_prediction"](SF_DIR).to_pandas()
+    assert len(df) > 0
+    assert (df["u"] < df["v"]).all()
+    assert df["jaccard_milli"].between(1, 1000).all()
+    edges = q.QUERIES["kg_edges"](SF_DIR).to_pandas()
+    nbr = defaultdict(set)
+    und = set()
+    for g, s, o in zip(edges["group_id"], edges["subj"], edges["obj"]):
+        if s != o:
+            nbr[(g, s)].add(o)
+            nbr[(g, o)].add(s)
+            und.add((g, *sorted((s, o))))
+    brute = {}
+    for g, u, v in {
+        (g, u, v)
+        for (g, p), ns in nbr.items()
+        for u in ns
+        for v in ns
+        if u < v
+    }:
+        if (g, u, v) in und:
+            continue
+        cn = len(nbr[(g, u)] & nbr[(g, v)])
+        if cn:
+            brute[(g, u, v)] = (
+                cn, cn * 1000 // len(nbr[(g, u)] | nbr[(g, v)])
+            )
+    got = {
+        (r.group_id, r.u, r.v): (r.cn, r.jaccard_milli)
+        for r in df.itertuples()
+    }
+    assert got == brute
 
 
 def test_bfs_reach_invariants(ray_session):
