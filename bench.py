@@ -108,6 +108,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "kg_entity_cooccurrence",
         "kg_modularity",
         "kg_link_prediction",
+        "kg_transitivity",
         "hll_distinct",
         "cms_heavy_hitters",
         "repeated_spans",

@@ -991,3 +991,119 @@ WHERE NOT EXISTS (
   WHERE e.grp = c.grp AND e.u = c.u AND e.v = c.v
 )
 """
+
+
+# ------------------------------------------------------- transitivity
+
+def transitivity(edges_ds):
+    """Global clustering coefficient per group in EXACT integer
+    arithmetic: transitivity_milli = 3 * triangles * 1000 // wedges,
+    wedges = sum_v d(v)*(d(v)-1)/2 over the symmetrized distinct edge
+    set — the one-number cohesion audit beside kg_triangles /
+    kg_degree_hist. Degrees are one pre-aggregated count exchange,
+    the wedge sum one tiny per-group fold, triangles reuse
+    triangle_count; the final arithmetic joins ride lookup_column."""
+    import pandas as pd
+
+    from ..stages.joins import lookup_column
+    from .cooccur import _counted
+
+    und = _undirected_edges(edges_ds).materialize()
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        g = t.column("group_id").combine_chunks()
+        return pa.table(
+            {
+                "group_id": pa.chunked_array([g, g]),
+                "node": pa.chunked_array(
+                    [
+                        t.column("u").combine_chunks(),
+                        t.column("v").combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    deg = _counted(
+        und.map_batches(node_rows, batch_format="pyarrow"),
+        ["group_id", "node"],
+        "dk",
+    )
+
+    def wedge_rows(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("dk"), _SEP)
+        d = t.column("sum(cnt)")
+        w = pc.divide(
+            pc.multiply(d, pc.subtract(d, pa.scalar(1, pa.int64()))),
+            pa.scalar(2, pa.int64()),
+        )
+        return pa.table(
+            {"group_id": pc.list_element(parts, 0), "w": w}
+        )
+
+    from .modularity import _sum_by_key
+
+    def gk(t: pa.Table) -> pa.Table:
+        return pa.table({"gk": t.column("group_id"), "w": t.column("w")})
+
+    wedges = _sum_by_key(
+        deg.map_batches(wedge_rows, batch_format="pyarrow").map_batches(
+            gk, batch_format="pyarrow"
+        ),
+        "gk",
+        "w",
+    )
+    tri = triangle_count(edges_ds)
+    n_tri = tri.count()
+
+    # base on wedges (every group with >= 1 wedge appears, triangles
+    # default 0 on miss — groups can be triangle-free)
+    def as_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"group_id": t.column("gk"), "n_wedges": t.column("sum(w)")}
+        )
+
+    rows = wedges.map_batches(as_rows, batch_format="pyarrow")
+    rows = lookup_column(rows, "group_id", tri, "group_id",
+                         "n_triangles", "n_triangles",
+                         mapping_rows=n_tri, val_type=pa.int64())
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        t3 = df["n_triangles"].fillna(0).astype(np.int64)
+        df["n_triangles"] = t3
+        df["transitivity_milli"] = (
+            3 * t3 * 1000 // df["n_wedges"]
+        ).astype(np.int64)
+        return df[
+            ["group_id", "n_triangles", "n_wedges", "transitivity_milli"]
+        ]
+
+    return rows.map_batches(finish, batch_format="pandas")
+
+
+TRANSITIVITY_SQL_BODY = """
+, tr_und AS (
+  SELECT DISTINCT grp, least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM swept WHERE subj <> obj
+), tr_deg AS (
+  SELECT grp, node, count(*) AS d FROM (
+    SELECT grp, u AS node FROM tr_und
+    UNION ALL SELECT grp, v FROM tr_und
+  ) GROUP BY 1, 2
+), tr_w AS (
+  SELECT grp, CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM tr_deg GROUP BY 1
+), tr_tri AS (
+  SELECT a.grp, count(*) AS n_triangles
+  FROM tr_und a
+  JOIN tr_und b ON b.grp = a.grp AND b.u = a.v
+  JOIN tr_und c ON c.grp = a.grp AND c.u = a.u AND c.v = b.v
+  GROUP BY a.grp
+)
+SELECT w.grp AS group_id,
+  CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+  w.n_wedges,
+  CAST(3 * COALESCE(t.n_triangles, 0) * 1000 // w.n_wedges AS BIGINT)
+    AS transitivity_milli
+FROM tr_w w LEFT JOIN tr_tri t ON t.grp = w.grp
+"""

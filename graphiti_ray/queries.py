@@ -1742,6 +1742,23 @@ def _KG_MODULARITY_SQL():
     return _COMMUNITIES_CTES() + MODULARITY_SQL_TAIL
 
 
+def kg_transitivity(sf_dir: str):
+    """Global clustering coefficient per group, integer-exact
+    (3 * triangles * 1000 // wedges) — the one-number cohesion audit
+    beside kg_triangles / kg_degree_hist — ops/graph.transitivity;
+    degree/wedge/triangle CTE SQL mirror (triangle-free groups emit
+    0, matching the mirror's LEFT JOIN)."""
+    from .ops.graph import transitivity
+
+    return transitivity(_kg_docs_edges_named(sf_dir))
+
+
+def _KG_TRANSITIVITY_SQL():
+    from .ops.graph import TRANSITIVITY_SQL_BODY
+
+    return _kg_docs_sql(TRANSITIVITY_SQL_BODY)
+
+
 def kg_link_prediction(sf_dir: str):
     """Common-neighbors + integer-exact Jaccard link prediction over
     non-adjacent node pairs — the classic KG-completion candidate
@@ -2888,6 +2905,7 @@ QUERIES = {
     "kg_entity_cooccurrence": kg_entity_cooccurrence,
     "kg_modularity": kg_modularity,
     "kg_link_prediction": kg_link_prediction,
+    "kg_transitivity": kg_transitivity,
     "hll_distinct": hll_distinct,
     "cms_heavy_hitters": cms_heavy_hitters,
     "repeated_spans": repeated_spans,
@@ -3040,6 +3058,7 @@ ORACLE_SQL = {
     "kg_entity_cooccurrence": _KG_COOCCUR_SQL(),
     "kg_modularity": _KG_MODULARITY_SQL(),
     "kg_link_prediction": _KG_LINKPRED_SQL(),
+    "kg_transitivity": _KG_TRANSITIVITY_SQL(),
     "hll_distinct": _HLL_SQL(),
     "cms_heavy_hitters": _CMS_SQL(),
     "repeated_spans": _REPEATED_SPANS_SQL(),

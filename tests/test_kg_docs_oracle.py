@@ -32,6 +32,7 @@ KG_DOCS_QUERIES = [
     "kg_modularity",
     "kg_skipgram_pairs",
     "kg_link_prediction",
+    "kg_transitivity",
 ]
 
 
@@ -440,6 +441,40 @@ def test_link_prediction_invariants(ray_session):
         for r in df.itertuples()
     }
     assert got == brute
+
+
+def test_transitivity_invariants(ray_session):
+    """Reconciles with kg_triangles and a brute wedge count; the milli
+    ratio is within [0, 1000]; at least one group is triangle-free and
+    at least one is not (both mirror paths exercised)."""
+    from collections import Counter
+
+    from graphiti_ray import queries as q
+
+    df = q.QUERIES["kg_transitivity"](SF_DIR).to_pandas()
+    tri = q.QUERIES["kg_triangles"](SF_DIR).to_pandas()
+    tmap = dict(zip(tri["group_id"], tri["n_triangles"]))
+    edges = q.QUERIES["kg_edges"](SF_DIR).to_pandas()
+    deg: Counter = Counter()
+    for g, s, o in {
+        (g, *sorted((s, o)))
+        for g, s, o in zip(
+            edges["group_id"], edges["subj"], edges["obj"]
+        )
+        if s != o
+    }:
+        deg[(g, s)] += 1
+        deg[(g, o)] += 1
+    wedges: Counter = Counter()
+    for (g, _), d in deg.items():
+        wedges[g] += d * (d - 1) // 2
+    for r in df.itertuples():
+        assert r.n_triangles == tmap.get(r.group_id, 0)
+        assert r.n_wedges == wedges[r.group_id]
+        assert 0 <= r.transitivity_milli <= 1000
+        assert r.transitivity_milli == 3 * r.n_triangles * 1000 // r.n_wedges
+    assert (df["n_triangles"] == 0).any()
+    assert (df["n_triangles"] > 0).any()
 
 
 def test_bfs_reach_invariants(ray_session):
