@@ -12,14 +12,16 @@ table; a pair row is (group, a < b) with n_co = episodes mentioning
 both; lift_milli = n_co * n_episodes * 1000 // (n_a * n_b) — all
 INTEGER arithmetic (floor division), so the SQL mirror is exact.
 
-Distributed shape: per-episode pair expansion is ONE
-(group, url)-bucketed exchange with a vectorized np.triu_indices
-kernel (an episode's mention list is small — the quadratic bound is
-per-episode, not per-corpus; a pathological episode mentioning
-thousands of entities would be degree-capped the same way triangle
-wedges are). Pair counts, per-entity counts and episode counts are
-map-side pre-aggregated then summed in one small groupby each;
-the final arithmetic joins ride lookup_column's byte-capped tiers.
+Distributed shape: per-episode pair expansion is ONE exchange over
+pid = hash(episode) % width buckets — each reducer expands EVERY
+episode in its bucket with one vectorized pandas self-merge, never a
+per-episode pandas round-trip (an episode's mention list is small —
+the quadratic bound is per-episode, not per-corpus; a pathological
+episode mentioning thousands of entities would be degree-capped the
+same way triangle wedges are). Pair counts, per-entity counts and
+episode counts are map-side pre-aggregated then summed in one small
+groupby each; the final arithmetic joins ride lookup_column's
+byte-capped tiers.
 """
 
 from __future__ import annotations
@@ -54,41 +56,53 @@ def _counted(ds, cols: list[str], key: str):
 def entity_cooccurrence(mentions_ds):
     """(group_id, ent_a, ent_b, n_co, n_a, n_b, lift_milli) for every
     same-episode entity pair (a < b by name)."""
-    from ..functions.exchange import bounded_group_map
     from ..stages.joins import lookup_column
 
+    # consumed three times (pair expansion, entity counts, episode
+    # counts) — materialize ONCE or each consumer re-executes the
+    # whole upstream mention pipeline
+    mentions_ds = mentions_ds.materialize()
+
+    # per-episode pair expansion WITHOUT per-episode map_groups (an
+    # episode is a tiny group; groupby(episode).map_groups pays one
+    # pandas round-trip per episode): bucket episodes pid = hash(ek) %
+    # width, then ONE vectorized self-merge per bucket expands every
+    # episode in the bucket at once
+    from ..functions.exchange import exchange_width
+    from ..functions.hashing import bucket_array
+
     def with_ek(t: pa.Table) -> pa.Table:
+        ek = pc.binary_join_element_wise(
+            pc.cast(t.column("group_id"), pa.string()),
+            pc.cast(t.column("url"), pa.string()),
+            _SEP,
+        )
+        t = t.append_column("ek", ek)
         return t.append_column(
-            "ek",
-            pc.binary_join_element_wise(
-                pc.cast(t.column("group_id"), pa.string()),
-                pc.cast(t.column("url"), pa.string()),
-                _SEP,
-            ),
+            "pid",
+            pa.array(bucket_array(ek, exchange_width(), salt="coep")),
         )
 
     keyed = mentions_ds.map_batches(with_ek, batch_format="pyarrow")
 
     def expand(df: pd.DataFrame) -> pd.DataFrame:
-        names = np.sort(df["name"].unique())
-        if len(names) < 2:
-            return pd.DataFrame(
-                {c: pd.Series([], dtype=object)
-                 for c in ("group_id", "ent_a", "ent_b")}
-            )
-        i, j = np.triu_indices(len(names), k=1)
+        m = df.merge(df, on=["group_id", "ek"], suffixes=("_a", "_b"))
+        m = m[m["name_a"] < m["name_b"]]
         return pd.DataFrame(
             {
-                "group_id": df["group_id"].iloc[0],
-                "ent_a": names[i],
-                "ent_b": names[j],
+                "group_id": m["group_id"].to_numpy(),
+                "ent_a": m["name_a"].to_numpy(),
+                "ent_b": m["name_b"].to_numpy(),
             }
         )
 
-    pairs = bounded_group_map(keyed, "ek", expand, batch_format="pandas")
+    pairs = keyed.groupby("pid").map_groups(expand, batch_format="pandas")
 
     pair_counts = _counted(pairs, ["group_id", "ent_a", "ent_b"], "pk")
-    ent_counts = _counted(mentions_ds, ["group_id", "name"], "nk")
+    # two lookups read this mapping — keep it materialized
+    ent_counts = _counted(
+        mentions_ds, ["group_id", "name"], "nk"
+    ).materialize()
     # GLOBAL distinct (group, url) first — block-level dedupe alone
     # would count a url once per block it appears in
     from .graph import _distinct_by_key
