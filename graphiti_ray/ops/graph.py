@@ -291,7 +291,35 @@ def _undirected_edges(edges_ds):
     )
 
 
-def triangle_count(edges_ds):
+def _adjacency_rows(und):
+    """(group_id, node, nbr): both directions of the undirected
+    distinct edge set — the shared symmetrization step of bfs_reach /
+    link_prediction / transitivity / modularity."""
+
+    def sym(t: pa.Table) -> pa.Table:
+        g = t.column("group_id").combine_chunks()
+        return pa.table(
+            {
+                "group_id": pa.chunked_array([g, g]),
+                "node": pa.chunked_array(
+                    [
+                        t.column("u").combine_chunks(),
+                        t.column("v").combine_chunks(),
+                    ]
+                ),
+                "nbr": pa.chunked_array(
+                    [
+                        t.column("v").combine_chunks(),
+                        t.column("u").combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    return und.map_batches(sym, batch_format="pyarrow")
+
+
+def triangle_count(edges_ds, und=None):
     """(group_id, n_triangles) over the undirected distinct edge set.
 
     Distributed shape (the 100-TB story): the name-order orientation
@@ -304,8 +332,11 @@ def triangle_count(edges_ds):
     Hot pivots are the known skew (a celebrity entity's wedge set is
     O(deg^2)); production would cap/bucketize pivot degree — at this
     corpus's degrees the exact path is the right default.
+
+    ``und``: pass an already-materialized _undirected_edges dataset to
+    skip the dedup exchange (transitivity shares one).
     """
-    und = _undirected_edges(edges_ds).materialize()
+    und = und if und is not None else _undirected_edges(edges_ds).materialize()
 
     # wedges pivoted at the LOWER endpoint u: for u's neighbor set
     # {n1 < n2 < ...}, every pair (ni, nj) is a candidate closing edge
@@ -643,55 +674,37 @@ def bfs_reach(edges_ds, max_depth: int = BFS_MAX_DEPTH):
     is exactly what the mirror's UNION ALL + GROUP BY does).
 
     Distributed shape: max_depth bounded frontier-x-adjacency
-    exchanges (the frontier and the adjacency meet in one bucketed
-    groupby per hop; per-key kernel emits the neighbor fan-out), plus
-    one min-depth groupby at the end. The adjacency is re-exchanged
-    per hop — at 100 TB you'd co-partition it once by (group, node)
-    and keep it resident; the per-hop join key is already that
-    partitioning key, so the upgrade is a cache, not a redesign.
+    exchanges — frontier and adjacency are bucketed by
+    pid = hash(group, node) % width and each reducer joins EVERY key
+    in its bucket with one vectorized pandas merge (the repo's
+    many-tiny-groups convention: never one pandas round-trip per
+    node), plus one pre-aggregated min-depth groupby at the end. The
+    adjacency is re-exchanged per hop — at 100 TB you'd co-partition
+    it once by (group, node) and keep it resident; the per-hop join
+    key is already that partitioning key, so the upgrade is a cache,
+    not a redesign.
     """
     import pandas as pd
 
-    from ..functions.exchange import bounded_group_map
+    from ..functions.exchange import bounded_group_map, exchange_width
+    from ..functions.hashing import bucket_array
+    from .cooccur import _counted
 
     und = _undirected_edges(edges_ds)
+    adj = _adjacency_rows(und).materialize()
 
-    def sym(t: pa.Table) -> pa.Table:
-        g = t.column("group_id")
-        return pa.concat_tables(
-            [
-                pa.table(
-                    {"group_id": g, "node": t.column("u"),
-                     "nbr": t.column("v")}
-                ),
-                pa.table(
-                    {"group_id": g, "node": t.column("v"),
-                     "nbr": t.column("u")}
-                ),
-            ]
+    def split_deg(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("dk"), _SEP)
+        return pa.table(
+            {
+                "group_id": pc.list_element(parts, 0),
+                "node": pc.list_element(parts, 1),
+                "d": t.column("sum(cnt)"),
+            }
         )
 
-    adj = und.map_batches(sym, batch_format="pyarrow").materialize()
-
-    def with_dk(t: pa.Table) -> pa.Table:
-        return t.append_column("dk", _key2(t, "group_id", "node"))
-
-    def count_deg(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            [
-                {
-                    "group_id": df["group_id"].iloc[0],
-                    "node": df["node"].iloc[0],
-                    "d": len(df),
-                }
-            ]
-        )
-
-    deg = bounded_group_map(
-        adj.map_batches(with_dk, batch_format="pyarrow"),
-        "dk",
-        count_deg,
-        batch_format="pandas",
+    deg = _counted(adj, ["group_id", "node"], "dk").map_batches(
+        split_deg, batch_format="pyarrow"
     )
 
     def pick_seed(df: pd.DataFrame) -> pd.DataFrame:
@@ -705,11 +718,14 @@ def bfs_reach(edges_ds, max_depth: int = BFS_MAX_DEPTH):
         deg, "group_id", pick_seed, batch_format="pandas"
     )
 
+    width = exchange_width()
+
     def tag_adj(t: pa.Table) -> pa.Table:
+        jk = _key2(t, "group_id", "node")
         n = t.num_rows
         return pa.table(
             {
-                "jk": _key2(t, "group_id", "node"),
+                "pid": pa.array(bucket_array(jk, width, salt="bfs")),
                 "side": pa.array(np.zeros(n, np.int8)),
                 "group_id": t.column("group_id"),
                 "seed": pa.nulls(n, pa.string()),
@@ -721,10 +737,11 @@ def bfs_reach(edges_ds, max_depth: int = BFS_MAX_DEPTH):
     adj_tagged = adj.map_batches(tag_adj, batch_format="pyarrow")
 
     def tag_frontier(t: pa.Table) -> pa.Table:
+        jk = _key2(t, "group_id", "node")
         n = t.num_rows
         return pa.table(
             {
-                "jk": _key2(t, "group_id", "node"),
+                "pid": pa.array(bucket_array(jk, width, salt="bfs")),
                 "side": pa.array(np.ones(n, np.int8)),
                 "group_id": t.column("group_id"),
                 "seed": t.column("seed").cast(pa.string()),
@@ -737,25 +754,24 @@ def bfs_reach(edges_ds, max_depth: int = BFS_MAX_DEPTH):
     for _ in range(max_depth):
 
         def hop(df: pd.DataFrame) -> pd.DataFrame:
-            fr = df[df["side"] == 1]
-            ad = df[df["side"] == 0]
-            if fr.empty or ad.empty:
-                return pd.DataFrame(
-                    {c: pd.Series([], dtype=object)
-                     for c in ("group_id", "seed", "node")}
-                )
+            fr = df[df["side"] == 1][["group_id", "seed", "node"]]
+            ad = df[df["side"] == 0][["group_id", "node", "nbr"]]
+            m = fr.merge(ad, on=["group_id", "node"])
             return pd.DataFrame(
                 {
-                    "group_id": ad["group_id"].to_numpy(),
-                    "seed": fr["seed"].iloc[0],
-                    "node": ad["nbr"].to_numpy(),
+                    "group_id": m["group_id"].to_numpy(),
+                    "seed": m["seed"].to_numpy(),
+                    "node": m["nbr"].to_numpy(),
                 }
             )
 
         tagged = levels[-1].map_batches(
             tag_frontier, batch_format="pyarrow"
         ).union(adj_tagged)
-        nxt = bounded_group_map(tagged, "jk", hop, batch_format="pandas")
+        # bounded_group_map coalesces to data-sized blocks before the
+        # exchange; pid has only `width` distinct values, so the
+        # per-key pandas merge runs `width` times, not per node
+        nxt = bounded_group_map(tagged, "pid", hop, batch_format="pandas")
         levels.append(
             _distinct_by_key(nxt, ["group_id", "seed", "node"], "vk")
         )
@@ -781,22 +797,47 @@ def bfs_reach(edges_ds, max_depth: int = BFS_MAX_DEPTH):
             lv.map_batches(with_depth(k), batch_format="pyarrow")
         )
 
-    def min_depth(df: pd.DataFrame) -> pd.DataFrame:
-        r = df.loc[df["depth"].idxmin()]
-        return pd.DataFrame(
-            [{"group_id": r["group_id"], "seed": r["seed"],
-              "node": r["node"], "depth": r["depth"]}]
+    # min depth per (group, seed, node): map-side pre-min per block,
+    # ONE groupby(key).min exchange, vectorized key split — no
+    # per-node pandas kernel
+    def pre_min(t: pa.Table) -> pa.Table:
+        vk = pc.binary_join_element_wise(
+            t.column("group_id").cast(pa.string()),
+            t.column("seed").cast(pa.string()),
+            t.column("node").cast(pa.string()),
+            _SEP,
+        )
+        agg = (
+            pa.table({"vk": vk, "depth": t.column("depth")})
+            .group_by("vk")
+            .aggregate([("depth", "min")])
+        )
+        return pa.table(
+            {"vk": agg.column("vk"), "depth": agg.column("depth_min")}
         )
 
-    def with_vk(t: pa.Table) -> pa.Table:
-        return t.append_column("vk", _key2(t, "group_id", "node"))
+    from ..functions.exchange import coalesced
 
-    return bounded_group_map(
-        allv.map_batches(with_vk, batch_format="pyarrow"),
-        "vk",
-        min_depth,
-        batch_format="pandas",
+    merged = (
+        coalesced(
+            allv.map_batches(pre_min, batch_format="pyarrow").materialize()
+        )
+        .groupby("vk")
+        .min("depth")
     )
+
+    def split(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("vk"), _SEP)
+        return pa.table(
+            {
+                "group_id": pc.list_element(parts, 0),
+                "seed": pc.list_element(parts, 1),
+                "node": pc.list_element(parts, 2),
+                "depth": pc.cast(t.column("min(depth)"), pa.int64()),
+            }
+        )
+
+    return merged.map_batches(split, batch_format="pyarrow")
 
 
 def bfs_reach_sql_body(max_depth: int = BFS_MAX_DEPTH) -> str:
@@ -862,28 +903,12 @@ def link_prediction(edges_ds):
 
     und = _undirected_edges(edges_ds).materialize()
 
-    def sym(t: pa.Table) -> pa.Table:
-        g = t.column("group_id").combine_chunks()
-        adj = pa.table(
-            {
-                "group_id": pa.chunked_array([g, g]),
-                "node": pa.chunked_array(
-                    [
-                        t.column("u").combine_chunks(),
-                        t.column("v").combine_chunks(),
-                    ]
-                ),
-                "nbr": pa.chunked_array(
-                    [
-                        t.column("v").combine_chunks(),
-                        t.column("u").combine_chunks(),
-                    ]
-                ),
-            }
-        )
-        return adj.append_column("pk", _key2(adj, "group_id", "node"))
+    def with_pk(t: pa.Table) -> pa.Table:
+        return t.append_column("pk", _key2(t, "group_id", "node"))
 
-    adj = und.map_batches(sym, batch_format="pyarrow")
+    adj = _adjacency_rows(und).map_batches(
+        with_pk, batch_format="pyarrow"
+    )
 
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
         nbrs = np.sort(df["nbr"].unique())
@@ -1002,7 +1027,11 @@ def transitivity(edges_ds):
     set — the one-number cohesion audit beside kg_triangles /
     kg_degree_hist. Degrees are one pre-aggregated count exchange,
     the wedge sum one tiny per-group fold, triangles reuse
-    triangle_count; the final arithmetic joins ride lookup_column."""
+    triangle_count (sharing the SAME materialized undirected edge set,
+    not a second dedup exchange); the final arithmetic joins ride
+    lookup_column. Zero-wedge groups (all degrees <= 1) are EXCLUDED —
+    transitivity is undefined there — matching the mirror's
+    n_wedges > 0 filter."""
     import pandas as pd
 
     from ..stages.joins import lookup_column
@@ -1010,24 +1039,8 @@ def transitivity(edges_ds):
 
     und = _undirected_edges(edges_ds).materialize()
 
-    def node_rows(t: pa.Table) -> pa.Table:
-        g = t.column("group_id").combine_chunks()
-        return pa.table(
-            {
-                "group_id": pa.chunked_array([g, g]),
-                "node": pa.chunked_array(
-                    [
-                        t.column("u").combine_chunks(),
-                        t.column("v").combine_chunks(),
-                    ]
-                ),
-            }
-        )
-
     deg = _counted(
-        und.map_batches(node_rows, batch_format="pyarrow"),
-        ["group_id", "node"],
-        "dk",
+        _adjacency_rows(und), ["group_id", "node"], "dk"
     )
 
     def wedge_rows(t: pa.Table) -> pa.Table:
@@ -1053,14 +1066,21 @@ def transitivity(edges_ds):
         "gk",
         "w",
     )
-    tri = triangle_count(edges_ds)
+    tri = triangle_count(edges_ds, und=und)
     n_tri = tri.count()
 
     # base on wedges (every group with >= 1 wedge appears, triangles
-    # default 0 on miss — groups can be triangle-free)
+    # default 0 on miss — groups can be triangle-free); zero-wedge
+    # groups are dropped (0 // 0 is undefined; the mirror filters too)
     def as_rows(t: pa.Table) -> pa.Table:
+        out = t.filter(
+            pc.greater(t.column("sum(w)"), pa.scalar(0, pa.int64()))
+        )
         return pa.table(
-            {"group_id": t.column("gk"), "n_wedges": t.column("sum(w)")}
+            {
+                "group_id": out.column("gk"),
+                "n_wedges": out.column("sum(w)"),
+            }
         )
 
     rows = wedges.map_batches(as_rows, batch_format="pyarrow")
@@ -1106,4 +1126,5 @@ SELECT w.grp AS group_id,
   CAST(3 * COALESCE(t.n_triangles, 0) * 1000 // w.n_wedges AS BIGINT)
     AS transitivity_milli
 FROM tr_w w LEFT JOIN tr_tri t ON t.grp = w.grp
+WHERE w.n_wedges > 0
 """

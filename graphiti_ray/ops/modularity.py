@@ -56,24 +56,10 @@ def modularity(edges_named_ds, communities_ds):
     m_cnt = _counted(und, ["group_id"], "gk")
     n_grps = m_cnt.count()
 
-    def node_rows(t: pa.Table) -> pa.Table:
-        g = t.column("group_id").combine_chunks()
-        return pa.table(
-            {
-                "group_id": pa.chunked_array([g, g]),
-                "node": pa.chunked_array(
-                    [
-                        t.column("u").combine_chunks(),
-                        t.column("v").combine_chunks(),
-                    ]
-                ),
-            }
-        )
+    from .graph import _adjacency_rows
 
     deg_counts = _counted(
-        und.map_batches(node_rows, batch_format="pyarrow"),
-        ["group_id", "node"],
-        "dk",
+        _adjacency_rows(und), ["group_id", "node"], "dk"
     )
 
     def label_map(t: pa.Table) -> pa.Table:

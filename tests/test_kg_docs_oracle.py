@@ -201,7 +201,6 @@ def test_random_walks_invariants(ray_session):
             (g, x, y) in sym
             for g, x, y in zip(df["group_id"], df[a], df[b])
         ), (a, b)
-    starts = {g for g, s, _ in sym}
     per_start = df.groupby(["group_id", "start"]).size()
     assert (per_start == WALKS_PER_NODE).all()
     n_connected = len({(g, s) for g, s, _ in sym})
@@ -475,6 +474,25 @@ def test_transitivity_invariants(ray_session):
         assert r.transitivity_milli == 3 * r.n_triangles * 1000 // r.n_wedges
     assert (df["n_triangles"] == 0).any()
     assert (df["n_triangles"] > 0).any()
+
+
+def test_transitivity_zero_wedge_group_excluded(ray_session):
+    """A group whose graph has only degree-1 nodes (zero wedges) must
+    be EXCLUDED, not crash on 0 // 0 — the mirror filters
+    n_wedges > 0 (regression: pandas NaN .astype(int64) raised)."""
+    import ray.data as rd
+
+    from graphiti_ray.ops.graph import transitivity
+
+    rows = [
+        {"group_id": "lonely", "subj": "A", "name": "R", "obj": "B"},
+        {"group_id": "tri", "subj": "X", "name": "R", "obj": "Y"},
+        {"group_id": "tri", "subj": "Y", "name": "R", "obj": "Z"},
+        {"group_id": "tri", "subj": "X", "name": "R", "obj": "Z"},
+    ]
+    df = transitivity(rd.from_items(rows)).to_pandas()
+    assert "lonely" not in set(df["group_id"])
+    assert df.loc[df["group_id"] == "tri", "transitivity_milli"].iloc[0] == 1000
 
 
 def test_bfs_reach_invariants(ray_session):
