@@ -111,6 +111,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "kg_transitivity",
         "hll_distinct",
         "cms_heavy_hitters",
+        "bloom_membership",
         "repeated_spans",
         "classifier_lr",
         "perplexity_buckets",

@@ -1862,6 +1862,22 @@ def _HLL_SQL():
     return HLL_DISTINCT_SQL
 
 
+def bloom_membership(sf_dir: str):
+    """Distributed Bloom-filter membership: build over events.user_id,
+    probe orders.o_custkey, report (key, is_member, in_bloom) — the
+    third sketch beside HLL/CMS, with the one-sided guarantee
+    measurable per row — ops/bloom.py; bit-set-exact SQL mirror."""
+    from .ops.bloom import bloom_membership as bm
+
+    return bm(sf_dir)
+
+
+def _BLOOM_SQL():
+    from .ops.bloom import bloom_membership_sql
+
+    return bloom_membership_sql()
+
+
 def cms_heavy_hitters(sf_dir: str):
     """Distributed Count-Min sketch + exact top-k probe keys
     (events.user_id, lineitem.l_partkey): per-block partial counters
@@ -2908,6 +2924,7 @@ QUERIES = {
     "kg_transitivity": kg_transitivity,
     "hll_distinct": hll_distinct,
     "cms_heavy_hitters": cms_heavy_hitters,
+    "bloom_membership": bloom_membership,
     "repeated_spans": repeated_spans,
     # trainable quality classifier (oracle-backed, same outside-window
     # status as the clustering pair; exact driver compare in
@@ -3061,6 +3078,7 @@ ORACLE_SQL = {
     "kg_transitivity": _KG_TRANSITIVITY_SQL(),
     "hll_distinct": _HLL_SQL(),
     "cms_heavy_hitters": _CMS_SQL(),
+    "bloom_membership": _BLOOM_SQL(),
     "repeated_spans": _REPEATED_SPANS_SQL(),
     "classifier_lr": _CLASSIFIER_LR_SQL(),
     "perplexity_buckets": _PERPLEXITY_BUCKETS_SQL(),

@@ -941,3 +941,23 @@ def test_cms_heavy_hitters_matches_duckdb_oracle(ray_session):
         over = (grp["cms_estimate"] - grp["exact_count"]).max()
         assert over <= bound, (tbl, col, over, bound)
     con.close()
+
+
+def test_bloom_membership_matches_duckdb_oracle(ray_session):
+    """Bit set and every probe verdict reproduce bit-for-bit in the
+    SQL mirror, AND the Bloom guarantees hold: ZERO false negatives
+    (every true member is in_bloom) and the false-positive rate on
+    non-members stays within 3x the theoretical (1-e^{-kn/m})^k."""
+    import math
+
+    from graphiti_ray.ops.bloom import BLOOM_K, BLOOM_M
+
+    a = _oracle_compare("bloom_membership")
+    members = a[a["is_member"] == 1]
+    non = a[a["is_member"] == 0]
+    assert len(members) > 0 and len(non) > 0
+    assert (members["in_bloom"] == 1).all()  # no false negatives
+    n = len(members)
+    fpr_theory = (1 - math.exp(-BLOOM_K * n / BLOOM_M)) ** BLOOM_K
+    fpr = (non["in_bloom"] == 1).mean()
+    assert fpr <= max(3 * fpr_theory, 5 / len(non)), (fpr, fpr_theory)
