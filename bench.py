@@ -112,6 +112,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "hll_distinct",
         "cms_heavy_hitters",
         "bloom_membership",
+        "lang_temperature_weights",
         "repeated_spans",
         "classifier_lr",
         "perplexity_buckets",

@@ -1862,6 +1862,70 @@ def _HLL_SQL():
     return HLL_DISTINCT_SQL
 
 
+def lang_temperature_weights(sf_dir: str):
+    """Temperature-based language-balancing weights (the mT5/GPT-3
+    multinomial mixture recipe, Xue et al. 2021 §3.1) at alpha = 0.5:
+    weight_l proportional to n_l^alpha, flattening the head languages.
+    alpha = 0.5 is chosen deliberately: IEEE-754 requires sqrt to be
+    CORRECTLY ROUNDED, so weight_milli = floor(sqrt(n)*1000) is
+    bit-identical across engines (a pow(x, 0.3) contract would not
+    be), and prob_ppm = weight_milli * 1e6 // sum(weight_milli) is
+    pure integer arithmetic from there. One map-side pre-aggregated
+    lang count exchange (vocabulary-bounded) + one tiny broadcast of
+    the weight sum; the corpus streams once."""
+    import math
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .ops.cooccur import _counted
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
+    )
+    counts = _counted(docs, ["lang"], "lk").materialize()
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        df["weight_milli"] = [
+            math.floor(math.sqrt(n) * 1000) for n in df["sum(cnt)"]
+        ]
+        return df
+
+    w = counts.map_batches(weigh, batch_format="pandas")
+    total = sum(r["weight_milli"] for r in w.take_all())  # langs only
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "lang": df["lk"],
+                "n_docs": df["sum(cnt)"].astype(np.int64),
+                "weight_milli": df["weight_milli"].astype(np.int64),
+                "prob_ppm": (
+                    df["weight_milli"] * 1_000_000 // total
+                ).astype(np.int64),
+            }
+        )
+
+    return w.map_batches(finish, batch_format="pandas")
+
+
+_LANG_TEMP_SQL = """
+WITH lt_counts AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+), lt_w AS (
+  SELECT lang, n, CAST(floor(sqrt(n) * 1000) AS BIGINT) AS w
+  FROM lt_counts
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs, w AS weight_milli,
+  CAST(w * 1000000 // (SELECT sum(w) FROM lt_w) AS BIGINT) AS prob_ppm
+FROM lt_w
+"""
+
+
 def bloom_membership(sf_dir: str):
     """Distributed Bloom-filter membership: build over events.user_id,
     probe orders.o_custkey, report (key, is_member, in_bloom) — the
@@ -2925,6 +2989,7 @@ QUERIES = {
     "hll_distinct": hll_distinct,
     "cms_heavy_hitters": cms_heavy_hitters,
     "bloom_membership": bloom_membership,
+    "lang_temperature_weights": lang_temperature_weights,
     "repeated_spans": repeated_spans,
     # trainable quality classifier (oracle-backed, same outside-window
     # status as the clustering pair; exact driver compare in
@@ -3079,6 +3144,7 @@ ORACLE_SQL = {
     "hll_distinct": _HLL_SQL(),
     "cms_heavy_hitters": _CMS_SQL(),
     "bloom_membership": _BLOOM_SQL(),
+    "lang_temperature_weights": _LANG_TEMP_SQL,
     "repeated_spans": _REPEATED_SPANS_SQL(),
     "classifier_lr": _CLASSIFIER_LR_SQL(),
     "perplexity_buckets": _PERPLEXITY_BUCKETS_SQL(),

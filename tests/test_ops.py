@@ -961,3 +961,21 @@ def test_bloom_membership_matches_duckdb_oracle(ray_session):
     fpr_theory = (1 - math.exp(-BLOOM_K * n / BLOOM_M)) ** BLOOM_K
     fpr = (non["in_bloom"] == 1).mean()
     assert fpr <= max(3 * fpr_theory, 5 / len(non)), (fpr, fpr_theory)
+
+
+def test_lang_temperature_weights_matches_duckdb_oracle(ray_session):
+    """Hash-exact vs the SQL mirror (sqrt is correctly rounded per
+    IEEE-754, the rest is integer math) AND the temperature semantics
+    hold: sampling mass moves from the head language to the tail
+    relative to raw proportions, probs sum to ~1e6, weights are
+    monotone in counts."""
+    a = _oracle_compare("lang_temperature_weights")
+    assert a["prob_ppm"].sum() <= 1_000_000
+    assert a["prob_ppm"].sum() >= 1_000_000 - len(a)  # floor slack
+    a = a.sort_values("n_docs").reset_index(drop=True)
+    assert a["weight_milli"].is_monotonic_increasing
+    total = a["n_docs"].sum()
+    head = a.iloc[-1]
+    tail = a.iloc[0]
+    assert head["prob_ppm"] / 1e6 < head["n_docs"] / total  # head down
+    assert tail["prob_ppm"] / 1e6 > tail["n_docs"] / total  # tail up
