@@ -90,24 +90,28 @@ def bloom_membership(sf_dir: str):
         )
         return pa.table({"bit": pa.array(bits, pa.int64())})
 
+    # the global bit set is <= m = 4096 entries BY CONSTRUCTION — a
+    # legitimate tiny collect + ray.put broadcast (the filter itself
+    # IS a 512-byte object at scale); only the member-key set (which
+    # grows with the corpus) stays behind lookup_column's capped tiers
+    import ray
+
     bits = _distinct_by_key(
         members.map_batches(member_bits, batch_format="pyarrow"),
         ["bit"],
         "bk",
-    ).materialize()
-    n_bits = bits.count()
+    )
+    bit_arr = np.sort(
+        np.asarray(
+            [int(r["bit"]) for r in bits.take_all()], dtype=np.int64
+        )
+    )
+    bits_ref = ray.put(bit_arr)
 
     def one(t: pa.Table) -> pa.Table:
         return t.append_column(
             "one", pa.array(np.ones(t.num_rows, np.int64))
         )
-
-    def bit_str(t: pa.Table) -> pa.Table:
-        return pa.table({"bit": pc.cast(t.column("bit"), pa.string())})
-
-    bits_map = bits.map_batches(bit_str, batch_format="pyarrow").map_batches(
-        one, batch_format="pyarrow"
-    )
 
     member_keys = _distinct_by_key(
         members.map_batches(
@@ -118,7 +122,7 @@ def bloom_membership(sf_dir: str):
         ),
         ["k"],
         "kk",
-    ).map_batches(one, batch_format="pyarrow")
+    ).map_batches(one, batch_format="pyarrow").materialize()
     n_members = member_keys.count()
 
     probes = _distinct_by_key(
@@ -134,41 +138,31 @@ def bloom_membership(sf_dir: str):
         "kk",
     )
 
-    # ONE row per probe key with its k bit positions as COLUMNS, then
-    # k byte-capped lookups and a row-wise verdict — no grouping, so
-    # batch/block splits can never separate a key from its positions
-    def expand(df: pd.DataFrame) -> pd.DataFrame:
+    # row-wise verdict against the broadcast bit set (np.isin over the
+    # (n, k) position matrix); membership can never split across rows
+    def verdict(df: pd.DataFrame) -> pd.DataFrame:
         keys = df["k"].to_numpy(dtype=object)
-        pos = (
-            _positions(_hashes(keys))
-            if keys.size
-            else np.empty((0, BLOOM_K), np.int64)
+        if keys.size == 0:
+            return pd.DataFrame({"key": [], "in_bloom": []})
+        arr = ray.get(bits_ref)
+        pos = _positions(_hashes(keys))
+        hit = np.isin(pos, arr).all(axis=1)
+        return pd.DataFrame(
+            {"key": keys, "in_bloom": hit.astype(np.int64)}
         )
-        out = pd.DataFrame({"key": keys})
-        for i in range(BLOOM_K):
-            out[f"bit{i}"] = pos[:, i].astype(str)
-        return out
 
-    out = probes.map_batches(expand, batch_format="pandas")
-    for i in range(BLOOM_K):
-        out = lookup_column(
-            out, f"bit{i}", bits_map, "bit", "one", f"hit{i}",
-            mapping_rows=n_bits, val_type=pa.int64(),
-        )
+    out = probes.map_batches(verdict, batch_format="pandas")
     out = lookup_column(
         out, "key", member_keys, "k", "one", "mem",
         mapping_rows=n_members, val_type=pa.int64(),
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        hit = np.ones(len(df), dtype=bool)
-        for i in range(BLOOM_K):
-            hit &= df[f"hit{i}"].notna().to_numpy()
         return pd.DataFrame(
             {
                 "key": df["key"],
                 "is_member": df["mem"].notna().astype(np.int64),
-                "in_bloom": hit.astype(np.int64),
+                "in_bloom": df["in_bloom"].astype(np.int64),
             }
         )
 
