@@ -143,7 +143,12 @@ def bloom_membership(sf_dir: str):
     def verdict(df: pd.DataFrame) -> pd.DataFrame:
         keys = df["k"].to_numpy(dtype=object)
         if keys.size == 0:
-            return pd.DataFrame({"key": [], "in_bloom": []})
+            return pd.DataFrame(
+                {
+                    "key": pd.Series([], dtype=object),
+                    "in_bloom": pd.Series([], dtype=np.int64),
+                }
+            )
         arr = ray.get(bits_ref)
         pos = _positions(_hashes(keys))
         hit = np.isin(pos, arr).all(axis=1)

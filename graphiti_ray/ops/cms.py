@@ -3,14 +3,17 @@ heavy-hitter estimates — the frequency-sketch sibling of ops/hll.py's
 cardinality sketch.
 
 Scale shape: ONE streaming ``map_batches`` pass computes per-block
-partial counters — at most d×w = 2048 ``(row, bucket, cnt)`` rows per
+partial COUNTERS — at most d×w = 2048 ``(row, bucket, cnt)`` rows per
 block regardless of block size (``np.unique`` + ``np.add.at`` inside
 the block, md5 only over the block's DISTINCT keys) — then the same
 combiner tree as the HLL merge (local vectorized groupby-sum per tree
 level, single-block finalize). The exact top-k probe keys ride the
-same tree: per-block partial key counts, tree-summed, ranked in the
-finalize. Nothing driver-side; a 100-TB column's sketch is
-``2048 × blocks`` 3-int rows through one fixed-fan-in exchange.
+same tree as per-block partial key counts; THOSE rows are bounded by
+the block's distinct keys, not by the sketch, so the exchange is
+sketch-bounded only when key cardinality is modest — for a
+high-cardinality column at 100 TB you would drop the exact ride-along
+and probe the sketch with an externally supplied key list instead
+(the sketch half stays ``2048 × blocks`` rows regardless).
 
 Determinism contract: each key is md5-hashed ONCE
 (``md5_hash64(key, salt="cms|")`` == DuckDB

@@ -152,7 +152,10 @@ def change_events(contradictions_ds):
     from .graph import _distinct_by_key
 
     def templ(df: pd.DataFrame) -> pd.DataFrame:
-        d = df["invalid_at"].dt.strftime("%Y-%m-%d")
+        # empty map_groups blocks arrive object-dtyped — to_datetime
+        # keeps the .dt accessor valid in both the empty and the
+        # timestamp case
+        d = pd.to_datetime(df["invalid_at"]).dt.strftime("%Y-%m-%d")
         mid = df["pred"].map(lambda p: CHANGE_TEMPLATES[p][0])
         mid2 = df["pred"].map(lambda p: CHANGE_TEMPLATES[p][1])
         out = pd.DataFrame(

@@ -942,12 +942,22 @@ def kg_multihop_qa(sf_dir: str):
     pred2 becomes ("Who does the spouse of {src} work for?", dst).
     The reflexive (SPOUSE_OF, SPOUSE_OF) hop is excluded (spouse of
     spouse = self). Distributed shape = kg_two_hop (ONE mid-keyed
-    bucketed self-join) + one vectorized template pass."""
-    import numpy as np
+    bucketed self-join) + one vectorized template pass; the predicate
+    filter is PUSHED below the join (the mirror's WHERE pred
+    conditions), so hub wedge expansion only pays for the relevant
+    predicate pairs."""
     import pandas as pd
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from .ops.graph import two_hop_paths
+
+    allowed = pa.array(
+        sorted({"SPOUSE_OF", *_QA_HOP2}), pa.string()
+    )
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("name"), value_set=allowed))
 
     def templ(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -969,9 +979,11 @@ def kg_multihop_qa(sf_dir: str):
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return two_hop_paths(_kg_docs_edges_named(sf_dir)).map_batches(
-        templ, batch_format="pyarrow"
-    )
+    return two_hop_paths(
+        _kg_docs_edges_named(sf_dir).map_batches(
+            prefilter, batch_format="pyarrow"
+        )
+    ).map_batches(templ, batch_format="pyarrow")
 
 
 def _qa_hop2_sql_body() -> str:

@@ -952,12 +952,24 @@ def test_bloom_membership_matches_duckdb_oracle(ray_session):
 
     from graphiti_ray.ops.bloom import BLOOM_K, BLOOM_M
 
+    import duckdb
+
+    from graphiti_ray.ops.bloom import BLOOM_MEMBER
+
     a = _oracle_compare("bloom_membership")
     members = a[a["is_member"] == 1]
     non = a[a["is_member"] == 0]
     assert len(members) > 0 and len(non) > 0
     assert (members["in_bloom"] == 1).all()  # no false negatives
-    n = len(members)
+    # n = keys actually INSERTED (distinct member column), not the
+    # members that happen to appear in the probe set
+    mt, mc = BLOOM_MEMBER
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(DISTINCT {mc}) FROM "
+        f"read_parquet('/root/testdata/sf0.01/{mt}.parquet')"
+    ).fetchone()[0]
+    con.close()
     fpr_theory = (1 - math.exp(-BLOOM_K * n / BLOOM_M)) ** BLOOM_K
     fpr = (non["in_bloom"] == 1).mean()
     assert fpr <= max(3 * fpr_theory, 5 / len(non)), (fpr, fpr_theory)
