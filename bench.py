@@ -113,6 +113,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "cms_heavy_hitters",
         "bloom_membership",
         "lang_temperature_weights",
+        "events_anomaly",
         "repeated_spans",
         "classifier_lr",
         "perplexity_buckets",

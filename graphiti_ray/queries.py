@@ -1874,6 +1874,22 @@ def _HLL_SQL():
     return HLL_DISTINCT_SQL
 
 
+def events_anomaly(sf_dir: str):
+    """Per-user 3-sigma outlier counts over the event stream in EXACT
+    integer arithmetic ((n*xm - S)^2 > 9*(n*X2 - S^2) on milli-
+    quantized values — no division/sqrt/epsilon) — ops/anomaly.py;
+    HUGEINT SQL mirror, boundary events included in the hash compare."""
+    from .ops.anomaly import events_anomaly as ea
+
+    return ea(sf_dir)
+
+
+def _ANOMALY_SQL():
+    from .ops.anomaly import EVENTS_ANOMALY_SQL
+
+    return EVENTS_ANOMALY_SQL
+
+
 def lang_temperature_weights(sf_dir: str):
     """Temperature-based language-balancing weights (the mT5/GPT-3
     multinomial mixture recipe, Xue et al. 2021 §3.1) at alpha = 0.5:
@@ -3002,6 +3018,7 @@ QUERIES = {
     "cms_heavy_hitters": cms_heavy_hitters,
     "bloom_membership": bloom_membership,
     "lang_temperature_weights": lang_temperature_weights,
+    "events_anomaly": events_anomaly,
     "repeated_spans": repeated_spans,
     # trainable quality classifier (oracle-backed, same outside-window
     # status as the clustering pair; exact driver compare in
@@ -3157,6 +3174,7 @@ ORACLE_SQL = {
     "cms_heavy_hitters": _CMS_SQL(),
     "bloom_membership": _BLOOM_SQL(),
     "lang_temperature_weights": _LANG_TEMP_SQL,
+    "events_anomaly": _ANOMALY_SQL(),
     "repeated_spans": _REPEATED_SPANS_SQL(),
     "classifier_lr": _CLASSIFIER_LR_SQL(),
     "perplexity_buckets": _PERPLEXITY_BUCKETS_SQL(),
