@@ -102,6 +102,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
         "kg_random_walks",
         "kg_skipgram_pairs",
         "kg_bfs_reach",
+        "kg_ppr",
         "kg_contradictions",
         "kg_change_events",
         "kg_predicate_stats",

@@ -1128,3 +1128,161 @@ SELECT w.grp AS group_id,
 FROM tr_w w LEFT JOIN tr_tri t ON t.grp = w.grp
 WHERE w.n_wedges > 0
 """
+
+
+# ------------------------------------------- personalized PageRank
+
+def personalized_pagerank(nodes_ds, edges_ds):
+    """Personalized PageRank from the per-group hub seed (same seed
+    rule as bfs_reach: max symmetrized distinct-neighbor degree, ties
+    by name) — the graph-proximity feature retrieval pipelines weight
+    candidates with (teleport always returns to the seed, so rank
+    decays with distance from it). Determinism contract: STRONGER than
+    pagerank's rounding grid — the whole iteration runs in INTEGER e9
+    units (r0 = 1e9 * e(v); contribution = r // outdeg; update =
+    0.15e9 * e(v) + (85 * s) // 100, all floor division), so the two
+    engines agree bit-for-bit by construction instead of relying on a
+    float grid to absorb summation-order drift (a grid-boundary case
+    showed up in testing). Quantization error vs real PPR is
+    <= PR_ITERS ulps of 1e-9 — invisible at the output resolution.
+    Fixed PR_ITERS, dangling mass dropped, per-group independence, as
+    in pagerank.
+
+    Broadcast-tier implementation (the rank vector AND the degree
+    table are O(nodes) driver/object-store state, the same budget the
+    uniform-PageRank broadcast tier already spends); each iteration is
+    ONE streaming pass over the edge table + one tiny groupby. The
+    dataset-tier upgrade mirrors _pagerank_dataset with e carried as a
+    rank-table column.
+    """
+    import ray
+
+    from ..stages.joins import get_broadcast, lookup_column
+    from .cooccur import _counted
+
+    nodes = _distinct_nodes(nodes_ds).materialize()
+    ed = _distinct_edges(edges_ds)
+    deg = ed.groupby("sk").count()
+    ed = lookup_column(
+        ed, "sk", deg, "sk", "count()", "deg", val_type=pa.int64()
+    ).materialize()
+
+    # per-group seed via the bfs_reach rule (O(nodes) driver table —
+    # within the broadcast tier's stated budget)
+    und = _undirected_edges(edges_ds)
+    dd = _counted(
+        _adjacency_rows(und), ["group_id", "node"], "dk"
+    ).to_pandas()
+    parts = dd["dk"].str.split(_SEP)
+    dd["grp"] = parts.str[0]
+    dd["node"] = parts.str[1]
+    top = (
+        dd.sort_values(
+            ["grp", "sum(cnt)", "node"], ascending=[True, False, True]
+        )
+        .groupby("grp", as_index=False)
+        .first()
+    )
+    seed_nk = set(top["grp"] + _SEP + top["node"])
+
+    nd = nodes.to_pandas()
+    order = np.argsort(nd["nk"].to_numpy())
+    nk = nd["nk"].to_numpy()[order]
+    e = np.isin(nk, list(seed_nk)).astype(np.int64)
+    r = e * np.int64(1_000_000_000)
+
+    def partials(t: pa.Table, rref) -> pa.Table:
+        keys, rank = get_broadcast(rref)
+        sk = t.column("sk").to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(keys, sk), 0, max(len(keys) - 1, 0))
+        ok = keys[idx] == sk
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        w = np.where(ok, rank[idx] // d, 0).astype(np.int64)
+        part = pa.table({"tk": t.column("tk"), "w": pa.array(w)})
+        return part.group_by("tk").aggregate([("w", "sum")])
+
+    for _ in range(PR_ITERS):
+        rref = ray.put((nk, r))
+        rows = (
+            ed.map_batches(partials, fn_args=(rref,), batch_format="pyarrow")
+            .groupby("tk")
+            .sum("w_sum")
+            .to_pandas()
+        )
+        s = np.zeros(len(nk), dtype=np.int64)
+        tks = rows["tk"].to_numpy()
+        idx = np.clip(np.searchsorted(nk, tks), 0, max(len(nk) - 1, 0))
+        ok = nk[idx] == tks
+        s[idx[ok]] = rows["sum(w_sum)"].to_numpy()[ok]
+        r = e * np.int64(150_000_000) + (np.int64(85) * s) // np.int64(100)
+
+    fref = ray.put((nk, r))
+
+    def out(t: pa.Table, rref) -> pa.Table:
+        keys, rank = get_broadcast(rref)
+        idx = np.searchsorted(
+            keys, t.column("nk").to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "group_id": t.column("group_id"),
+                "name": t.column("name"),
+                "ppr_e9": pa.array(rank[idx].astype(np.int64)),
+            }
+        )
+
+    return nodes.map_batches(out, fn_args=(fref,), batch_format="pyarrow")
+
+
+def ppr_sql_body() -> str:
+    """Unrolled personalized PageRank over the shared KG oracle CTEs
+    (seed CTE + the pagerank chain with the seed-indicator teleport)."""
+    d = PR_DAMP
+    parts = [
+        """
+, ppr_nodes AS (
+  SELECT DISTINCT e.grp, c.cname AS name
+  FROM ent_d e JOIN canon c ON c.grp = e.grp AND c.comp = e.comp
+), ppr_ed AS (SELECT DISTINCT grp, subj, obj FROM swept),
+ppr_od AS (
+  SELECT grp, subj, count(*) AS deg FROM ppr_ed GROUP BY grp, subj
+), ppr_und AS (
+  SELECT DISTINCT grp, least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM swept WHERE subj <> obj
+), ppr_dg AS (
+  SELECT grp, node, count(*) AS dd FROM (
+    SELECT grp, u AS node FROM ppr_und
+    UNION ALL SELECT grp, v FROM ppr_und
+  ) GROUP BY 1, 2
+), ppr_seed AS (
+  SELECT grp, node AS seed FROM ppr_dg
+  QUALIFY row_number() OVER (
+    PARTITION BY grp ORDER BY dd DESC, node
+  ) = 1
+), ppr_r0 AS (
+  SELECT n.grp, n.name,
+    CAST(CASE WHEN n.name = sd.seed THEN 1000000000 ELSE 0 END
+         AS BIGINT) AS r
+  FROM ppr_nodes n JOIN ppr_seed sd ON sd.grp = n.grp
+)""",
+    ]
+    prev = "ppr_r0"
+    for i in range(1, PR_ITERS + 1):
+        cur = f"ppr_r{i}"
+        parts.append(f""", {cur} AS (
+  SELECT n.grp, n.name,
+    CAST(CASE WHEN n.name = sd.seed THEN 150000000 ELSE 0 END
+         + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+  FROM ppr_nodes n JOIN ppr_seed sd ON sd.grp = n.grp
+  LEFT JOIN (
+    SELECT e.grp, e.obj AS name, sum(r.r // od.deg) AS s
+    FROM ppr_ed e
+    JOIN {prev} r ON r.grp = e.grp AND r.name = e.subj
+    JOIN ppr_od od ON od.grp = e.grp AND od.subj = e.subj
+    GROUP BY e.grp, e.obj) s ON s.grp = n.grp AND s.name = n.name)""")
+        prev = cur
+    parts.append(
+        f"\nSELECT grp AS group_id, name,"
+        f" CAST(r AS BIGINT) AS ppr_e9 FROM {prev}"
+    )
+    return "".join(parts)

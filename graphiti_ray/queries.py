@@ -1805,6 +1805,24 @@ def _KG_COOCCUR_SQL():
     return _kg_docs_sql(ENTITY_COOCCURRENCE_SQL_BODY)
 
 
+def kg_ppr(sf_dir: str):
+    """Personalized PageRank from the per-group hub seed — the
+    graph-proximity feature retrieval pipelines weight candidates
+    with; INTEGER e9-unit iterations (floor-div damping), so the
+    unrolled SQL mirror is bit-exact by construction —
+    ops/graph.personalized_pagerank."""
+    from .ops.graph import personalized_pagerank
+
+    kg = _kg_docs(sf_dir)
+    return personalized_pagerank(kg.nodes, _edges_named_of(kg))
+
+
+def _KG_PPR_SQL():
+    from .ops.graph import ppr_sql_body
+
+    return _kg_docs_sql(ppr_sql_body())
+
+
 def kg_bfs_reach(sf_dir: str):
     """Min-depth BFS reachability (depth<=3) from the per-group
     max-degree entity over the symmetrized canonical edge set — the
@@ -3007,6 +3025,7 @@ QUERIES = {
     "kg_random_walks": kg_random_walks,
     "kg_skipgram_pairs": kg_skipgram_pairs,
     "kg_bfs_reach": kg_bfs_reach,
+    "kg_ppr": kg_ppr,
     "kg_contradictions": kg_contradictions,
     "kg_change_events": kg_change_events,
     "kg_predicate_stats": kg_predicate_stats,
@@ -3163,6 +3182,7 @@ ORACLE_SQL = {
     "kg_random_walks": _KG_WALKS_SQL(),
     "kg_skipgram_pairs": _KG_SKIPGRAM_SQL(),
     "kg_bfs_reach": _KG_BFS_SQL(),
+    "kg_ppr": _KG_PPR_SQL(),
     "kg_contradictions": _KG_CONTRA_SQL(),
     "kg_change_events": _KG_CHANGE_SQL(),
     "kg_predicate_stats": _kg_docs_sql(_KG_PREDSTATS_SQL_BODY),

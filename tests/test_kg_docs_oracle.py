@@ -33,6 +33,7 @@ KG_DOCS_QUERIES = [
     "kg_skipgram_pairs",
     "kg_link_prediction",
     "kg_transitivity",
+    "kg_ppr",
 ]
 
 
@@ -440,6 +441,40 @@ def test_link_prediction_invariants(ray_session):
         for r in df.itertuples()
     }
     assert got == brute
+
+
+def test_ppr_invariants(ray_session):
+    """PPR truth: the seed holds the max rank in its group, every
+    positive-rank node is BFS-reachable from the seed (teleport mass
+    only flows along edges), rank decays with BFS depth on average,
+    and nodes outside the seed's component score 0."""
+    from graphiti_ray import queries as q
+
+    df = q.QUERIES["kg_ppr"](SF_DIR).to_pandas()
+    reach = q.QUERIES["kg_bfs_reach"](SF_DIR).to_pandas()
+    assert len(df) > 0
+    depth = {
+        (g, n): int(d)
+        for g, n, d in zip(reach["group_id"], reach["node"],
+                           reach["depth"])
+    }
+    seeds = dict(zip(reach["group_id"], reach["seed"]))
+    for g, grp in df.groupby("group_id"):
+        top = grp.loc[grp["ppr_e9"].idxmax()]
+        assert top["name"] == seeds[g], g
+        # directed reachability is a subset of the symmetrized BFS
+        # table only up to its depth cap; positive rank within <= 3
+        # directed hops implies presence in the BFS reach set
+        pos = grp[grp["ppr_e9"] > 0]
+        assert len(pos) > 1  # mass spread beyond the seed
+        d0 = [depth.get((g, n)) for n in pos["name"]]
+        assert all(d is not None for d in d0), g
+    # monotone-on-average decay: mean rank at depth 1 > depth 2
+    df["depth"] = [
+        depth.get((g, n)) for g, n in zip(df["group_id"], df["name"])
+    ]
+    by_d = df[df["depth"].notna()].groupby("depth")["ppr_e9"].mean()
+    assert by_d.loc[0] > by_d.loc[1] > by_d.loc[2]
 
 
 def test_transitivity_invariants(ray_session):
