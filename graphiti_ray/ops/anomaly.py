@@ -16,9 +16,14 @@ documented, not hidden).
 Scale shape: ONE user-bucketed exchange (pid = hash(user) % width);
 the per-bucket kernel is vectorized pandas groupby-transform over
 every user in the bucket — no per-user Python. int64 is exact while
-``n * max_xm + S < 3e9`` (squares stay under 2^63); the kernel checks
-the bound per bucket and falls back to Python-int (object) arithmetic
-above it, so correctness never depends on the corpus staying small.
+``n * max|xm| + max|S| < 1e9``: that bound covers BOTH sides of the
+inequality — LHS (n*xm - S)^2 ≤ bound^2 = 1e18 and RHS
+9*(n*X2 - S^2) ≤ 9*(n*max|xm|)^2 ≤ 9*bound^2 = 9e18 < 2^63 (a 3e9
+bound would keep the LHS safe but let the 9× RHS wrap silently at
+n·|xm| ≈ 1.5e9, e.g. one user with 500k events at |value|≈3).
+The kernel checks the bound per bucket and falls back to Python-int
+(object) arithmetic above it, so correctness never depends on the
+corpus staying small.
 """
 
 from __future__ import annotations
@@ -27,7 +32,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-_INT64_SAFE = 3_000_000_000  # sqrt(2^63) with margin
+_INT64_SAFE = 1_000_000_000  # 9 * bound^2 = 9e18 < 2^63: RHS-safe too
 
 
 def events_anomaly(sf_dir: str, int64_safe: int | None = None):

@@ -258,13 +258,16 @@ def bpe_tokenize(sf_dir: str):
             nt, doc_of[mask], flat[mask].map(model).to_numpy(np.int64)
         )
         np.add.at(nw, doc_of[mask], 1)
+        # drop empty/whitespace-only docs: the SQL mirror's inner
+        # join + GROUP BY omits them, so a (doc_id, 0, 0) row here
+        # would be a row-set mismatch
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "n_words": pa.array(nw, pa.int64()),
                 "n_bpe_tokens": pa.array(nt, pa.int64()),
             }
-        )
+        ).filter(pa.array(nw > 0))
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow"

@@ -1184,6 +1184,11 @@ def personalized_pagerank(nodes_ds, edges_ds):
         .first()
     )
     seed_nk = set(top["grp"] + _SEP + top["node"])
+    # groups whose canonical edges are all self-loops have no
+    # symmetrized edge, hence no seed — the SQL mirror's INNER JOIN on
+    # ppr_seed drops them, so the engine must drop them too (they'd
+    # otherwise surface as all-zero ppr_e9 rows and hash-mismatch)
+    seeded_groups = np.sort(top["grp"].to_numpy().astype(str))
 
     nd = nodes.to_pandas()
     order = np.argsort(nd["nk"].to_numpy())
@@ -1216,12 +1221,21 @@ def personalized_pagerank(nodes_ds, edges_ds):
         s[idx[ok]] = rows["sum(w_sum)"].to_numpy()[ok]
         r = e * np.int64(150_000_000) + (np.int64(85) * s) // np.int64(100)
 
-    fref = ray.put((nk, r))
+    fref = ray.put((nk, r, seeded_groups))
 
     def out(t: pa.Table, rref) -> pa.Table:
-        keys, rank = get_broadcast(rref)
+        keys, rank, seeded = get_broadcast(rref)
         idx = np.searchsorted(
             keys, t.column("nk").to_numpy(zero_copy_only=False)
+        )
+        grp = t.column("group_id").to_numpy(zero_copy_only=False)
+        gi = np.clip(
+            np.searchsorted(seeded, grp), 0, max(len(seeded) - 1, 0)
+        )
+        keep = (
+            seeded[gi] == grp
+            if len(seeded)
+            else np.zeros(len(grp), dtype=bool)
         )
         return pa.table(
             {
@@ -1229,7 +1243,7 @@ def personalized_pagerank(nodes_ds, edges_ds):
                 "name": t.column("name"),
                 "ppr_e9": pa.array(rank[idx].astype(np.int64)),
             }
-        )
+        ).filter(pa.array(keep))
 
     return nodes.map_batches(out, fn_args=(fref,), batch_format="pyarrow")
 

@@ -5,6 +5,8 @@ determinism sanity."""
 import duckdb
 import pytest
 
+from oracle_compare import assert_oracle_match
+
 SF_DIR = "/root/testdata/sf0.001"
 
 
@@ -25,13 +27,7 @@ def test_classifier_lr_matches_duckdb_oracle(ray_session, duck):
     rdf = q.QUERIES["classifier_lr"](SF_DIR).to_pandas()
     odf = duck.execute(q.ORACLE_SQL["classifier_lr"]).df()
 
-    cols = sorted(odf.columns)
-    assert sorted(rdf.columns) == cols
-    rdf = rdf[cols].sort_values(cols).reset_index(drop=True)
-    odf = odf[cols].sort_values(cols).reset_index(drop=True)
-    odf = odf.astype(rdf.dtypes.to_dict())
-    assert len(rdf) == len(odf) and len(rdf) > 0
-    assert rdf.equals(odf)
+    assert_oracle_match(rdf, odf)
 
 
 def test_classifier_lr_learning_curve(ray_session):
@@ -73,13 +69,7 @@ def test_perplexity_buckets_matches_duckdb_oracle(ray_session, duck):
     rdf = q.QUERIES["perplexity_buckets"](SF_DIR).to_pandas()
     odf = duck.execute(q.ORACLE_SQL["perplexity_buckets"]).df()
 
-    cols = sorted(odf.columns)
-    assert sorted(rdf.columns) == cols
-    rdf = rdf[cols].sort_values(cols).reset_index(drop=True)
-    odf = odf[cols].sort_values(cols).reset_index(drop=True)
-    odf = odf.astype(rdf.dtypes.to_dict())
-    assert len(rdf) == len(odf) and len(rdf) > 0
-    assert rdf.equals(odf)
+    assert_oracle_match(rdf, odf)
 
 
 def test_perplexity_buckets_contract(ray_session):
@@ -110,13 +100,7 @@ def test_dsir_select_matches_duckdb_oracle(ray_session, duck):
     rdf = q.QUERIES["dsir_select"](SF_DIR).to_pandas()
     odf = duck.execute(q.ORACLE_SQL["dsir_select"]).df()
 
-    cols = sorted(odf.columns)
-    assert sorted(rdf.columns) == cols
-    rdf = rdf[cols].sort_values(cols).reset_index(drop=True)
-    odf = odf[cols].sort_values(cols).reset_index(drop=True)
-    odf = odf.astype(rdf.dtypes.to_dict())
-    assert len(rdf) == len(odf) and len(rdf) > 0
-    assert rdf.equals(odf)
+    assert_oracle_match(rdf, odf)
 
 
 def test_dsir_select_contract(ray_session):

@@ -6,6 +6,8 @@ import duckdb
 import numpy as np
 import pytest
 
+from oracle_compare import assert_oracle_match
+
 SF_DIR = "/root/testdata/sf0.001"
 
 
@@ -29,13 +31,7 @@ def test_clustering_matches_duckdb_oracle(ray_session, duck, name):
     rdf = q.QUERIES[name](SF_DIR).to_pandas()
     odf = duck.execute(q.ORACLE_SQL[name]).df()
 
-    cols = sorted(odf.columns)
-    assert sorted(rdf.columns) == cols
-    rdf = rdf[cols].sort_values(cols).reset_index(drop=True)
-    odf = odf[cols].sort_values(cols).reset_index(drop=True)
-    odf = odf.astype(rdf.dtypes.to_dict())
-    assert len(rdf) == len(odf) and len(rdf) > 0
-    assert rdf.equals(odf)
+    assert_oracle_match(rdf, odf)
 
 
 def test_semantic_dedup_drops_planted_dups(ray_session):

@@ -5,6 +5,8 @@ import duckdb
 import numpy as np
 import pytest
 
+from oracle_compare import assert_oracle_match
+
 SF_DIR = "/root/testdata/sf0.001"
 
 
@@ -25,13 +27,7 @@ def test_curriculum_order_matches_duckdb_oracle(ray_session, duck):
     rdf = q.QUERIES["curriculum_order"](SF_DIR).to_pandas()
     odf = duck.execute(q.ORACLE_SQL["curriculum_order"]).df()
 
-    cols = sorted(odf.columns)
-    assert sorted(rdf.columns) == cols
-    rdf = rdf[cols].sort_values(cols).reset_index(drop=True)
-    odf = odf[cols].sort_values(cols).reset_index(drop=True)
-    odf = odf.astype(rdf.dtypes.to_dict())
-    assert len(rdf) == len(odf) and len(rdf) > 0
-    assert rdf.equals(odf)
+    assert_oracle_match(rdf, odf)
 
 
 def test_curriculum_order_contract(ray_session):

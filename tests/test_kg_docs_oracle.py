@@ -7,6 +7,8 @@ driver's correctness gate runs (sorted columns, sorted rows)."""
 import duckdb
 import pytest
 
+from oracle_compare import assert_oracle_match
+
 SF_DIR = "/root/testdata/sf0.001"
 
 KG_DOCS_QUERIES = [
@@ -56,13 +58,7 @@ def test_kg_docs_query_matches_duckdb_oracle(ray_session, duck, name):
     rdf = res.to_pandas() if hasattr(res, "to_pandas") else res
     odf = duck.execute(q.ORACLE_SQL[name]).df()
 
-    cols = sorted(odf.columns)
-    assert sorted(rdf.columns) == cols
-    rdf = rdf[cols].sort_values(cols).reset_index(drop=True)
-    odf = odf[cols].sort_values(cols).reset_index(drop=True)
-    odf = odf.astype(rdf.dtypes.to_dict())
-    assert len(rdf) == len(odf) and len(rdf) > 0
-    assert rdf.equals(odf)
+    assert_oracle_match(rdf, odf)
 
 
 def test_kg_docs_communities_name_order_distributed_path(ray_session):

@@ -12,6 +12,8 @@ import numpy as np
 import pyarrow.parquet as pq
 import pytest
 
+from oracle_compare import assert_oracle_match
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -127,10 +129,7 @@ def test_doc_fingerprints_match_duckdb_oracle(ray_session):
     ora = con.execute(q.ORACLE_SQL["doc_fingerprints"]).df()
     res = q.QUERIES["doc_fingerprints"](SF).to_pandas()
     cols = ["doc_id", "fp"]
-    a = res[cols].sort_values(cols).reset_index(drop=True)
-    b = ora[cols].sort_values(cols).reset_index(drop=True)
-    assert len(a) == len(b) and len(a) > 0
-    assert a.equals(b.astype(a.dtypes.to_dict()))
+    assert_oracle_match(res[cols], ora[cols])
     con.close()
 
 
@@ -156,10 +155,7 @@ def test_corpus_ops_match_duckdb_oracle(ray_session, name):
     res = q.QUERIES[name](SF).to_pandas()
     cols = sorted(ora.columns)
     assert sorted(res.columns) == cols
-    a = res[cols].sort_values(cols).reset_index(drop=True)
-    b = ora[cols].sort_values(cols).reset_index(drop=True)
-    assert len(a) == len(b) and len(a) > 0
-    assert a.equals(b.astype(a.dtypes.to_dict()))
+    assert_oracle_match(res, ora)
     con.close()
 
 
@@ -218,10 +214,7 @@ def test_minhash_lsh_matches_duckdb_oracle(ray_session):
     res = q.QUERIES["dedup_minhash_lsh"](SF).to_pandas()
     cols = sorted(ora.columns)
     assert sorted(res.columns) == cols
-    a = res[cols].sort_values(cols).reset_index(drop=True)
-    b = ora[cols].sort_values(cols).reset_index(drop=True)
-    assert len(a) == len(b) and len(a) > 0
-    assert a.equals(b.astype(a.dtypes.to_dict()))
+    assert_oracle_match(res, ora)
     con.close()
 
 
@@ -242,10 +235,7 @@ def test_simhash_matches_duckdb_oracle(ray_session):
     res = q.QUERIES["dedup_simhash"](SF).to_pandas()
     cols = sorted(ora.columns)
     assert sorted(res.columns) == cols
-    a = res[cols].sort_values(cols).reset_index(drop=True)
-    b = ora[cols].sort_values(cols).reset_index(drop=True)
-    assert len(a) == len(b) and len(a) > 0
-    assert a.equals(b.astype(a.dtypes.to_dict()))
+    assert_oracle_match(res, ora)
     con.close()
 
 
@@ -266,10 +256,7 @@ def test_search_docs_hybrid_matches_duckdb_oracle(ray_session):
     res = q.QUERIES["search_docs_hybrid"](SF).to_pandas()
     cols = sorted(ora.columns)
     assert sorted(res.columns) == cols
-    a = res[cols].sort_values(cols).reset_index(drop=True)
-    b = ora[cols].sort_values(cols).reset_index(drop=True)
-    assert len(a) == len(b) and len(a) > 0
-    assert a.equals(b.astype(a.dtypes.to_dict()))
+    assert_oracle_match(res, ora)
     con.close()
 
 
@@ -489,10 +476,8 @@ def test_pii_scrub_matches_duckdb_oracle(ray_session):
     ora = con.execute(q.ORACLE_SQL["pii_scrub"]).df()
     res = q.QUERIES["pii_scrub"](SF).to_pandas()
     cols = ["doc_id", "n_emails", "n_phones", "n_ips", "scrubbed"]
+    assert_oracle_match(res[cols], ora[cols])
     a = res[cols].sort_values("doc_id").reset_index(drop=True)
-    b = ora[cols].sort_values("doc_id").reset_index(drop=True)
-    assert len(a) == len(b) > 0
-    assert a.equals(b.astype(a.dtypes.to_dict()))
     planted = a[a["doc_id"] % PII_MOD == 0]
     assert (planted["n_emails"] >= 1).all()
     assert (planted["n_phones"] >= 1).all()
@@ -520,13 +505,9 @@ def _oracle_compare(name: str, sf: str = "/root/testdata/sf0.01"):
     rdf = res.to_pandas() if hasattr(res, "to_pandas") else res
     odf = con.execute(q.ORACLE_SQL[name]).df()
     con.close()
-    cols = sorted(odf.columns)
-    assert sorted(rdf.columns) == cols
-    a = rdf[cols].sort_values(cols).reset_index(drop=True)
-    b = odf[cols].sort_values(cols).reset_index(drop=True)
-    assert len(a) == len(b) > 0
-    assert a.astype(str).equals(b.astype(a.dtypes.to_dict()).astype(str))
-    return a
+    assert_oracle_match(rdf, odf)
+    cols = sorted(rdf.columns)
+    return rdf[cols].sort_values(cols).reset_index(drop=True)
 
 
 def test_quality_filter_rules_each_discriminate(ray_session):

@@ -4,6 +4,8 @@ compare) plus hand-checkable invariants on a tiny synthetic corpus."""
 import duckdb
 import pytest
 
+from oracle_compare import assert_oracle_match
+
 SF_DIR = "/root/testdata/sf0.001"
 
 
@@ -24,13 +26,7 @@ def test_repeated_spans_matches_duckdb_oracle(ray_session, duck):
     rdf = q.QUERIES["repeated_spans"](SF_DIR).to_pandas()
     odf = duck.execute(q.ORACLE_SQL["repeated_spans"]).df()
 
-    cols = sorted(odf.columns)
-    assert sorted(rdf.columns) == cols
-    rdf = rdf[cols].sort_values(cols).reset_index(drop=True)
-    odf = odf[cols].sort_values(cols).reset_index(drop=True)
-    odf = odf.astype(rdf.dtypes.to_dict())
-    assert len(rdf) == len(odf) and len(rdf) > 0
-    assert rdf.equals(odf)
+    assert_oracle_match(rdf, odf)
     # the synthetic corpus plants exact-dup docs -> repeated spans exist
     assert (rdf["n_repeated_positions"] > 0).any()
     assert (rdf["n_repeated_positions"] <= rdf["n_windows"]).all()
