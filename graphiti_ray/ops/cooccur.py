@@ -17,11 +17,14 @@ pid = hash(episode) % width buckets — each reducer expands EVERY
 episode in its bucket with one vectorized pandas self-merge, never a
 per-episode pandas round-trip (an episode's mention list is small —
 the quadratic bound is per-episode, not per-corpus; a pathological
-episode mentioning thousands of entities would be degree-capped the
-same way triangle wedges are). Pair counts, per-entity counts and
-episode counts are map-side pre-aggregated then summed in one small
-groupby each; the final arithmetic joins ride lookup_column's
-byte-capped tiers.
+episode mentioning thousands of entities IS degree-capped the same
+way triangle wedges are: every episode's mention list is bounded to
+ops/wedgecap.WEDGE_DEGREE_CAP names — keep-first on sorted name,
+drop count logged — before the self-merge, so one episode contributes
+at most cap^2 merge rows). Pair counts, per-entity counts and episode
+counts are map-side pre-aggregated then summed in one small groupby
+each; the final arithmetic joins ride lookup_column's byte-capped
+tiers.
 """
 
 from __future__ import annotations
@@ -53,10 +56,16 @@ def _counted(ds, cols: list[str], key: str):
     return ds.map_batches(pre, batch_format="pyarrow").groupby(key).sum("cnt")
 
 
-def entity_cooccurrence(mentions_ds):
+def entity_cooccurrence(mentions_ds, degree_cap: int | None = -1):
     """(group_id, ent_a, ent_b, n_co, n_a, n_b, lift_milli) for every
-    same-episode entity pair (a < b by name)."""
+    same-episode entity pair (a < b by name). ``degree_cap`` bounds an
+    episode's mention list before pair expansion (default
+    wedgecap.WEDGE_DEGREE_CAP, far above the fixtures' 5
+    mentions/episode; None disables)."""
     from ..stages.joins import lookup_column
+    from .wedgecap import WEDGE_DEGREE_CAP, cap_per_key
+
+    cap = WEDGE_DEGREE_CAP if degree_cap == -1 else degree_cap
 
     # consumed three times (pair expansion, entity counts, episode
     # counts) — materialize ONCE or each consumer re-executes the
@@ -86,6 +95,9 @@ def entity_cooccurrence(mentions_ds):
     keyed = mentions_ds.map_batches(with_ek, batch_format="pyarrow")
 
     def expand(df: pd.DataFrame) -> pd.DataFrame:
+        df = cap_per_key(
+            df, "ek", cap, ["name"], "cooccurrence episode mentions"
+        )
         m = df.merge(df, on=["group_id", "ek"], suffixes=("_a", "_b"))
         m = m[m["name_a"] < m["name_b"]]
         return pd.DataFrame(

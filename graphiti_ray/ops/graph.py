@@ -495,7 +495,7 @@ def degree_histogram(edges_ds):
     return hist.map_batches(out, batch_format="pyarrow")
 
 
-def two_hop_paths(edges_ds):
+def two_hop_paths(edges_ds, degree_cap: int | None = -1):
     """Every directed 2-hop path (src -pred1-> mid -pred2-> dst) over
     the DISTINCT (group, subj, pred, obj) canonical edge set — the
     basic KG path query (the reference reaches 2-hop neighborhoods
@@ -510,12 +510,20 @@ def two_hop_paths(edges_ds):
     per-group kernel is a vectorized numpy cross product (every row in
     a group shares the same mid, so the join IS the cross product).
     Hot mid-entities are the known skew (a hub contributes
-    in-deg x out-deg paths) — same bound family as triangle wedges;
-    production caps hub degree or samples paths per hub.
+    in-deg x out-deg paths): each hub's in- and out-edge lists are
+    capped to ``degree_cap`` entries (default ops/wedgecap
+    WEDGE_DEGREE_CAP; keep-first on a deterministic sort, drop count
+    logged), so one reducer group never exceeds cap^2 output rows at
+    any corpus size. ``degree_cap=None`` disables the cap;
+    the fixtures' max degree sits far below the default, so oracle
+    compares exercise exact semantics.
     """
     import pandas as pd
 
     from ..functions.exchange import bounded_group_map
+    from .wedgecap import WEDGE_DEGREE_CAP, cap_frame
+
+    cap = WEDGE_DEGREE_CAP if degree_cap == -1 else degree_cap
 
     ded = _distinct_by_key(
         edges_ds.select_columns(["group_id", "subj", "name", "obj"]),
@@ -558,6 +566,9 @@ def two_hop_paths(edges_ds):
                               "pred2", "dst")
                 }
             )
+        hub = str(df["jk"].iloc[0])
+        a = cap_frame(a, cap, ["subj", "pred"], "two_hop in-edges", hub)
+        b = cap_frame(b, cap, ["pred", "obj"], "two_hop out-edges", hub)
         na, nb = len(a), len(b)
         return pd.DataFrame(
             {
@@ -881,7 +892,7 @@ GROUP BY 1, 2, 3
 
 # ---------------------------------------------------- link prediction
 
-def link_prediction(edges_ds):
+def link_prediction(edges_ds, degree_cap: int | None = -1):
     """Common-neighbors + Jaccard link prediction over the symmetrized
     distinct edge set: every NON-adjacent pair (u < v) sharing >= 1
     neighbor, scored cn = |N(u) ∩ N(v)| and
@@ -890,16 +901,24 @@ def link_prediction(edges_ds):
     in pure integer arithmetic so the SQL mirror is exact.
 
     Distributed shape: candidate pairs come from ONE pivot-bucketed
-    wedge expansion (vectorized triu per pivot — the same per-hub
-    quadratic bound as triangles/two-hop, degree-capped in
-    production), common-neighbor counts from one pre-aggregated count
-    exchange, adjacency filtering and degree fetch from byte-capped
-    lookup folds. Nothing driver-side."""
+    wedge expansion — vectorized triu per pivot, with each pivot's
+    neighbor list capped to ``degree_cap`` (default ops/wedgecap
+    WEDGE_DEGREE_CAP; keep-first on the sorted list, drop count
+    logged) so one pivot group emits at most cap*(cap-1)/2 pairs at
+    any corpus size. Common-neighbor counts come from one
+    pre-aggregated count exchange, adjacency filtering and degree
+    fetch from byte-capped lookup folds. Nothing driver-side.
+    A capped pivot under-counts that hub's wedges only; the fixtures'
+    max degree sits far below the default, so oracle compares exercise
+    exact semantics (``degree_cap=None`` disables)."""
     import pandas as pd
 
     from ..functions.exchange import bounded_group_map
     from ..stages.joins import lookup_column
     from .cooccur import _counted
+    from .wedgecap import WEDGE_DEGREE_CAP, cap_sorted_array
+
+    cap = WEDGE_DEGREE_CAP if degree_cap == -1 else degree_cap
 
     und = _undirected_edges(edges_ds).materialize()
 
@@ -912,6 +931,9 @@ def link_prediction(edges_ds):
 
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
         nbrs = np.sort(df["nbr"].unique())
+        nbrs = cap_sorted_array(
+            nbrs, cap, "link_prediction pivot", str(df["pk"].iloc[0])
+        )
         if len(nbrs) < 2:
             return pd.DataFrame(
                 {c: pd.Series([], dtype=object)
