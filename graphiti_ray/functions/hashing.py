@@ -214,6 +214,154 @@ def md5_hash64(s: str, *, salt: str = "") -> int:
     return int.from_bytes(d[8:16], "little")
 
 
+# Vectorized single-block MD5. A salted key of <= 55 bytes pads to
+# exactly ONE 64-byte MD5 block, so the whole digest is 64 rounds of
+# uint32 numpy arithmetic over an (n, 16) word matrix — bit-identical
+# to hashlib/DuckDB md5 by construction (same constants, same rounds),
+# ~100x faster than a Python md5-per-key loop, and the SQL mirrors
+# don't change at all. Keys longer than 55 bytes (absent from every
+# sketch input: they are int64 columns stringified) take the hashlib
+# fallback element-wise.
+_MD5_K = np.array(
+    [int(abs(np.sin(i + 1)) * (1 << 32)) & 0xFFFFFFFF for i in range(64)],
+    dtype=np.uint32,
+)
+_MD5_S = np.array(
+    [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4
+    + [4, 11, 16, 23] * 4 + [6, 10, 15, 21] * 4,
+    dtype=np.uint32,
+)
+_MD5_G = np.array(
+    [i for i in range(16)]
+    + [(5 * i + 1) % 16 for i in range(16, 32)]
+    + [(3 * i + 5) % 16 for i in range(32, 48)]
+    + [(7 * i) % 16 for i in range(48, 64)],
+    dtype=np.int64,
+)
+
+
+def _md5_rounds_hash64(m: np.ndarray) -> np.ndarray:
+    """(n, 16) uint32 single-block messages -> uint64 lower-half
+    digests (== md5_number_lower). All round ops write into two
+    preallocated scratch buffers — the naive version allocated ~6
+    n-word temporaries per round (384 allocations of the working set),
+    which cost more than the arithmetic."""
+    m = np.ascontiguousarray(m.T)  # (16, n): contiguous per-word rows
+    n = m.shape[1]
+    a = np.full(n, 0x67452301, np.uint32)
+    b = np.full(n, 0xEFCDAB89, np.uint32)
+    c = np.full(n, 0x98BADCFE, np.uint32)
+    d = np.full(n, 0x10325476, np.uint32)
+    c0, d0 = c.copy(), d.copy()
+    f = np.empty(n, np.uint32)
+    t = np.empty(n, np.uint32)
+    for i in range(64):
+        if i < 16:
+            np.bitwise_and(b, c, out=f)
+            np.bitwise_not(b, out=t)
+            np.bitwise_and(t, d, out=t)
+            np.bitwise_or(f, t, out=f)
+        elif i < 32:
+            np.bitwise_and(d, b, out=f)
+            np.bitwise_not(d, out=t)
+            np.bitwise_and(t, c, out=t)
+            np.bitwise_or(f, t, out=f)
+        elif i < 48:
+            np.bitwise_xor(b, c, out=f)
+            np.bitwise_xor(f, d, out=f)
+        else:
+            np.bitwise_not(d, out=f)
+            np.bitwise_or(b, f, out=f)
+            np.bitwise_xor(c, f, out=f)
+        f += a
+        f += _MD5_K[i]
+        f += m[_MD5_G[i]]
+        s = _MD5_S[i]
+        np.left_shift(f, s, out=t)
+        np.right_shift(f, np.uint32(32 - s), out=f)
+        np.bitwise_or(t, f, out=t)
+        t += b
+        a, d, c, b, t = d, c, b, t, a
+    c0 += c
+    d0 += d
+    return c0.astype(np.uint64) | (d0.astype(np.uint64) << np.uint64(32))
+
+
+def md5_hash64_vec(values, *, salt: str = "") -> np.ndarray:
+    """Vectorized ``md5_hash64`` over a pyarrow string Array /
+    ChunkedArray (or anything ``pa.array`` accepts). Returns a uint64
+    array; element i == ``md5_hash64(values[i], salt=salt)`` exactly.
+    """
+    import sys
+
+    if isinstance(values, pa.ChunkedArray):
+        arr = values.combine_chunks()
+    elif isinstance(values, pa.Array):
+        arr = values
+    else:
+        arr = pa.array(list(values), pa.string())
+    if arr.null_count:
+        raise ValueError("md5_hash64_vec: null keys not supported")
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    if sys.byteorder != "little":  # pragma: no cover
+        return np.fromiter(
+            (md5_hash64(str(v), salt=salt) for v in arr.to_pylist()),
+            dtype=np.uint64, count=n,
+        )
+    if pa.types.is_large_string(arr.type):
+        odt = np.int64
+    else:
+        arr = arr.cast(pa.string())
+        odt = np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], odt)[arr.offset : arr.offset + n + 1]
+    offs = offs.astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8)
+    lens = offs[1:] - offs[:-1]
+    sb = salt.encode("utf-8")
+    slen = len(sb)
+    total_len = lens + slen
+
+    fits = total_len <= 55
+    out = np.empty(n, np.uint64)
+    if not fits.all():
+        idx = np.nonzero(~fits)[0]
+        vals = arr.take(pa.array(idx)).to_pylist()
+        for j, v in zip(idx, vals):
+            out[j] = md5_hash64(v, salt=salt)
+
+    sel = np.nonzero(fits)[0]
+    if sel.size == 0:
+        return out
+    if fits.all():
+        so, sl = offs[:-1], lens
+        dst = np.arange(n)
+    else:
+        so, sl = offs[:-1][sel], lens[sel]
+        dst = sel
+    k = len(dst)
+    msg = np.zeros((k, 64), np.uint8)
+    if slen:
+        msg[:, :slen] = np.frombuffer(sb, np.uint8)
+    # fill the variable-length key region grouped BY LENGTH: each
+    # group is one contiguous (rows, L) gather + block assign — far
+    # cheaper than a flat scatter with per-byte index arithmetic
+    for L in np.unique(sl):
+        li = int(L)
+        rows = np.nonzero(sl == L)[0]
+        if li > 0:
+            msg[rows, slen : slen + li] = data[
+                so[rows][:, None] + np.arange(li)
+            ]
+        msg[rows, slen + li] = 0x80
+    words = msg.view(np.uint32).reshape(k, 16)
+    words[:, 14] = ((sl + slen) * 8).astype(np.uint32)
+    out[dst] = _md5_rounds_hash64(words)
+    return out
+
+
 def simhash64(tokens: list[str]) -> int:
     """64-bit SimHash over a token multiset (Charikar 2002). Vectorized:
     (n, 64) bit matrix via shifts, column sums, sign -> bits. Token hash

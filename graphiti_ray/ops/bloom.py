@@ -50,14 +50,12 @@ def _positions(h: np.ndarray) -> np.ndarray:
     return np.stack(cols, axis=1).astype(np.int64)
 
 
-def _hashes(keys: np.ndarray) -> np.ndarray:
-    from ..functions.hashing import md5_hash64
+def _hashes(keys) -> np.ndarray:
+    """Vectorized md5 over a pyarrow string array (or any sequence) —
+    same bits as DuckDB md5_number_lower('bloom|' || k)."""
+    from ..functions.hashing import md5_hash64_vec
 
-    return np.fromiter(
-        (md5_hash64(k, salt=BLOOM_SALT) for k in keys),
-        dtype=np.uint64,
-        count=keys.size,
-    )
+    return md5_hash64_vec(keys, salt=BLOOM_SALT)
 
 
 def bloom_membership(sf_dir: str):
@@ -77,36 +75,7 @@ def bloom_membership(sf_dir: str):
         os.path.join(sf_dir, f"{mt}.parquet"), columns=[mc]
     )
 
-    def member_bits(t: pa.Table) -> pa.Table:
-        keys = np.unique(
-            np.asarray(
-                t.column(mc).cast(pa.string()).to_pylist(), dtype=object
-            )
-        )
-        bits = (
-            np.unique(_positions(_hashes(keys)))
-            if keys.size
-            else np.empty(0, np.int64)
-        )
-        return pa.table({"bit": pa.array(bits, pa.int64())})
-
-    # the global bit set is <= m = 4096 entries BY CONSTRUCTION — a
-    # legitimate tiny collect + ray.put broadcast (the filter itself
-    # IS a 512-byte object at scale); only the member-key set (which
-    # grows with the corpus) stays behind lookup_column's capped tiers
     import ray
-
-    bits = _distinct_by_key(
-        members.map_batches(member_bits, batch_format="pyarrow"),
-        ["bit"],
-        "bk",
-    )
-    bit_arr = np.sort(
-        np.asarray(
-            [int(r["bit"]) for r in bits.take_all()], dtype=np.int64
-        )
-    )
-    bits_ref = ray.put(bit_arr)
 
     def one(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -124,6 +93,35 @@ def bloom_membership(sf_dir: str):
         "kk",
     ).map_batches(one, batch_format="pyarrow").materialize()
     n_members = member_keys.count()
+
+    # bit set DERIVED from the already-distinct member keys (the exact
+    # is_member check needs that exchange anyway — a second full-column
+    # distinct pass for the bits would double the exchange cost); each
+    # block contributes <= m bit rows, so the final distinct is tiny.
+    # The global bit set is <= m = 4096 entries BY CONSTRUCTION — a
+    # legitimate tiny collect + ray.put broadcast (the filter itself
+    # IS a 512-byte object at scale); only the member-key set (which
+    # grows with the corpus) stays behind lookup_column's capped tiers
+    def member_bits(t: pa.Table) -> pa.Table:
+        keys = t.column("k")
+        bits = (
+            np.unique(_positions(_hashes(keys)))
+            if len(keys)
+            else np.empty(0, np.int64)
+        )
+        return pa.table({"bit": pa.array(bits, pa.int64())})
+
+    bits = _distinct_by_key(
+        member_keys.map_batches(member_bits, batch_format="pyarrow"),
+        ["bit"],
+        "bk",
+    )
+    bit_arr = np.sort(
+        np.asarray(
+            [int(r["bit"]) for r in bits.take_all()], dtype=np.int64
+        )
+    )
+    bits_ref = ray.put(bit_arr)
 
     probes = _distinct_by_key(
         rd.read_parquet(
@@ -150,7 +148,7 @@ def bloom_membership(sf_dir: str):
                 }
             )
         arr = ray.get(bits_ref)
-        pos = _positions(_hashes(keys))
+        pos = _positions(_hashes(pa.array(keys, pa.string())))
         hit = np.isin(pos, arr).all(axis=1)
         return pd.DataFrame(
             {"key": keys, "in_bloom": hit.astype(np.int64)}

@@ -52,17 +52,15 @@ def _buckets(h: np.ndarray, i: int) -> np.ndarray:
 
 
 def _partial(t: pa.Table, tc: str, col: str) -> pa.Table:
-    from ..functions.hashing import md5_hash64
+    import pyarrow.compute as pc2
 
-    keys, cnts = np.unique(
-        np.asarray(t.column(col).cast(pa.string()).to_pylist(), dtype=object),
-        return_counts=True,
-    )
-    h = np.fromiter(
-        (md5_hash64(k, salt=CMS_SALT) for k in keys),
-        dtype=np.uint64,
-        count=keys.size,
-    )
+    from ..functions.hashing import md5_hash64_vec
+
+    vc = pc2.value_counts(t.column(col).cast(pa.string()))
+    keys_arr = vc.field("values")
+    cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = keys_arr.to_numpy(zero_copy_only=False)
+    h = md5_hash64_vec(keys_arr, salt=CMS_SALT)
     out_tc, out_row, out_bucket, out_cnt = [], [], [], []
     for i in range(CMS_D):
         counter = np.zeros(CMS_W, dtype=np.int64)

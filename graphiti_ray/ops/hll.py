@@ -21,12 +21,12 @@ is emitted so a consumer can apply it, and the pytest invariant checks
 the raw estimate lands within the theoretical ~1.04/sqrt(m) relative
 error band of the exact count on the dense columns.
 
-The md5-per-distinct-value Python loop inside the partial pass is the
-price of SQL mirrorability (the same trade SimHash and the sampling
-ops make); each block pre-dedupes with ``np.unique`` first, so the
-loop runs over a block's distinct keys, not its rows. A production
-deployment would swap in a vectorized 64-bit hash behind the same
-register layout.
+Hashing is the vectorized single-block MD5
+(``functions.hashing.md5_hash64_vec`` — bit-identical to DuckDB
+``md5_number_lower``, numpy-vectorized over the whole block), fed by
+``pyarrow.compute.unique`` so the partial pass never materializes
+Python string objects. SQL mirrorability costs nothing anymore: the
+vectorized hash IS md5.
 
 Reference parity note: the reference engine has no sketch family at
 all; this is part of the beyond-reference large-scale-pipeline
@@ -69,18 +69,14 @@ def _bit_length_u64(w: np.ndarray) -> np.ndarray:
 
 def partial_registers(values: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """(buckets, rhos) of the NON-ZERO registers for one block."""
-    from ..functions.hashing import md5_hash64
+    import pyarrow.compute as pc
 
-    keys = np.unique(
-        np.asarray(values.cast(pa.string()).to_pylist(), dtype=object)
-    )
-    if keys.size == 0:
+    from ..functions.hashing import md5_hash64_vec
+
+    keys = pc.unique(values.cast(pa.string()))
+    if len(keys) == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    h = np.fromiter(
-        (md5_hash64(k, salt=HLL_SALT) for k in keys),
-        dtype=np.uint64,
-        count=keys.size,
-    )
+    h = md5_hash64_vec(keys, salt=HLL_SALT)
     bucket = (h >> np.uint64(_W)).astype(np.int64)
     w = h & _MASK
     rho = np.where(w == 0, _W + 1, _W + 1 - _bit_length_u64(w)).astype(np.int64)

@@ -29,7 +29,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.hashing import md5_hash64
 from .io import read_documents
 
 MIX_SALT = "mix|"
@@ -62,16 +61,21 @@ def mixture_sample(sf_dir: str):
     rates_ref = ray.put(rates)
 
     def decide(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        from ..functions.hashing import md5_hash64_vec
+
         r = ray.get(rates_ref)
-        ids = t.column("doc_id").to_pylist()
         langs = t.column("lang").to_pylist()
         rate = np.array([r[lg] for lg in langs], np.int64)
-        # per-row md5 (not vectorizable without losing the DuckDB
-        # image — same cost family as simhash/sampling)
-        h = np.array(
-            [md5_hash64(str(i), salt=MIX_SALT) % _BP for i in ids],
-            np.int64,
-        )
+        # vectorized single-block md5 — same DuckDB md5_number_lower
+        # image as the old per-row loop
+        h = (
+            md5_hash64_vec(
+                pc2.cast(t.column("doc_id"), pa.string()), salt=MIX_SALT
+            )
+            % np.uint64(_BP)
+        ).astype(np.int64)
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),

@@ -25,9 +25,9 @@ entity-table-sized folds (group count n, original-entity index,
 replacement name by (group, ridx)) all route through
 stages/joins.lookup_column's byte-capped broadcast / parquet-shard
 tiers. The sample stream itself is edges x K rows, embarrassingly
-parallel. Per-row md5 is the documented cost family of
-ops/sampling/ops/mixture (not vectorizable without losing the DuckDB
-image).
+parallel. Hashing is the vectorized single-block md5
+(functions/hashing.md5_hash64_vec) — bit-identical to the DuckDB
+image at numpy speed.
 """
 
 from __future__ import annotations
@@ -36,7 +36,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import md5_hash64
+from ..functions.hashing import md5_hash64_vec
 
 NEG_K = 2
 _SEP = "\x1f"
@@ -130,17 +130,19 @@ def negative_samples(nodes_ds, edges_named_ds, k: int = NEG_K):
         t = t.filter(pc.greater_equal(t.column("n"), 2))
         grp = np.asarray(t.column("group_id").to_pylist(), object)
         subj = np.asarray(t.column("subj").to_pylist(), object)
-        pred = np.asarray(t.column("pred").to_pylist(), object)
         obj = np.asarray(t.column("obj").to_pylist(), object)
-        sid = np.asarray(t.column("sample_id"), np.int64)
-        chead = np.empty(t.num_rows, bool)
-        h2 = np.empty(t.num_rows, np.uint64)
-        for i in range(t.num_rows):
-            key = _SEP.join(
-                (grp[i], subj[i], pred[i], obj[i], str(sid[i]))
-            )
-            chead[i] = md5_hash64(key, salt="ns-side|") % 2 == 0
-            h2[i] = md5_hash64(key, salt="ns-ent|")
+        key_arr = pc.binary_join_element_wise(
+            t.column("group_id").cast(pa.string()),
+            t.column("subj").cast(pa.string()),
+            t.column("pred").cast(pa.string()),
+            t.column("obj").cast(pa.string()),
+            pc.cast(t.column("sample_id"), pa.string()),
+            _SEP,
+        )
+        chead = md5_hash64_vec(key_arr, salt="ns-side|") % np.uint64(
+            2
+        ) == 0
+        h2 = md5_hash64_vec(key_arr, salt="ns-ent|")
         orig = np.where(chead, subj, obj)
         onk = np.char.add(
             np.char.add(grp.astype(str), _SEP), orig.astype(str)

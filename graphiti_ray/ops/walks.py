@@ -95,7 +95,6 @@ def random_walks(
     import pandas as pd
     import pyarrow.compute as pc
 
-    from ..functions.hashing import md5_hash64
     from ..stages.joins import lookup_column
 
     adj = _adjacency(edges_named).materialize()  # reused 2×walk_len times
@@ -139,17 +138,21 @@ def random_walks(
         )
 
         def pick(df: pd.DataFrame, k=k) -> pd.DataFrame:
-            idx = [
-                md5_hash64(
-                    f"{g}|{s}|{w}|{k}|{c}", salt=WALK_SALT
-                ) % int(d)
-                for g, s, w, c, d in zip(
-                    df["grp"], df["start"], df["wi"], df["cur"],
-                    df["deg_k"],
-                )
-            ]
+            import pyarrow as pa
+
+            from ..functions.hashing import md5_hash64_vec
+
+            keys = (
+                df["grp"] + "|" + df["start"] + "|"
+                + df["wi"].astype(str) + "|" + str(k) + "|" + df["cur"]
+            )
+            h = md5_hash64_vec(
+                pa.array(keys.to_numpy(), pa.string()), salt=WALK_SALT
+            )
+            idx = h % df["deg_k"].to_numpy().astype(np.uint64)
             df["gkr"] = (
-                df["ck"] + _SEP + pd.Series(idx, index=df.index).astype(str)
+                df["ck"] + _SEP
+                + pd.Series(idx.astype(np.int64), index=df.index).astype(str)
             )
             return df.drop(columns=["ck", "deg_k"])
 
