@@ -31,7 +31,15 @@ class ExtractorClient(Protocol):
     the previous EPISODE_WINDOW_LEN episode bodies into every extraction
     prompt, graphiti.py:318-341); clients that ignore context may omit
     the parameter — the actor-pool stage inspects the signature once per
-    actor and only passes it to clients that accept it."""
+    actor and only passes it to clients that accept it.
+
+    OPTIONAL batched protocol: a client may additionally expose
+    ``extract_batch(contents, reference_times, previous_episodes=None)
+    -> list[EpisodeExtraction]`` (results in input order). The
+    actor-pool stage detects it once per actor and routes whole Arrow
+    batches through it — for remote models that is one request per
+    client-side chunk instead of one per episode
+    (functions/remote_clients.RemoteExtractorClient.extract_batch)."""
 
     def extract(
         self,

@@ -156,16 +156,27 @@ class RemoteExtractorClient:
     ``max_feedback_retries`` times; RateLimit/Refusal never re-ask.
     Construct once per actor (extract_all builds it in the pool's
     __init__); the transport's connection state amortizes per actor.
+
+    ``extract_batch`` is the scale path: ONE request per
+    ``request_batch`` episodes (POST /v1/extract_batch with an
+    ``items`` list, results in input order) instead of one request per
+    episode — the same fix the embedder got, applied to the expensive
+    stage. The actor-pool extractor (stages/extract.py) detects the
+    method once per actor and routes whole Arrow batches through it;
+    the per-episode ``extract`` stays as the compatibility fallback
+    for clients that only speak the single-episode protocol.
     """
 
     def __init__(self, transport, model: str = "kg-extract-remote",
                  retry: RetryPolicy | None = None,
-                 max_feedback_retries: int = 2):
+                 max_feedback_retries: int = 2,
+                 request_batch: int = 64):
         self.transport = transport
         self.model = model
         self.model_id = f"remote:{model}"
         self.retry = retry or RetryPolicy()
         self.max_feedback_retries = max_feedback_retries
+        self.request_batch = request_batch
 
     def extract(
         self,
@@ -195,6 +206,67 @@ class RemoteExtractorClient:
             except (KeyError, TypeError, ValueError) as e:
                 err = f"{type(e).__name__}: {e}"
         raise InvalidResponseError(err or "unparseable response")
+
+    def extract_batch(
+        self,
+        contents: list[str],
+        reference_times: list[datetime],
+        previous_episodes: list[list[str] | None] | None = None,
+    ) -> list[EpisodeExtraction]:
+        """Batched M1/M2/M3: one POST per ``request_batch`` episodes.
+
+        Wire format: ``{"model", "items": [{"content",
+        "reference_time", "previous_episodes"}, ...]}`` ->
+        ``{"results": [{"entities", "relations"}, ...]}`` in input
+        order. Feedback re-asks operate per CHUNK (an invalid chunk
+        response re-sends that chunk with error_context, not the whole
+        input); a refusal aborts like the single-episode path."""
+        n = len(contents)
+        prevs = previous_episodes if previous_episodes is not None else [None] * n
+        out: list[EpisodeExtraction] = [None] * n  # type: ignore[list-item]
+        for s in range(0, n, self.request_batch):
+            e = min(s + self.request_batch, n)
+            items = [
+                {
+                    "content": sanitize(contents[i]),
+                    "reference_time": reference_times[i].isoformat(),
+                    "previous_episodes": [
+                        sanitize(p) for p in (prevs[i] or [])
+                    ],
+                }
+                for i in range(s, e)
+            ]
+            payload: dict = {"model": self.model, "items": items}
+            err: str | None = None
+            parsed: list[EpisodeExtraction] | None = None
+            for _ in range(self.max_feedback_retries + 1):
+                if err is not None:
+                    payload = {**payload, "error_context": (
+                        "The previous response attempt was invalid. "
+                        f"Error: {err}. Return JSON with key 'results': "
+                        f"a list of exactly {len(items)} objects, each "
+                        "with keys 'entities' (list of strings) and "
+                        "'relations' (list of objects), in input order."
+                    )}
+                resp = self.retry.call(
+                    self.transport, "/v1/extract_batch", payload
+                )
+                if "refusal" in resp:
+                    raise RefusalError(str(resp["refusal"]))
+                try:
+                    results = resp["results"]
+                    if not isinstance(results, list) or len(results) != len(items):
+                        raise ValueError(
+                            f"'results' must be a list of {len(items)} objects"
+                        )
+                    parsed = [self._parse(r) for r in results]
+                    break
+                except (KeyError, TypeError, ValueError) as exc:
+                    err = f"{type(exc).__name__}: {exc}"
+            if parsed is None:
+                raise InvalidResponseError(err or "unparseable response")
+            out[s:e] = parsed
+        return out
 
     @staticmethod
     def _parse(resp: dict) -> EpisodeExtraction:
@@ -352,6 +424,13 @@ class FakeModelServer:
             raise self._fail_kind("injected transient failure")
         if path == "/v1/extract":
             return self._extract(payload)
+        if path == "/v1/extract_batch":
+            if self._garble_n > 0 and "error_context" not in payload:
+                self._garble_n -= 1
+                return {"results": "NOT-A-LIST"}
+            return {
+                "results": [self._extract_item(it) for it in payload["items"]]
+            }
         if path == "/v1/embed":
             from .embed import hash_embed_texts
 
@@ -373,11 +452,14 @@ class FakeModelServer:
         if self._garble_n > 0 and "error_context" not in payload:
             self._garble_n -= 1
             return {"entities": "NOT-A-LIST", "relations": []}
+        return self._extract_item(payload)
+
+    def _extract_item(self, item: dict) -> dict:
         from .extraction import extract_episode
 
         ex = extract_episode(
-            payload["content"],
-            datetime.fromisoformat(payload["reference_time"]),
+            item["content"],
+            datetime.fromisoformat(item["reference_time"]),
             self.patterns,
         )
         return {

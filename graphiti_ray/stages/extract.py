@@ -115,10 +115,18 @@ class MentionRelationExtractor:
 
         self.client = (client_factory or DeterministicExtractorClient)()
         self.langs = set(langs)
+        # batched-protocol check ONCE per actor: a client exposing
+        # ``extract_batch(contents, reference_times,
+        # previous_episodes=None)`` gets the whole Arrow batch in one
+        # call (the client chunks into its own request_batch) — with a
+        # remote model this is one request per chunk instead of one per
+        # episode, the same scale fix the embedder already has
+        self.batched = callable(getattr(self.client, "extract_batch", None))
         # signature check ONCE per actor (not per row): does the client
-        # take the context-window argument?
+        # take the context-window argument on the method we will call?
         try:
-            params = inspect.signature(self.client.extract).parameters
+            meth = self.client.extract_batch if self.batched else self.client.extract
+            params = inspect.signature(meth).parameters
             self.passes_context = "previous_episodes" in params
         except (TypeError, ValueError):
             self.passes_context = False
@@ -143,15 +151,33 @@ class MentionRelationExtractor:
         else:
             ctxs = [None] * batch.num_rows
 
-        for ep, grp, content, ref_ts, lang, part, ctx in zip(
-            ep_uuids, groups, contents, valid_ats, langs, parts, ctxs
-        ):
-            if lang not in self.langs:
-                continue
-            if self.passes_context:
-                ex = self.client.extract(content, ref_ts, previous_episodes=ctx)
-            else:
-                ex = self.client.extract(content, ref_ts)
+        rows = [
+            (ep, grp, content, ref_ts, part, ctx)
+            for ep, grp, content, ref_ts, lang, part, ctx in zip(
+                ep_uuids, groups, contents, valid_ats, langs, parts, ctxs
+            )
+            if lang in self.langs
+        ]
+        if self.batched and rows:
+            exs = self.client.extract_batch(
+                [r[2] for r in rows],
+                [r[3] for r in rows],
+                previous_episodes=(
+                    [r[5] for r in rows] if self.passes_context else None
+                ),
+            )
+        elif self.passes_context:
+            exs = [
+                self.client.extract(content, ref_ts, previous_episodes=ctx)
+                for _, _, content, ref_ts, _, ctx in rows
+            ]
+        else:
+            exs = [
+                self.client.extract(content, ref_ts)
+                for _, _, content, ref_ts, _, _ in rows
+            ]
+
+        for (ep, grp, content, ref_ts, part, ctx), ex in zip(rows, exs):
             name_to_uuid: dict[str, str] = {}
             for ent in ex.entities:
                 norm = normalize_name(ent)

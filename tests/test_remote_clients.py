@@ -130,6 +130,85 @@ def test_refusal_never_reasked():
     assert calls["n"] == 1
 
 
+# ---------------------------------------------------- batched extraction
+
+
+def test_extract_batch_one_request_per_chunk_not_per_episode():
+    """The verdict-item contract: 10 episodes through request_batch=4
+    cost ceil(10/4)=3 requests on the BATCH endpoint (zero on the
+    per-episode one), and results match the per-episode path exactly."""
+    server = FakeModelServer()
+    client = RemoteExtractorClient(server, request_batch=4,
+                                   retry=_no_sleep_retry()[0])
+    episodes = [f"{EPISODE}\nExtra Fact {i} happened in 200{i}." for i in range(10)]
+    times = [datetime(2023, 1, 1 + i) for i in range(10)]
+    got = client.extract_batch(episodes, times)
+    assert server.calls["/v1/extract_batch"] == 3
+    assert "/v1/extract" not in server.calls
+    want = [client.extract(c, t) for c, t in zip(episodes, times)]
+    assert [g.entities for g in got] == [w.entities for w in want]
+    assert [
+        [(r.subj, r.pred, r.obj, r.fact, r.valid_at, r.invalid_at)
+         for r in g.relations] for g in got
+    ] == [
+        [(r.subj, r.pred, r.obj, r.fact, r.valid_at, r.invalid_at)
+         for r in w.relations] for w in want
+    ]
+    assert any(g.relations for g in got)  # non-vacuous
+
+
+def test_extract_batch_feedback_reask_per_chunk():
+    server = FakeModelServer()
+    server.garble_first(1)
+    client = RemoteExtractorClient(server, request_batch=3,
+                                   retry=_no_sleep_retry()[0])
+    episodes = [EPISODE] * 5
+    times = [REF_T] * 5
+    got = client.extract_batch(episodes, times)
+    # chunk 1 garbled + feedback re-ask, chunk 2 clean -> 3 requests
+    assert server.calls["/v1/extract_batch"] == 3
+    assert all("Alpha Corp" in g.entities for g in got)
+
+
+def test_extract_batch_refusal_never_reasked():
+    calls = {"n": 0}
+
+    def transport(path, payload):
+        calls["n"] += 1
+        return {"refusal": "cannot comply"}
+
+    client = RemoteExtractorClient(transport, retry=_no_sleep_retry()[0])
+    with pytest.raises(RefusalError):
+        client.extract_batch([EPISODE], [REF_T])
+    assert calls["n"] == 1
+
+
+def test_actor_stage_routes_whole_batch_through_extract_batch():
+    """MentionRelationExtractor (called directly, no Ray — the actor
+    __call__ is a plain function) detects extract_batch and issues one
+    request per chunk; the union table is byte-identical to the
+    default local client's."""
+    from graphiti_ray.stages.extract import (
+        MentionRelationExtractor,
+        pages_to_episodes_batch,
+    )
+
+    eps = pages_to_episodes_batch(_pages(10))
+    server = FakeModelServer()
+    ext = MentionRelationExtractor(
+        client_factory=lambda: RemoteExtractorClient(
+            server, request_batch=4, retry=_no_sleep_retry()[0]
+        )
+    )
+    assert ext.batched
+    got = ext(eps)
+    assert server.calls["/v1/extract_batch"] == 3  # ceil(10/4)
+    assert "/v1/extract" not in server.calls
+    want = MentionRelationExtractor()(eps)
+    assert got.equals(want)
+    assert got.num_rows > 0
+
+
 # ----------------------------------------- parity with the local kernels
 
 
