@@ -165,18 +165,53 @@ class RemoteExtractorClient:
     method once per actor and routes whole Arrow batches through it;
     the per-episode ``extract`` stays as the compatibility fallback
     for clients that only speak the single-episode protocol.
+
+    ``prompt_version``: when set, every request additionally carries
+    the rendered chat ``messages`` and the ``response_schema`` from the
+    versioned prompt library (functions/prompts.py — the content of
+    the reference's prompts/extract_nodes+extract_edges+
+    extract_edge_dates stages) so a real chat-completion endpoint can
+    serve the episode protocol directly. The version is folded into
+    ``model_id`` so response caches never mix prompt versions.
     """
 
     def __init__(self, transport, model: str = "kg-extract-remote",
                  retry: RetryPolicy | None = None,
                  max_feedback_retries: int = 2,
-                 request_batch: int = 64):
+                 request_batch: int = 64,
+                 prompt_version: str | None = None):
         self.transport = transport
         self.model = model
-        self.model_id = f"remote:{model}"
+        self.model_id = (
+            f"remote:{model}"
+            if prompt_version is None
+            else f"remote:{model}:{prompt_version}"
+        )
         self.retry = retry or RetryPolicy()
         self.max_feedback_retries = max_feedback_retries
         self.request_batch = request_batch
+        self.prompt_version = prompt_version
+
+    def _prompt_fields(self, content: str, reference_time: datetime,
+                       previous_episodes: list[str] | None) -> dict:
+        if self.prompt_version is None:
+            return {}
+        from .prompts import render, response_schema
+
+        return {
+            "messages": render(
+                "extract_episode",
+                {
+                    "content": content,
+                    "reference_time": reference_time.isoformat(),
+                    "previous_episodes": previous_episodes or [],
+                },
+                version=self.prompt_version,
+            ),
+            "response_schema": response_schema(
+                "extract_episode", version=self.prompt_version
+            ),
+        }
 
     def extract(
         self,
@@ -184,11 +219,14 @@ class RemoteExtractorClient:
         reference_time: datetime,
         previous_episodes: list[str] | None = None,
     ) -> EpisodeExtraction:
+        clean = sanitize(content)
+        prevs = [sanitize(p) for p in (previous_episodes or [])]
         payload = {
             "model": self.model,
-            "content": sanitize(content),
+            "content": clean,
             "reference_time": reference_time.isoformat(),
-            "previous_episodes": [sanitize(p) for p in (previous_episodes or [])],
+            "previous_episodes": prevs,
+            **self._prompt_fields(clean, reference_time, prevs),
         }
         err: str | None = None
         for _ in range(self.max_feedback_retries + 1):
@@ -226,17 +264,19 @@ class RemoteExtractorClient:
         out: list[EpisodeExtraction] = [None] * n  # type: ignore[list-item]
         for s in range(0, n, self.request_batch):
             e = min(s + self.request_batch, n)
-            items = [
-                {
-                    "content": sanitize(contents[i]),
+            items = []
+            for i in range(s, e):
+                clean = sanitize(contents[i])
+                cprev = [sanitize(p) for p in (prevs[i] or [])]
+                items.append({
+                    "content": clean,
                     "reference_time": reference_times[i].isoformat(),
-                    "previous_episodes": [
-                        sanitize(p) for p in (prevs[i] or [])
-                    ],
-                }
-                for i in range(s, e)
-            ]
+                    "previous_episodes": cprev,
+                    **self._prompt_fields(clean, reference_times[i], cprev),
+                })
             payload: dict = {"model": self.model, "items": items}
+            if self.prompt_version is not None:
+                payload["prompt_version"] = self.prompt_version
             err: str | None = None
             parsed: list[EpisodeExtraction] | None = None
             for _ in range(self.max_feedback_retries + 1):
