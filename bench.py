@@ -190,20 +190,35 @@ def run_benchmarks(sf_dir: str, num_cpus: int, only: list[str] | None = None) ->
             print(f"bench: {name} failed: {e!r}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t > 0), 3)
-    # Row counts go to a side artifact, NOT the printed JSON line: the
-    # driver's tail capture truncated round 2's line (parsed: null), so
-    # the line itself carries only the timings.
+    all_q = {k: round(v, 2) for k, v in timings.items()}
+    # The driver records only the last ~2 KB of stdout: round 2's and
+    # round 4's full ~100-query lines were truncated mid-line (parsed:
+    # null). So the COMPLETE result (all timings + row counts) goes to
+    # bench_full.json, and the printed line stays under the capture
+    # budget by inlining only the slowest queries.
+    full = {
+        "metric": "e2e_headline_pipelines_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": all_q,
+        "rows": rows,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+    }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_rows.json"), "w") as f:
-            json.dump({"rows": rows, "sf": _sf_of(sf_dir)}, f)
+                               "bench_full.json"), "w") as f:
+            json.dump(full, f, indent=1)
     except OSError:
         pass
+    slowest = dict(sorted(all_q.items(), key=lambda kv: -kv[1])[:25])
     return {
         "metric": "e2e_headline_pipelines_seconds",
         "value": total,
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": slowest,
+        "queries_n": len(all_q),
+        "queries_file": "bench_full.json",
         "sf": _sf_of(sf_dir),
         "num_cpus": num_cpus,
     }
