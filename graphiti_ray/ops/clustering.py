@@ -64,16 +64,16 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-def _init_centroids(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic init: the K_CLUSTERS vectors with the smallest
-    vec_id (pruned single-file read; K rows)."""
+def _init_centroids(sf_dir: str, k: int = K_CLUSTERS) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic init: the ``k`` vectors with the smallest vec_id
+    (pruned single-file read; k rows)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     t = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    t = t.filter(pc.less(t.column("vec_id"), K_CLUSTERS))
+    t = t.filter(pc.less(t.column("vec_id"), k))
     ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
     mat = list_col_to_matrix(t.column("embedding"))
     order = np.argsort(ids)
@@ -143,8 +143,8 @@ def _lloyd_centroids(ds, cids: np.ndarray, cents: np.ndarray):
     return new_ids, new_c
 
 
-def _fit_kmeans(ds, sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    cids, cents = _init_centroids(sf_dir)
+def _fit_kmeans(ds, sf_dir: str, k: int = K_CLUSTERS) -> tuple[np.ndarray, np.ndarray]:
+    cids, cents = _init_centroids(sf_dir, k)
     for _ in range(KMEANS_ITERS):
         cids, cents = _lloyd_centroids(ds, cids, cents)
     return cids, cents
@@ -238,17 +238,21 @@ def semantic_dedup(sf_dir: str):
 
 # ------------------------------------------------------- SQL mirrors
 
-def _kmeans_ctes(corpus: str) -> tuple[str, str]:
+def _kmeans_ctes(corpus: str, k: int = K_CLUSTERS,
+                 prefix: str = "") -> tuple[str, str]:
     """Unrolled Lloyd chain over CTE/view ``corpus`` (vec_id,
     embedding). Returns (cte_body, final_assignment_cte_name). The
-    final CTE carries (vec_id, embedding, cid)."""
+    final CTE carries (vec_id, embedding, cid). ``prefix`` namespaces
+    the CTE names so several chains (e.g. an IVF coarse quantizer next
+    to the PQ subspace chains) compose in one statement; the trained
+    centroids live in ``{prefix}c{KMEANS_ITERS}``."""
     parts = [
-        f"c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c\n"
-        f"        FROM {corpus} WHERE vec_id < {K_CLUSTERS})"
+        f"{prefix}c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c\n"
+        f"        FROM {corpus} WHERE vec_id < {k})"
     ]
     final = ""
     for i in range(KMEANS_ITERS + 1):
-        final = f"asn{i + 1}"
+        final = f"{prefix}asn{i + 1}"
         parts.append(
             f"""{final} AS (
   SELECT vec_id, embedding, cid FROM (
@@ -257,11 +261,11 @@ def _kmeans_ctes(corpus: str) -> tuple[str, str]:
              ORDER BY list_cosine_similarity(
                         CAST(v.embedding AS DOUBLE[]), c.c) DESC,
                       c.cid ASC) AS rn
-    FROM {corpus} v CROSS JOIN c{i} c) WHERE rn = 1)"""
+    FROM {corpus} v CROSS JOIN {prefix}c{i} c) WHERE rn = 1)"""
         )
         if i < KMEANS_ITERS:
             parts.append(
-                f"""c{i + 1} AS (
+                f"""{prefix}c{i + 1} AS (
   SELECT cid, list(m ORDER BY pos) AS c FROM (
     SELECT cid, pos, round(avg(v), {CENT_ROUND}) AS m FROM (
       SELECT cid, unnest(range(len(embedding))) AS pos,

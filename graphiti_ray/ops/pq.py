@@ -129,7 +129,7 @@ def knn_pq_adc(sf_dir: str):
     import ray
 
     from ..stages.joins import get_broadcast
-    from .simsearch import K, _load_queries, _normalize, _topk_reduce
+    from .simsearch import K, _load_queries, _normalize, _row_dot, _topk_reduce
 
     base = read_embeddings(sf_dir, ["vec_id", "embedding"])
     books = _fit_books(sf_dir, base)
@@ -149,10 +149,10 @@ def knn_pq_adc(sf_dir: str):
                 c_mat,
             )
             recon[:, m * PQ_SUB : (m + 1) * PQ_SUB] = c_mat[lbl]
-        sims = q @ _normalize(recon).T
+        rn = _normalize(recon)
         out_q, out_n, out_s = [], [], []
         for i, qid in enumerate(q_ids):
-            s = sims[i].copy()
+            s = _row_dot(rn, q[i])
             s[vids == qid] = -np.inf
             k = min(K, len(vids))
             top = (
@@ -185,8 +185,10 @@ def knn_ivfpq(sf_dir: str):
     is read per candidate (M codes + a shared codebook instead of the
     raw vector). This is the billion-scale ANN memory/compute story in
     one operator (Jégou 2011 §IV); recall is pinned vs brute force in
-    tests (approximate by design — no SQL oracle, same contract as
-    knn_ivf/knn_lsh).
+    tests, and the whole lane — quantizer, probe choice, PQ
+    reconstruction, final ranks — has an exact DuckDB image
+    (KNN_IVFPQ_SQL) because both the coarse quantizer and the subspace
+    codebooks run the clustering unrolled-Lloyd contract.
 
     Scale shape: codebook + quantizer training stream bounded state;
     the corpus shuffles ONCE by list_id; each list task reconstructs
@@ -195,13 +197,14 @@ def knn_ivfpq(sf_dir: str):
     import ray
 
     from ..stages.joins import get_broadcast
+    from .clustering import _fit_kmeans
     from .simsearch import (
         K,
         NLIST,
-        NPROBE,
-        _kmeans,
         _load_queries,
         _normalize,
+        _probe_sets,
+        _row_dot,
         _topk_reduce,
     )
 
@@ -209,33 +212,21 @@ def knn_ivfpq(sf_dir: str):
     books = _fit_books(sf_dir, base)
     qids, qmat = _load_queries(sf_dir)
 
-    import pyarrow.parquet as pq_mod
-
-    sample_t = pq_mod.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
-    ).slice(0, 2048)
-    sample = _normalize(
-        np.array(sample_t.column("embedding").to_pylist(), dtype=np.float64)
-    )
-    cent = _kmeans(sample, NLIST)
-
-    probes: dict[int, list[int]] = {}
-    q_order = np.argsort(-(qmat @ cent.T), axis=1)[:, :NPROBE]
-    for qi, qid in enumerate(qids):
-        for c in q_order[qi]:
-            probes.setdefault(int(c), []).append(int(qid))
+    c_ids, cent = _fit_kmeans(base, sf_dir, k=NLIST)
+    probes = _probe_sets(qids, qmat, c_ids, cent)
     ref = ray.put(
-        (cent, books, probes, {int(i): qmat[n] for n, i in enumerate(qids)})
+        (c_ids, cent, books, probes,
+         {int(i): qmat[n] for n, i in enumerate(qids)})
     )
 
     def assign(batch: pa.Table) -> pa.Table:
-        c, _, _, _ = get_broadcast(ref)
-        m = _normalize(list_col_to_matrix(batch.column("embedding")))
-        lid = (m @ c.T).argmax(axis=1).astype(np.int64)
+        cc_ids, c, _, _, _ = get_broadcast(ref)
+        m = list_col_to_matrix(batch.column("embedding"))
+        lid = cc_ids[_assign_labels(m, c)]
         return batch.append_column("list_id", pa.array(lid, pa.int64()))
 
     def list_scan(batch: pa.Table) -> pa.Table:
-        _, bks, pr, qvecs = get_broadcast(ref)
+        _, _, bks, pr, qvecs = get_broadcast(ref)
         lid = batch.column("list_id")[0].as_py()
         hit = pr.get(lid, [])
         empty = pa.table(
@@ -261,7 +252,7 @@ def knn_ivfpq(sf_dir: str):
         rn = _normalize(recon)
         out_q, out_n, out_s = [], [], []
         for qid in hit:
-            s = qvecs[qid] @ rn.T
+            s = _row_dot(rn, qvecs[qid])
             s[vids == qid] = -np.inf
             k = min(K, len(vids))
             top = (
@@ -374,3 +365,54 @@ SELECT qid AS query_id, vid AS neighbor_id, rank FROM (
 
 
 KNN_PQ_ADC_SQL = _pq_adc_sql()
+
+
+def _knn_ivfpq_sql() -> str:
+    """Exact DuckDB image of knn_ivfpq: the ivf_-prefixed Lloyd chain
+    (ops/clustering._kmeans_ctes) picks each query's NPROBE cells, the
+    p{m}_ subspace chains rebuild every candidate's PQ reconstruction,
+    and the final rank is cosine(query, reconstruction) with the vid
+    tie-break — rank for rank what the engine's list_scan emits."""
+    from .clustering import KMEANS_ITERS, _kmeans_ctes
+    from .simsearch import K, N_QUERIES, NLIST, NPROBE
+
+    ivf_body, ivf_final = _kmeans_ctes("embeddings", k=NLIST, prefix="ivf_")
+    ctes, unions = [ivf_body], []
+    for m in range(PQ_M):
+        body, final = _pq_sub_ctes(m)
+        ctes.append(body)
+        unions.append(
+            f"SELECT a.vec_id, {m} AS m, b.c FROM {final} a "
+            f"JOIN p{m}_c{KMEANS_ITERS} b ON b.cid = a.cid"
+        )
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined},
+ivfpq_recon AS (
+  SELECT vec_id, flatten(list(c ORDER BY m)) AS r
+  FROM ({" UNION ALL ".join(unions)}) GROUP BY vec_id),
+ivfpq_q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {N_QUERIES}),
+ivfpq_probe AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY list_cosine_similarity(q.qe, c.c) DESC,
+                      c.cid ASC) AS rn
+    FROM ivfpq_q q CROSS JOIN ivf_c{KMEANS_ITERS} c) WHERE rn <= {NPROBE}),
+ivfpq_s AS (
+  SELECT p.qid, a.vec_id AS vid,
+         list_cosine_similarity(q.qe, r.r) AS s
+  FROM ivfpq_probe p
+  JOIN {ivf_final} a ON a.cid = p.cid
+  JOIN ivfpq_recon r ON r.vec_id = a.vec_id
+  JOIN ivfpq_q q ON q.qid = p.qid
+  WHERE a.vec_id != p.qid)
+SELECT qid AS query_id, vid AS neighbor_id, rank FROM (
+  SELECT qid, vid,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY s DESC, vid ASC) AS rank
+  FROM ivfpq_s) WHERE rank <= {K}"""
+
+
+KNN_IVFPQ_SQL = _knn_ivfpq_sql()

@@ -592,9 +592,10 @@ def knn_pq_adc(sf_dir: str):
 def knn_ivfpq(sf_dir: str):
     """Full IVF-PQ composition (coarse lists bound WHICH vectors a
     query scans, PQ codes bound WHAT is read per candidate — the
-    billion-scale ANN shape). Approximate by design: rows-only in the
-    driver, recall pinned vs brute force in tests/test_clustering.py
-    (same contract as knn_ivf/knn_lsh) — ops/pq.py."""
+    billion-scale ANN shape). Approximate vs brute force (recall
+    pinned in tests/test_clustering.py) but EXACTLY oracle-checked:
+    the deterministic Lloyd quantizer + codebooks give the lane a full
+    SQL image (ops/pq.KNN_IVFPQ_SQL)."""
     from .ops.pq import knn_ivfpq as ivfpq
 
     return ivfpq(sf_dir)
@@ -1221,7 +1222,9 @@ def knn_indexed_exact(sf_dir: str):
 def knn_ivf_indexed(sf_dir: str):
     """The approximate setting (nprobe=6 of 16 lists) over the same
     persisted index — partition-pruned reads; recall vs brute force is
-    pinned in pytest (no SQL oracle: probe choice is quantizer state)."""
+    pinned in pytest, and since r5 the lane shares knn_ivf's exact SQL
+    oracle (the persisted index runs the same deterministic quantizer
+    + probe contract)."""
     from .ops.simsearch import _load_queries
     from .search.vindex import knn_search_indexed
 
@@ -2172,6 +2175,24 @@ def _PQ_ADC_SQL():
     return KNN_PQ_ADC_SQL
 
 
+def _KNN_IVF_SQL():
+    from .ops.simsearch import KNN_IVF_SQL
+
+    return KNN_IVF_SQL
+
+
+def _KNN_LSH_SQL():
+    from .ops.simsearch import KNN_LSH_SQL
+
+    return KNN_LSH_SQL
+
+
+def _KNN_IVFPQ_SQL():
+    from .ops.pq import KNN_IVFPQ_SQL
+
+    return KNN_IVFPQ_SQL
+
+
 def _KG_DOCS_TRIPLES_SQL():
     return _kg_docs_sql(
         "SELECT grp AS group_id, subj, pred, obj, fact, valid_at, invalid_at "
@@ -2995,8 +3016,9 @@ QUERIES = {
     "kg_pr_report": kg_pr_report,
     # hybrid search over the episodic KG (docs twin is hash-checked)
     "search_hybrid_demo": search_hybrid_demo,
-    # approximate ANN lanes (recall-pinned in pytest; probe choice is
-    # quantizer state, not SQL-expressible)
+    # ANN lanes (oracle-backed since r5: deterministic Lloyd quantizer
+    # + md5-sign LSH planes give every lane an exact SQL image; recall
+    # vs brute force stays pinned in pytest on top)
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
     "knn_ivf_indexed": knn_ivf_indexed,
@@ -3107,8 +3129,8 @@ QUERIES = {
     # compare in tests/test_clustering.py)
     "pq_codes": pq_codes,
     "knn_pq_adc": knn_pq_adc,
-    # IVF-PQ composition (approximate by design -> rows-only;
-    # recall-pinned in tests/test_clustering.py)
+    # IVF-PQ composition (oracle-backed since r5; recall additionally
+    # pinned in tests/test_clustering.py)
     "knn_ivfpq": knn_ivfpq,
 }
 
@@ -3223,7 +3245,17 @@ ORACLE_SQL = {
     "events_retention": _RETENTION_SQL(),
     "pq_codes": _PQ_SQL(),
     "knn_pq_adc": _PQ_ADC_SQL(),
-    # The REST of the rows-only tail (episodic chain, approximate ANN
-    # lanes, P/R report) is non-SQL-expressible (hash-identity /
-    # probabilistic logic) -> pytest pins it.
+    # ANN lanes promoted to exact oracles in r5: the IVF coarse
+    # quantizer is the clustering unrolled-Lloyd contract and the LSH
+    # planes/projections are md5-parity signs over exact int64 images,
+    # so probe choice itself is SQL-expressible. knn_ivf_indexed runs
+    # the identical quantizer+probe contract over the persisted
+    # hive-partitioned index -> same SQL image as knn_ivf.
+    "knn_ivf": _KNN_IVF_SQL(),
+    "knn_ivf_indexed": _KNN_IVF_SQL(),
+    "knn_lsh": _KNN_LSH_SQL(),
+    "knn_ivfpq": _KNN_IVFPQ_SQL(),
+    # The REST of the rows-only tail (episodic chain, P/R report,
+    # eval harness) is non-SQL-expressible (hash-identity /
+    # model-scoring logic) -> pytest pins it.
 }

@@ -6,16 +6,19 @@ reads:
     <out>/centroids/  (list_id, centroid)      one tiny file
     <out>/lists/      (id, embedding)          partitioned by list_id
 
-``build_vector_index`` trains the deterministic k-means coarse
-quantizer (ops/simsearch._kmeans) on a bounded sample, assigns every
-vector with one matmul per block against the broadcast centroids, and
-writes the inverted lists hive-partitioned. ``knn_search_indexed``
-reads ONLY the nprobe list partitions each query probes — per-query
-work is corpus/nlist x nprobe rows regardless of corpus size. With
-nprobe = nlist the scan is exhaustive and the result is EXACTLY the
-brute-force cosine top-k (same tie-break), which is what the driver's
-DuckDB oracle checks; the approximate setting is recall-pinned in
-pytest.
+``build_vector_index`` trains the deterministic spherical-k-means
+coarse quantizer (ops/clustering's unrolled-Lloyd contract: init = the
+nlist smallest-id vectors, KMEANS_ITERS updates on the CENT_ROUND
+grid), assigns every vector with one matmul per block against the
+broadcast centroids, and writes the inverted lists hive-partitioned.
+``knn_search_indexed`` reads ONLY the nprobe list partitions each
+query probes — per-query work is corpus/nlist x nprobe rows regardless
+of corpus size. With nprobe = nlist the scan is exhaustive and the
+result is EXACTLY the brute-force cosine top-k (same tie-break); the
+approximate setting runs the SAME quantizer + probe contract as
+ops/simsearch.knn_ivf, so BOTH lanes share the exact DuckDB image
+KNN_IVF_SQL (int64-id corpora; string-id node indexes have no oracle
+table and stay pytest-pinned).
 
 Reference anchor: Q5 cosine searches (search_utils.py:200-274) run
 against a pre-built vector index in Neo4j/Lucene; the batch analog
@@ -30,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..ops.simsearch import K, _kmeans, _normalize
+from ..ops.simsearch import K, _normalize, _row_dot
 
 
 def _topk_reduce_any(group: pa.Table, k: int = K) -> pa.Table:
@@ -59,32 +62,56 @@ def _mat(col) -> np.ndarray:
     return flat.reshape(n, -1).astype(np.float64)
 
 
+def _init_rows(ds, id_col: str, vec_col: str, k: int):
+    """The k smallest-id rows: per-block partial top-k (each block emits
+    at most k rows), then a driver-side merge of blocks × k rows — the
+    bounded analog of clustering._init_centroids for a generic Dataset.
+    """
+    def blk(t: pa.Table) -> pa.Table:
+        return (
+            t.select([id_col, vec_col])
+            .sort_by([(id_col, "ascending")])
+            .slice(0, k)
+        )
+
+    rows = ds.map_batches(blk, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    return rows[:k]
+
+
 def build_vector_index(ds, vec_col: str, id_col: str, out_dir: str,
-                       nlist: int = 16, sample_rows: int = 2048):
-    """Embedding Dataset -> persisted IVF index. One assignment pass
-    (broadcast centroids) + one hive-partitioned write; the quantizer
-    trains on a bounded driver-side sample (fixed size at any corpus)."""
+                       nlist: int = 16):
+    """Embedding Dataset -> persisted IVF index. The coarse quantizer
+    is the deterministic unrolled-Lloyd contract of ops/clustering
+    (init = nlist smallest-id vectors, KMEANS_ITERS streaming updates
+    with ≤ nlist rows of driver state each), then one assignment pass
+    (broadcast centroids) + one hive-partitioned write. Integer-id
+    corpora keep cid = the init row's id (the SQL-mirrorable contract);
+    string-id corpora (node uuids) number cells 0..nlist-1."""
     import ray
     import ray.data as rd
 
-    # sort the sample by id: Dataset block arrival order is not
-    # guaranteed stable across sessions, and k-means seeding indexes
-    # into the sample — an unordered sample would make the quantizer
-    # (and every probe decision) run-dependent
-    sample = (
-        ds.limit(sample_rows).select_columns([id_col, vec_col])
-        .to_pandas().sort_values(id_col)
+    from ..ops.clustering import KMEANS_ITERS, _assign_labels, _lloyd_centroids
+
+    init = _init_rows(ds, id_col, vec_col, nlist)
+    int_ids = all(isinstance(r[id_col], (int, np.integer)) for r in init)
+    cids = (
+        np.array([r[id_col] for r in init], dtype=np.int64)
+        if int_ids else np.arange(len(init), dtype=np.int64)
     )
-    smat = _normalize(
-        np.array([np.asarray(v) for v in sample[vec_col]], dtype=np.float64)
+    cents = np.array([np.asarray(r[vec_col]) for r in init], dtype=np.float64)
+
+    emb_ds = ds.map_batches(
+        lambda t: pa.table({"embedding": t.column(vec_col)}),
+        batch_format="pyarrow",
     )
-    cent = _kmeans(smat, nlist)
-    cent_ref = ray.put(cent)
+    for _ in range(KMEANS_ITERS):
+        cids, cents = _lloyd_centroids(emb_ds, cids, cents)
+    cent_ref = ray.put((cids, cents))
 
     def assign(t: pa.Table) -> pa.Table:
-        c = ray.get(cent_ref)
-        m = _normalize(_mat(t.column(vec_col)))
-        lid = (m @ c.T).argmax(axis=1).astype(np.int64)
+        c_ids, c_mat = ray.get(cent_ref)
+        lid = c_ids[_assign_labels(_mat(t.column(vec_col)), c_mat)]
         return pa.table(
             {
                 "id": t.column(id_col),
@@ -103,12 +130,12 @@ def build_vector_index(ds, vec_col: str, id_col: str, out_dir: str,
     rd.from_arrow(
         pa.table(
             {
-                "list_id": pa.array(range(len(cent)), pa.int64()),
-                "centroid": pa.array(cent.tolist(), pa.list_(pa.float64())),
+                "list_id": pa.array(cids, pa.int64()),
+                "centroid": pa.array(cents.tolist(), pa.list_(pa.float64())),
             }
         )
     ).write_parquet(os.path.join(out_dir, "centroids"))
-    return {"nlist": len(cent), "out_dir": out_dir}
+    return {"nlist": len(cids), "out_dir": out_dir}
 
 
 def _list_files(index_dir: str, lids: list[int]) -> list[str]:
@@ -136,12 +163,17 @@ def knn_search_indexed(index_dir: str, qids, qmat: np.ndarray,
     qids = list(qids)
     id_t = pa.array(qids).type  # int64 or string, mirrored in outputs
 
-    cent_t = rd.read_parquet(os.path.join(index_dir, "centroids")).to_pandas()
+    cent_t = (
+        rd.read_parquet(os.path.join(index_dir, "centroids"))
+        .to_pandas().sort_values("list_id")  # cid-asc tie-break order
+    )
     cent = np.array([np.asarray(c) for c in cent_t["centroid"]], dtype=np.float64)
     order = np.array(cent_t["list_id"], dtype=np.int64)
-    # probe sets: nprobe nearest centroids per query
-    sims = qmat @ cent.T
-    probe_idx = np.argsort(-sims, axis=1)[:, : min(nprobe, len(cent))]
+    # probe sets: nprobe nearest centroids per query, cosine desc with
+    # list_id-asc tie-break (stable argsort over cid-sorted columns) —
+    # the same contract as ops/simsearch._probe_sets / KNN_IVF_SQL
+    sims = _normalize(np.asarray(qmat, np.float64)) @ _normalize(cent).T
+    probe_idx = np.argsort(-sims, axis=1, kind="stable")[:, : min(nprobe, len(cent))]
     probes: dict[int, list] = {}
     for qi, qid in enumerate(qids):
         for ci in probe_idx[qi]:
@@ -173,7 +205,7 @@ def knn_search_indexed(index_dir: str, qids, qmat: np.ndarray,
         m = _normalize(_mat(t.column("embedding")))
         out_q, out_n, out_s = [], [], []
         for qid in hit:
-            s = qvecs[qid] @ m.T
+            s = _row_dot(m, qvecs[qid])
             s[vids == qid] = -np.inf  # exclude self
             kk = min(k, len(vids))
             top = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))

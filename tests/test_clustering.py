@@ -23,7 +23,19 @@ def duck():
 
 
 @pytest.mark.parametrize(
-    "name", ["kmeans_clusters", "semantic_dedup", "pq_codes", "knn_pq_adc"]
+    "name",
+    [
+        "kmeans_clusters",
+        "semantic_dedup",
+        "pq_codes",
+        "knn_pq_adc",
+        # ANN lanes promoted to exact oracles in r5 (deterministic
+        # Lloyd quantizer / md5-sign LSH planes)
+        "knn_ivf",
+        "knn_ivf_indexed",
+        "knn_lsh",
+        "knn_ivfpq",
+    ],
 )
 def test_clustering_matches_duckdb_oracle(ray_session, duck, name):
     from graphiti_ray import queries as q
