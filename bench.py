@@ -271,13 +271,154 @@ def _kg_throughput(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+def _kg_write_leg(out_dir: str, num_cpus: int, resume: bool,
+                  wave_size: int) -> dict:
+    """One checkpointed KG-write leg (child process of --resume-proof):
+    build + write the partitioned KG with a manifest after every
+    wave_size partitions, so a SIGKILL loses at most one wave."""
+    from graphiti_ray.pipelines.kg import run_kg_to_dir
+    from graphiti_ray.sources.pages import documents_count, synthetic_pages
+
+    mult = int(os.environ.get("GRAFT_BENCH_MULT", "512"))
+    pages = synthetic_pages(sf_dir_global(), multiplier=mult)
+    t0 = time.time()
+    r = run_kg_to_dir(pages, out_dir, resume=resume,
+                      concurrency=max(2, num_cpus - 1), wave_size=wave_size)
+    return {
+        "wall_s": round(time.time() - t0, 1),
+        "docs": documents_count(sf_dir_global()) * mult,
+        "partitions_processed": r["partitions_processed"],
+        "skipped": r.get("skipped", []),
+        "num_cpus": num_cpus,
+    }
+
+
+def sf_dir_global() -> str:
+    return os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _resume_proof(num_cpus: int, wave_size: int, kill_after_waves: int) -> dict:
+    """Kill-and-resume evidence at the scaling corpus: run the waved
+    KG write clean (leg A), run it again and SIGKILL the whole process
+    group after ``kill_after_waves`` manifests appear (leg B), resume
+    leg B and verify its final tables equal leg A's row-for-row. The
+    headline number is resume_wall / clean_wall vs the remaining-work
+    fraction — partition-granular restart must pay only for what the
+    kill actually lost (un-manifested waves), not the whole run."""
+    import shutil
+    import signal
+
+    import pyarrow.parquet as pq_mod
+
+    base = "/tmp/graphiti_ray_resume_proof"
+    shutil.rmtree(base, ignore_errors=True)
+    clean_dir, kill_dir = os.path.join(base, "clean"), os.path.join(base, "kill")
+    env = {**os.environ, "GRAFT_SCALING_LEG": "1"}
+
+    def child(out_dir: str, resume: bool) -> subprocess.Popen:
+        return subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--_child-kg-write", out_dir,
+             "--_child-cpus", str(num_cpus),
+             "--_child-waves", str(wave_size)]
+            + (["--_child-resume"] if resume else []),
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            env=env, start_new_session=True,
+        )
+
+    # leg A: clean
+    p = child(clean_dir, resume=False)
+    out, _ = p.communicate(timeout=3600)
+    clean = json.loads(out.strip().splitlines()[-1])
+    print(f"# clean: wall={clean['wall_s']}s "
+          f"parts={len(clean['partitions_processed'])}", file=sys.stderr)
+
+    # leg B: kill after kill_after_waves manifests
+    mdir = os.path.join(kill_dir, "_manifest")
+    p = child(kill_dir, resume=False)
+    t0 = time.time()
+    while True:
+        time.sleep(2)
+        n = len([f for f in os.listdir(mdir) if f.endswith(".parquet")]) \
+            if os.path.isdir(mdir) else 0
+        if n >= kill_after_waves or p.poll() is not None \
+                or time.time() - t0 > 3300:
+            break
+    killed_early = p.poll() is None
+    if killed_early:
+        os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+    p.wait()
+    kill_wall = round(time.time() - t0, 1)
+    subprocess.run(["ray", "stop", "--force"], capture_output=True)
+    done_at_kill = sorted(
+        __import__("graphiti_ray.state.checkpoint", fromlist=["x"])
+        .completed_partitions(kill_dir)
+    )
+    print(f"# killed after {kill_wall}s with {len(done_at_kill)} "
+          f"partitions manifested (SIGKILL={killed_early})", file=sys.stderr)
+
+    # leg C: resume
+    p = child(kill_dir, resume=True)
+    out, _ = p.communicate(timeout=3600)
+    resume = json.loads(out.strip().splitlines()[-1])
+
+    # verify: identical final tables (deterministic content-hash uuids)
+    verify = {}
+    for t in ("episodes", "nodes", "edges", "mentions", "triples"):
+        a = pq_mod.read_table(os.path.join(clean_dir, t)).num_rows
+        b = pq_mod.read_table(os.path.join(kill_dir, t)).num_rows
+        verify[t] = {"clean": a, "resumed": b, "equal": a == b}
+
+    total_parts = len(clean["partitions_processed"])
+    remaining_frac = round(
+        (total_parts - len(done_at_kill)) / max(1, total_parts), 3
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "metric": "kg_resume_wall_over_clean_wall",
+        "value": round(resume["wall_s"] / clean["wall_s"], 3),
+        "unit": "fraction",
+        "remaining_work_fraction": remaining_frac,
+        "clean_wall_s": clean["wall_s"],
+        "kill_wall_s": kill_wall,
+        "resume_wall_s": resume["wall_s"],
+        "partitions_total": total_parts,
+        "partitions_done_at_kill": len(done_at_kill),
+        "partitions_resumed": len(resume["partitions_processed"]),
+        "sigkill_delivered": killed_early,
+        "docs": clean["docs"],
+        "num_cpus": num_cpus,
+        "wave_size": wave_size,
+        "tables_equal": all(v["equal"] for v in verify.values()),
+        "verify": verify,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true",
                     help="run the KG pipeline at two CPU counts in fresh "
                          "processes; report throughputs + efficiency")
+    ap.add_argument("--resume-proof", action="store_true",
+                    help="kill a waved KG write mid-run (real SIGKILL) and "
+                         "measure resume wall vs clean wall at the scaling "
+                         "corpus")
+    ap.add_argument("--wave-size", type=int, default=8,
+                    help="partitions per checkpoint wave (resume proof)")
+    ap.add_argument("--kill-after-waves", type=int, default=2,
+                    help="manifests to wait for before SIGKILL")
+    ap.add_argument("--proof-cpus", type=int, default=16,
+                    help="CPU count for every resume-proof leg")
     ap.add_argument("--_child-throughput", type=int, default=None,
                     help=argparse.SUPPRESS)  # internal: one scaling leg
+    ap.add_argument("--_child-kg-write", type=str, default=None,
+                    help=argparse.SUPPRESS)  # internal: one write leg
+    ap.add_argument("--_child-cpus", type=int, default=16,
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--_child-waves", type=int, default=8,
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--_child-resume", action="store_true",
+                    help=argparse.SUPPRESS)
     # Default pair 4/16 (N vs 4N): the host has 32 cores TOTAL, so a
     # 32-CPU leg shares its cores with Ray's own system processes
     # (driver, raylet, object store) and the hypervisor's co-tenants —
@@ -302,6 +443,31 @@ def main() -> None:
         import ray
 
         ray.shutdown()
+        return
+
+    if args._child_kg_write is not None:
+        _init_ray(args._child_cpus)
+        out = _kg_write_leg(args._child_kg_write, args._child_cpus,
+                            args._child_resume, args._child_waves)
+        print(json.dumps(out))
+        import ray
+
+        ray.shutdown()
+        return
+
+    if args.resume_proof:
+        out = _resume_proof(args.proof_cpus, args.wave_size,
+                            args.kill_after_waves)
+        line = json.dumps(out)
+        try:
+            with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "artifacts", "resume_proof_r5.json",
+            ), "w") as f:
+                f.write(line)
+        except OSError:
+            pass
+        print(line)
         return
 
     if args.scaling:

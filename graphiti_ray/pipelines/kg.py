@@ -535,18 +535,61 @@ def run_kg_to_dir(
     now: datetime = DEFAULT_NOW,
     resume: bool = True,
     concurrency=4,
+    wave_size: int | None = None,
 ) -> dict:
     """Materialize the KG to partitioned parquet with per-partition
-    lineage and checkpoint-resume (state/checkpoint.py docstring)."""
+    lineage and checkpoint-resume (state/checkpoint.py docstring).
+
+    ``wave_size`` bounds the checkpoint interval: partitions are
+    processed in sequential waves of that many partition_ids, with a
+    manifest appended after EACH wave — so a kill (SIGKILL, OOM,
+    preemption) loses at most one in-flight wave, not the whole run.
+    This is the production shape for a 100-TB run (you cannot stream
+    the entire corpus inside one un-checkpointed execution and hope);
+    the default (None = one wave) keeps the single-execution fast path
+    for small corpora. Each wave re-runs the cheap vectorized
+    partition filter at the episodes stage; the expensive stages
+    (extraction, canonicalization, temporal sweep) see only the wave's
+    rows. bench.py --resume-proof kills a waved run mid-flight for
+    real and measures that the resume pays only for the missing waves.
+    """
     t0 = time.time()
     completed = ckpt.completed_partitions(out_dir) if resume else set()
     ckpt.clean_incomplete(out_dir, completed)
 
+    if wave_size:
+        from ..stages.extract import DEFAULT_NUM_PARTITIONS
+
+        remaining = [
+            p for p in range(DEFAULT_NUM_PARTITIONS) if p not in completed
+        ]
+        agg = {"partitions_processed": [], "skipped": sorted(completed),
+               "waves": 0}
+        for i in range(0, len(remaining), wave_size):
+            wave = set(remaining[i : i + wave_size])
+            skip = set(range(DEFAULT_NUM_PARTITIONS)) - wave
+            r = _run_kg_once(pages_ds, out_dir, now, skip, concurrency)
+            agg["partitions_processed"].extend(r["partitions_processed"])
+            agg["waves"] += 1
+        agg["partitions_processed"].sort()
+        agg["wall_s"] = time.time() - t0
+        return agg
+
+    r = _run_kg_once(pages_ds, out_dir, now, completed, concurrency)
+    r["skipped"] = sorted(completed)
+    r["wall_s"] = time.time() - t0
+    return r
+
+
+def _run_kg_once(pages_ds, out_dir, now, skip_partitions, concurrency) -> dict:
+    """One build+write+manifest execution over every partition NOT in
+    ``skip_partitions``; returns the ids it manifested."""
+    t0 = time.time()
     result = build_kg(
         pages_ds,
         now=now,
         concurrency=concurrency,
-        skip_partitions=completed or None,
+        skip_partitions=skip_partitions or None,
         checkpoint_dir=None,
     )
 
@@ -563,11 +606,7 @@ def run_kg_to_dir(
 
     write(result.episodes, "episodes")
     if not counts:  # no partitions left to process
-        return {
-            "partitions_processed": [],
-            "wall_s": time.time() - t0,
-            "skipped": sorted(completed),
-        }
+        return {"partitions_processed": [], "wall_s": time.time() - t0}
     write(result.nodes, "nodes")
     write(result.edges, "edges")
     write(result.mentions, "mentions")
@@ -590,4 +629,4 @@ def run_kg_to_dir(
     ]
     if rows:
         ckpt.write_manifest(out_dir, rows)
-    return {"partitions_processed": new_parts, "wall_s": wall, "skipped": sorted(completed)}
+    return {"partitions_processed": new_parts, "wall_s": wall}

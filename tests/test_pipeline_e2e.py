@@ -137,6 +137,34 @@ def test_checkpoint_resume_partition_granularity(ray_session, pages_tbl, tmp_pat
     assert len(t_full) == len(t_res)
 
 
+def test_waved_checkpoint_equals_single_pass(ray_session, pages_tbl, tmp_path_factory):
+    """wave_size processes partitions in sequential manifest-bounded
+    waves (the SIGKILL-survivable production shape bench.py
+    --resume-proof kills for real); the union of waves must equal the
+    one-shot run byte-for-byte, one manifest file per non-empty wave."""
+    import os
+
+    import ray.data as rd
+
+    from graphiti_ray.state import checkpoint as ckpt
+
+    full_dir = str(tmp_path_factory.mktemp("kg_wave_full"))
+    wave_dir = str(tmp_path_factory.mktemp("kg_waved"))
+    run_kg_to_dir(rd.from_arrow(pages_tbl), full_dir, now=NOW,
+                  resume=False, concurrency=2)
+    r = run_kg_to_dir(rd.from_arrow(pages_tbl), wave_dir, now=NOW,
+                      resume=False, concurrency=2, wave_size=16)
+    assert r["waves"] == 2
+    assert set(r["partitions_processed"]) == ckpt.completed_partitions(wave_dir)
+    t_full = pq.read_table(f"{full_dir}/triples").to_pylist()
+    t_wave = pq.read_table(f"{wave_dir}/triples").to_pylist()
+    assert triple_set(t_full) == triple_set(t_wave)
+    assert len(t_full) == len(t_wave)
+    manifests = [f for f in os.listdir(ckpt.manifest_dir(wave_dir))
+                 if f.endswith(".parquet")]
+    assert len(manifests) == 2
+
+
 def test_rerun_byte_identical(ray_session, pages_tbl, kg):
     """Replay invariant: a second full run produces byte-identical
     triples (content-hash uuids + order-free semantics -> deterministic
