@@ -44,6 +44,8 @@ replaces the O(n^2) tile join with a cluster-bounded local join.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pyarrow as pa
 
@@ -150,6 +152,18 @@ def _fit_kmeans(ds, sf_dir: str, k: int = K_CLUSTERS) -> tuple[np.ndarray, np.nd
     return cids, cents
 
 
+@lru_cache(maxsize=8)
+def fit_kmeans_cached(sf_dir: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Trained (cids, cents) for the plain embeddings table — the
+    result is a pure deterministic function of (sf_dir, k), and several
+    operators (knn_ivf, knn_ivfpq, kmeans_assignments) train the
+    identical quantizer, so each process pays the KMEANS_ITERS
+    streaming passes once per (corpus, k) instead of once per query.
+    Callers must not mutate the returned arrays."""
+    ds = read_embeddings(sf_dir, ["vec_id", "embedding"])
+    return _fit_kmeans(ds, sf_dir, k=k)
+
+
 def kmeans_assignments(sf_dir: str):
     """(vec_id, cluster_id): spherical k-means over the embeddings
     table, final assignment under the post-iteration centroids."""
@@ -158,7 +172,7 @@ def kmeans_assignments(sf_dir: str):
     from ..stages.joins import get_broadcast
 
     ds = read_embeddings(sf_dir, ["vec_id", "embedding"])
-    cids, cents = _fit_kmeans(ds, sf_dir)
+    cids, cents = fit_kmeans_cached(sf_dir, K_CLUSTERS)
     cref = ray.put((cids, cents))
 
     def assign(batch: pa.Table) -> pa.Table:

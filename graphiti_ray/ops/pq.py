@@ -23,6 +23,8 @@ vector, the PQ memory story.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pyarrow as pa
 
@@ -81,6 +83,16 @@ def _fit_books(sf_dir: str, base) -> list[tuple[np.ndarray, np.ndarray]]:
     return books
 
 
+@lru_cache(maxsize=4)
+def _fit_books_cached(sf_dir: str) -> tuple:
+    """Deterministic per-corpus codebooks, trained once per process:
+    pq_encode, knn_pq_adc and knn_ivfpq all fit the identical books
+    (M x KMEANS_ITERS streaming passes), so the repeats are pure waste.
+    Returned as a tuple; callers must not mutate the arrays."""
+    base = read_embeddings(sf_dir, ["vec_id", "embedding"])
+    return tuple(_fit_books(sf_dir, base))
+
+
 def pq_encode(sf_dir: str):
     """(vec_id, m, code): per-subspace codeword assignment under the
     trained spherical-PQ codebooks."""
@@ -89,7 +101,7 @@ def pq_encode(sf_dir: str):
     from ..stages.joins import get_broadcast
 
     base = read_embeddings(sf_dir, ["vec_id", "embedding"])
-    bref = ray.put(_fit_books(sf_dir, base))
+    bref = ray.put(_fit_books_cached(sf_dir))
 
     def encode(batch: pa.Table) -> pa.Table:
         bks = get_broadcast(bref)
@@ -132,7 +144,7 @@ def knn_pq_adc(sf_dir: str):
     from .simsearch import K, _load_queries, _normalize, _row_dot, _topk_reduce
 
     base = read_embeddings(sf_dir, ["vec_id", "embedding"])
-    books = _fit_books(sf_dir, base)
+    books = _fit_books_cached(sf_dir)
     qids, qmat = _load_queries(sf_dir)
     ref = ray.put((books, qids, qmat))
 
@@ -197,7 +209,7 @@ def knn_ivfpq(sf_dir: str):
     import ray
 
     from ..stages.joins import get_broadcast
-    from .clustering import _fit_kmeans
+    from .clustering import fit_kmeans_cached
     from .simsearch import (
         K,
         NLIST,
@@ -209,10 +221,10 @@ def knn_ivfpq(sf_dir: str):
     )
 
     base = read_embeddings(sf_dir, ["vec_id", "embedding"])
-    books = _fit_books(sf_dir, base)
+    books = _fit_books_cached(sf_dir)
     qids, qmat = _load_queries(sf_dir)
 
-    c_ids, cent = _fit_kmeans(base, sf_dir, k=NLIST)
+    c_ids, cent = fit_kmeans_cached(sf_dir, NLIST)
     probes = _probe_sets(qids, qmat, c_ids, cent)
     ref = ray.put(
         (c_ids, cent, books, probes,

@@ -191,12 +191,12 @@ def knn_ivf(sf_dir: str):
     import ray
     import ray.data as rd
 
-    from .clustering import _assign_labels, _fit_kmeans
+    from .clustering import _assign_labels, fit_kmeans_cached
 
     qids, qmat = _load_queries(sf_dir)
 
     ds = read_embeddings(sf_dir, ["vec_id", "embedding"])
-    cids, cents = _fit_kmeans(ds, sf_dir, k=NLIST)
+    cids, cents = fit_kmeans_cached(sf_dir, NLIST)
     cent_ref = ray.put((cids, cents))
 
     def assign(batch: pa.Table) -> pa.Table:

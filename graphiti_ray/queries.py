@@ -1199,10 +1199,15 @@ def _vector_index_dir(sf_dir: str) -> str:
         sf_dir.strip("/").replace("/", "_"),
     )
     if not os.path.isdir(os.path.join(d, "centroids")):
+        from .ops.clustering import fit_kmeans_cached
+
         emb = rd.read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
-        build_vector_index(emb, "embedding", "vec_id", d)
+        build_vector_index(
+            emb, "embedding", "vec_id", d,
+            pretrained=fit_kmeans_cached(sf_dir, 16),
+        )
     return d
 
 

@@ -80,33 +80,43 @@ def _init_rows(ds, id_col: str, vec_col: str, k: int):
 
 
 def build_vector_index(ds, vec_col: str, id_col: str, out_dir: str,
-                       nlist: int = 16):
+                       nlist: int = 16, pretrained=None):
     """Embedding Dataset -> persisted IVF index. The coarse quantizer
     is the deterministic unrolled-Lloyd contract of ops/clustering
     (init = nlist smallest-id vectors, KMEANS_ITERS streaming updates
     with ≤ nlist rows of driver state each), then one assignment pass
     (broadcast centroids) + one hive-partitioned write. Integer-id
     corpora keep cid = the init row's id (the SQL-mirrorable contract);
-    string-id corpora (node uuids) number cells 0..nlist-1."""
+    string-id corpora (node uuids) number cells 0..nlist-1.
+
+    ``pretrained=(cids, cents)`` skips training — used when the caller
+    already holds the deterministic quantizer for this corpus
+    (ops/clustering.fit_kmeans_cached), saving the training passes."""
     import ray
     import ray.data as rd
 
     from ..ops.clustering import KMEANS_ITERS, _assign_labels, _lloyd_centroids
 
-    init = _init_rows(ds, id_col, vec_col, nlist)
-    int_ids = all(isinstance(r[id_col], (int, np.integer)) for r in init)
-    cids = (
-        np.array([r[id_col] for r in init], dtype=np.int64)
-        if int_ids else np.arange(len(init), dtype=np.int64)
-    )
-    cents = np.array([np.asarray(r[vec_col]) for r in init], dtype=np.float64)
-
-    emb_ds = ds.map_batches(
-        lambda t: pa.table({"embedding": t.column(vec_col)}),
-        batch_format="pyarrow",
-    )
-    for _ in range(KMEANS_ITERS):
-        cids, cents = _lloyd_centroids(emb_ds, cids, cents)
+    if pretrained is not None:
+        cids, cents = pretrained
+        cids = np.asarray(cids, np.int64)
+        cents = np.asarray(cents, np.float64)
+    else:
+        init = _init_rows(ds, id_col, vec_col, nlist)
+        int_ids = all(isinstance(r[id_col], (int, np.integer)) for r in init)
+        cids = (
+            np.array([r[id_col] for r in init], dtype=np.int64)
+            if int_ids else np.arange(len(init), dtype=np.int64)
+        )
+        cents = np.array(
+            [np.asarray(r[vec_col]) for r in init], dtype=np.float64
+        )
+        emb_ds = ds.map_batches(
+            lambda t: pa.table({"embedding": t.column(vec_col)}),
+            batch_format="pyarrow",
+        )
+        for _ in range(KMEANS_ITERS):
+            cids, cents = _lloyd_centroids(emb_ds, cids, cents)
     cent_ref = ray.put((cids, cents))
 
     def assign(t: pa.Table) -> pa.Table:
