@@ -349,7 +349,10 @@ def _resume_proof(num_cpus: int, wave_size: int, kill_after_waves: int) -> dict:
         os.killpg(os.getpgid(p.pid), signal.SIGKILL)
     p.wait()
     kill_wall = round(time.time() - t0, 1)
-    subprocess.run(["ray", "stop", "--force"], capture_output=True)
+    # the SIGKILL goes to the child's whole process group
+    # (start_new_session=True), which takes its raylet/object store
+    # down too — do NOT `ray stop --force` here, that would kill every
+    # OTHER Ray session on the host as collateral
     done_at_kill = sorted(
         __import__("graphiti_ray.state.checkpoint", fromlist=["x"])
         .completed_partitions(kill_dir)

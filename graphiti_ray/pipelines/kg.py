@@ -188,13 +188,11 @@ def build_kg(
     with_context: feed the T4 previous-episodes window to clients that
     accept it.
     """
-    episodes = extract.pages_to_episodes(pages_ds)
     if skip_partitions:
-        skip = pa.array(sorted(skip_partitions), pa.int32())
-        episodes = episodes.map_batches(
-            lambda t: t.filter(pc.invert(pc.is_in(t.column("partition_id"), value_set=skip))),
-            batch_format="pyarrow",
-        )
+        # prune at the RAW pages stage: partition_id is a pure function
+        # of the url, so skipped partitions never pay the html parse
+        pages_ds = extract.filter_pages_by_partition(pages_ds, skip_partitions)
+    episodes = extract.pages_to_episodes(pages_ds)
     if checkpoint_dir:
         episodes = ckpt.stage_checkpoint(
             episodes, os.path.join(checkpoint_dir, "episodes"), resume

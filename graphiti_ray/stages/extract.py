@@ -99,6 +99,27 @@ def pages_to_episodes(pages_ds, batch_size: int = 2048):
     )
 
 
+def filter_pages_by_partition(pages_ds, skip: set[int]):
+    """Drop pages whose partition is in ``skip`` BEFORE the html->text
+    parse: partition_id is a pure function of the url
+    (partition_of(group_id_of(url))), so checkpoint-resume and wave
+    scheduling can prune the input at the raw-pages stage instead of
+    paying the parse for rows that are immediately filtered out."""
+    skip_arr = pa.array(sorted(skip), pa.int32())
+
+    def f(t: pa.Table) -> pa.Table:
+        pids = pa.array(
+            [
+                partition_of(group_id_of(u), DEFAULT_NUM_PARTITIONS)
+                for u in t.column("url").to_pylist()
+            ],
+            pa.int32(),
+        )
+        return t.filter(pc.invert(pc.is_in(pids, value_set=skip_arr)))
+
+    return pages_ds.map_batches(f, batch_format="pyarrow")
+
+
 class MentionRelationExtractor:
     """Fused M1+M2+M3+M9 actor. State (extractor client with response
     cache; in production an NER/LLM model) built once per actor;
