@@ -113,20 +113,31 @@ def hll_distinct(sf_dir: str):
 
     from ..functions.exchange import exchange_width
 
-    parts = []
+    # one read lane PER TABLE (not per column): both events sketches
+    # come off a single columnar scan, so the table's bytes leave
+    # storage once
+    by_tbl: dict[str, list[str]] = {}
     for tbl, col in SKETCH_COLS:
+        by_tbl.setdefault(tbl, []).append(col)
+
+    parts = []
+    for tbl, cols in by_tbl.items():
         ds = rd.read_parquet(
-            os.path.join(sf_dir, f"{tbl}.parquet"), columns=[col]
+            os.path.join(sf_dir, f"{tbl}.parquet"), columns=cols
         )
 
-        def partial(t: pa.Table, tbl=tbl, col=col) -> pa.Table:
-            b, r = partial_registers(t.column(col))
-            n = len(b)
+        def partial(t: pa.Table, tbl=tbl, cols=tuple(cols)) -> pa.Table:
+            tcs, bs, rs = [], [], []
+            for col in cols:
+                b, r = partial_registers(t.column(col))
+                tcs.append(pa.array([f"{tbl}.{col}"] * len(b), pa.string()))
+                bs.append(b)
+                rs.append(r)
             return pa.table(
                 {
-                    "tc": pa.array([f"{tbl}.{col}"] * n, pa.string()),
-                    "bucket": pa.array(b, pa.int64()),
-                    "rho": pa.array(r, pa.int64()),
+                    "tc": pa.concat_arrays(tcs),
+                    "bucket": pa.array(np.concatenate(bs), pa.int64()),
+                    "rho": pa.array(np.concatenate(rs), pa.int64()),
                 }
             )
 
