@@ -82,6 +82,27 @@ def bloom_membership(sf_dir: str):
             "one", pa.array(np.ones(t.num_rows, np.int64))
         )
 
+    # the probe-side distinct is INDEPENDENT of the member pipeline
+    # until the verdict pass — materialize it concurrently so its
+    # exchange overlaps the member distinct instead of queueing behind
+    # the bits take_all barrier
+    from concurrent.futures import ThreadPoolExecutor
+
+    probes_lazy = _distinct_by_key(
+        rd.read_parquet(
+            os.path.join(sf_dir, f"{pt}.parquet"), columns=[pc_col]
+        ).map_batches(
+            lambda t: pa.table(
+                {"k": t.column(pc_col).cast(pa.string())}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["k"],
+        "kk",
+    )
+    pool = ThreadPoolExecutor(max_workers=1)
+    f_probes = pool.submit(probes_lazy.materialize)
+
     member_keys = _distinct_by_key(
         members.map_batches(
             lambda t: pa.table(
@@ -123,18 +144,8 @@ def bloom_membership(sf_dir: str):
     )
     bits_ref = ray.put(bit_arr)
 
-    probes = _distinct_by_key(
-        rd.read_parquet(
-            os.path.join(sf_dir, f"{pt}.parquet"), columns=[pc_col]
-        ).map_batches(
-            lambda t: pa.table(
-                {"k": t.column(pc_col).cast(pa.string())}
-            ),
-            batch_format="pyarrow",
-        ),
-        ["k"],
-        "kk",
-    )
+    probes = f_probes.result()
+    pool.shutdown()
 
     # row-wise verdict against the broadcast bit set (np.isin over the
     # (n, k) position matrix); membership can never split across rows
