@@ -36,6 +36,9 @@ from ..functions.hashing import bucket_array
 BM25_K1, BM25_B = 1.5, 0.75
 NUM_BUCKETS = 64
 TOKEN_SPLIT = "[^a-z0-9]+"
+# sentinel for per-block corpus-stat partials; tokenization lowercases
+# and strips non-alnum, so no real token can ever equal it
+STAT_TOKEN = "\x00stat"
 
 
 def _token_rows(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
@@ -68,24 +71,54 @@ def _token_rows(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
     )
     g = pairs.group_by(["token", "id"]).aggregate([("dl", "count"), ("dl", "min")])
     g = g.rename_columns(["token", "id", "tf", "dl"])
-    return g.append_column(
+    g = g.append_column(
         "bucket", pa.array(bucket_array(g.column("token"), NUM_BUCKETS, salt="tidx"),
                            pa.int32())
     )
+    # per-block corpus-stat partial (docs live in exactly one block, so
+    # block partials sum exactly): one sentinel row carrying
+    # (n_docs_with_tokens, total_dl) rides the SAME bucket exchange —
+    # the alternative is a second groupby(id) all-to-all over every
+    # posting row just to recover two integers
+    n_docs_blk = int((dl > 0).sum())
+    if n_docs_blk:
+        stat = pa.table(
+            {
+                "token": pa.array([STAT_TOKEN], g.column("token").type),
+                "id": pa.nulls(1, g.column("id").type),
+                "tf": pa.array([n_docs_blk], pa.int64()),
+                "dl": pa.array([int(dl.sum())], pa.int64()),
+                "bucket": pa.array([0], pa.int32()),
+            }
+        )
+        g = pa.concat_tables([g, stat])
+    return g
 
 
 def _reduce_bucket(t: pa.Table) -> pa.Table:
     """All tokens of one bucket: final postings + the bucket's vocab
-    rows (kind column splits the union on write)."""
+    rows (kind column splits the union on write). Bucket 0 additionally
+    folds the per-block corpus-stat sentinels into ONE stat row."""
+    stat_mask = pc.equal(t.column("token"), STAT_TOKEN)
+    stat_rows = None
+    if pc.any(stat_mask).as_py():
+        s = t.filter(stat_mask)
+        stat_rows = (
+            int(pc.sum(s.column("tf")).as_py() or 0),
+            int(pc.sum(s.column("dl")).as_py() or 0),
+        )
+        t = t.filter(pc.invert(stat_mask))
     g = t.group_by(["token", "id"]).aggregate([("tf", "sum"), ("dl", "min")])
     g = g.rename_columns(["token", "id", "tf", "dl"])
     v = g.group_by("token").aggregate([("id", "count"), ("tf", "sum")])
     v = v.rename_columns(["token", "df", "cf"])
     n = g.num_rows + v.num_rows
     bucket = t.column("bucket")[0].as_py() if t.num_rows else 0
-    return pa.table(
+    out = pa.table(
         {
-            "kind": pa.array(["post"] * g.num_rows + ["vocab"] * v.num_rows),
+            "kind": pa.array(
+                ["post"] * g.num_rows + ["vocab"] * v.num_rows, pa.string()
+            ),
             "token": pa.concat_arrays(
                 [g.column("token").combine_chunks(), v.column("token").combine_chunks()]
             ),
@@ -112,6 +145,23 @@ def _reduce_bucket(t: pa.Table) -> pa.Table:
             "bucket": pa.array([bucket] * n, pa.int32()),
         }
     )
+    if stat_rows is not None:
+        out = pa.concat_tables([
+            out,
+            pa.table(
+                {
+                    "kind": pa.array(["stat"]),
+                    "token": pa.array([STAT_TOKEN], out.column("token").type),
+                    "id": pa.nulls(1, out.column("id").type),
+                    "tf": pa.array([stat_rows[0]], pa.int64()),
+                    "dl": pa.array([stat_rows[1]], pa.int64()),
+                    "df": pa.nulls(1, pa.int64()),
+                    "cf": pa.nulls(1, pa.int64()),
+                    "bucket": pa.array([bucket], pa.int32()),
+                }
+            ),
+        ])
+    return out
 
 
 def build_text_index(ds, text_col: str, id_col: str, out_dir: str):
@@ -129,20 +179,15 @@ def build_text_index(ds, text_col: str, id_col: str, out_dir: str):
         ["token", "df", "cf", "bucket"]
     ).write_parquet(os.path.join(out_dir, "vocab"), partition_cols=["bucket"])
 
-    # corpus stats from the postings themselves: distinct docs + their
-    # lengths (dl is denormalized per row; min==max per id)
+    # corpus stats from the folded per-block sentinels (ONE tiny row in
+    # bucket 0 — no second groupby(id) all-to-all over the postings)
     import ray.data as rd
 
-    per_doc = union.filter(expr="kind == 'post'").groupby("id").min("dl")
-    df = per_doc.map_batches(
-        lambda t: pa.table({
-            "n": [t.num_rows],
-            "total": [int(pc.sum(t.column("min(dl)")).as_py() or 0)],
-        }),
-        batch_format="pyarrow",
+    df = union.filter(expr="kind == 'stat'").select_columns(
+        ["tf", "dl"]
     ).to_pandas()
-    n_docs = int(df["n"].sum())
-    avgdl = float(df["total"].sum()) / max(1, n_docs)
+    n_docs = int(df["tf"].sum())
+    avgdl = float(df["dl"].sum()) / max(1, n_docs)
     rd.from_arrow(
         pa.table({"n_docs": pa.array([n_docs], pa.int64()),
                   "avgdl": pa.array([avgdl], pa.float64())})
