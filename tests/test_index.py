@@ -51,6 +51,12 @@ def test_vocab_and_postings_values(ray_session, index_dir):
     assert pm[("quick", 3)] == (3, 4)
     assert pm[("dog", 5)] == (5, 6)
     assert ("the", 5) not in pm
+    # the corpus-stat sentinel rides the build exchange but must never
+    # leak into the persisted postings/vocab tables
+    from graphiti_ray.search.index import STAT_TOKEN
+
+    assert STAT_TOKEN not in vm
+    assert not any(t == STAT_TOKEN for t, _ in pm)
 
 
 def test_bm25_indexed_matches_bruteforce(ray_session, index_dir):
